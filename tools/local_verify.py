@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/local_verify.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet dump produced by graft.Verify,
+runs the matching oracle SQL from oracle_sql.json in DuckDB over the same
+testdata parquet tables, sorts columns by name and rows by value, and
+compares cell-by-cell (exact equality, same as a hash compare would be).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+STRICT_TYPES = False
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        rr = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            rr.append(v)
+        out.append(tuple(rr))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [sorted(cols)] + out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            mine = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            mine_cols = [d[0] for d in mine.description]
+            mine_rows = mine.fetchall()
+            want = con.execute(sql)
+            want_cols = [d[0] for d in want.description]
+            want_rows = want.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: error {e}")
+            n_fail += 1
+            continue
+        a, b = canon(mine_rows, mine_cols), canon(want_rows, want_cols)
+        if a == b:
+            print(f"PASS {name} ({len(mine_rows)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            if a[0] != b[0]:
+                print(f"FAIL {name}: columns {a[0]} vs {b[0]}")
+                continue
+            diffs = [(x, y) for x, y in zip(a[1:], b[1:]) if x != y]
+            print(f"FAIL {name}: rows {len(a)-1} vs {len(b)-1}, "
+                  f"{len(diffs)} differing rows; first 3:")
+            for x, y in diffs[:3]:
+                print(f"  mine: {x}\n  want: {y}")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
