@@ -1,0 +1,86 @@
+package graft.ingest
+
+import graft.functions.{PlayFunctions => PF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** The reference's ingest pipeline (scripts/spark_processing.py:43-135),
+  * Spark-first: Kafka envelope → cast → from_json → flatten → native
+  * derived-column expressions → CSV sink.
+  *
+  * The whole transform is projection-only (no shuffle): physically it
+  * plans as `Scan → Project` inside one WholeStageCodegen span, because
+  * every derived column is a native expression (PlayFunctions), not a UDF.
+  */
+object Ingest {
+  /** The reference's fixed 9-field all-string JSON schema
+    * (spark_processing.py:77-88). */
+  val shotJsonSchema: StructType = new StructType()
+    .add("game_id", StringType).add("year", StringType)
+    .add("month", StringType).add("day", StringType)
+    .add("winner", StringType).add("loser", StringType)
+    .add("x", StringType).add("y", StringType)
+    .add("play", StringType)
+
+  /** S1, batch flavor: drain the topic earliest→latest once
+    * (spark_processing.py:53-59). */
+  def kafkaBatchSource(spark: SparkSession, servers: String, topic: String): DataFrame =
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+
+  /** S1, idiomatic flavor: Structured Streaming with Trigger.AvailableNow
+    * — "drain everything currently in the topic, then stop", restart-safe
+    * via checkpointed offsets (replaces the reference DAG's destroy-the-
+    * topic progress tracking, kafka_stream_dag.py:41-45).
+    */
+  def kafkaStreamSource(spark: SparkSession, servers: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+
+  /** P1→P4: the full transform chain (spark_processing.py:68-135). Works
+    * identically on batch and streaming frames. Output column order matches
+    * the reference: 9 parsed fields then the 10 derived columns.
+    */
+  def transform(envelope: DataFrame): DataFrame = {
+    val parsed = envelope
+      .selectExpr("CAST(key AS STRING)", "CAST(value AS STRING)")
+      .withColumn("parsed_value", from_json(col("value"), shotJsonSchema))
+      .select("parsed_value.*")
+    parsed
+      .withColumn("time_remaining", PF.timeRemaining(col("play")))
+      .withColumn("quarter", PF.quarter(col("play")))
+      .withColumn("shots_by", PF.shotsBy(col("play")))
+      .withColumn("outcome", PF.outcome(col("play")))
+      .withColumn("attempt", PF.attempt(col("play")))
+      .withColumn("distance", PF.distance(col("play")))
+      .withColumn("team", PF.team(col("play")))
+      .withColumn("winner_score", PF.winnerScore(col("winner"), col("team"), col("play")))
+      .withColumn("loser_score", PF.loserScore(col("loser"), col("team"), col("play")))
+  }
+
+  /** S4: headered CSV sink, overwrite (spark_processing.py:258). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Streaming sink with checkpoint — the restart-safe equivalent of the
+    * reference's write (its checkpoint path is computed but unused,
+    * spark_processing.py:275). Returns after draining (AvailableNow).
+    */
+  def streamToCsv(df: DataFrame, path: String, checkpoint: String): Unit = {
+    val q = df.writeStream.format("csv")
+      .option("header", "true")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

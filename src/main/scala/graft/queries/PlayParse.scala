@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.PlayFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-parity gate for the play parser (F1–F9): synthesize play
+  * strings deterministically from the orders table, parse them with the
+  * REAL PlayFunctions column expressions, and let the DuckDB oracle derive
+  * every expected value INDEPENDENTLY from the synthesis parameters (it
+  * never runs the parser) — so any bug in the expression tree shows up as
+  * a hash mismatch, not a shared blind spot.
+  *
+  * Covers every F9 branch: one- and two-word cities × leads/trails/
+  * "now leads"/tied/"now tied" × winner-is-team / winner-is-opponent.
+  */
+object PlayParse {
+  private val teamNames = Seq("LA Lakers", "New York", "Boston",
+    "Golden State", "Chicago", "San Antonio", "Miami", "Utah")
+  private val phrases = Seq("leads", "trails", "now leads", "tied", "now tied")
+
+  /** Deterministic play fixtures from orders: one play per order row. */
+  private def synthesize(spark: SparkSession, dir: String): DataFrame = {
+    val teams = array(teamNames.map(lit): _*)
+    val phr = array(phrases.map(lit): _*)
+    val o = Tables.orders(spark, dir)
+    def s(c: Column): Column = c.cast("string")
+    val qstr = element_at(array(Seq("1st", "2nd", "3rd", "4th").map(lit): _*),
+      (col("o_orderkey") % 4).cast("int") + 1)
+    val time = concat(s(col("o_orderkey") % 12), lit(":"),
+      lpad(s(col("o_custkey") % 60), 2, "0"), lit("."), s(col("o_orderkey") % 10))
+    val first = concat(lit("P"), s(col("o_custkey") % 50))
+    val last = concat(lit("Q"), s(col("o_orderkey") % 70))
+    val shotOutcome = when(col("o_totalprice") > 100000, "made").otherwise("missed")
+    val pts = concat(s(col("o_orderkey") % 2 + 2), lit("-pointer"))
+    val dist = s(col("o_orderkey") % 30)
+    val teamC = element_at(teams, (col("o_orderkey") % 8).cast("int") + 1)
+    val oppC = element_at(teams, ((col("o_orderkey") + 3) % 8).cast("int") + 1)
+    val phraseC = element_at(phr, (col("o_custkey") % 5).cast("int") + 1)
+    val scoreA = s(col("o_orderkey") % 150)
+    val scoreB = s(col("o_custkey") % 150)
+    o.select(
+      s(col("o_orderkey")).as("game_id"),
+      when(col("o_orderkey") % 2 === 0, teamC).otherwise(oppC).as("winner"),
+      when(col("o_orderkey") % 2 === 0, oppC).otherwise(teamC).as("loser"),
+      concat(
+        qstr, lit(" Q, "), time, lit(" remaining<br>"),
+        first, lit(" "), last, lit(" "), shotOutcome, lit(" "), pts,
+        lit(" from "), dist, lit(" ft<br>"),
+        teamC, lit(" "), phraseC, lit(" "), scoreA, lit("-"), scoreB).as("play"))
+  }
+
+  /** Synthesized plays through the real parser. */
+  def playParse(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{PlayFunctions => PF}
+    val p = col("play")
+    synthesize(spark, dir)
+      .withColumn("time_remaining", PF.timeRemaining(p))
+      .withColumn("quarter", PF.quarter(p))
+      .withColumn("shots_by", PF.shotsBy(p))
+      .withColumn("outcome", PF.outcome(p))
+      .withColumn("attempt", PF.attempt(p))
+      .withColumn("distance", PF.distance(p))
+      .withColumn("team", PF.team(p))
+      .withColumn("winner_score", PF.winnerScore(col("winner"), col("team"), p))
+      .withColumn("loser_score", PF.loserScore(col("loser"), col("team"), p))
+      .drop("play")
+      .orderBy(col("game_id"))
+  }
+
+  /** Oracle: expected values derived straight from the synthesis params. */
+  val playParseSql: String =
+    """WITH params AS (
+      |  SELECT
+      |    CAST(o_orderkey AS VARCHAR) AS game_id,
+      |    (o_orderkey % 4) + 1 AS qnum,
+      |    CAST(o_orderkey % 12 AS VARCHAR) || ':' ||
+      |      lpad(CAST(o_custkey % 60 AS VARCHAR), 2, '0') || '.' ||
+      |      CAST(o_orderkey % 10 AS VARCHAR) AS time_str,
+      |    'P' || CAST(o_custkey % 50 AS VARCHAR) || ' ' ||
+      |      'Q' || CAST(o_orderkey % 70 AS VARCHAR) AS player,
+      |    CASE WHEN o_totalprice > 100000 THEN 'made' ELSE 'missed' END AS outc,
+      |    CAST(o_orderkey % 2 + 2 AS VARCHAR) || '-pointer' AS pts,
+      |    CAST(o_orderkey % 30 AS VARCHAR) || 'ft' AS dist,
+      |    (['LA Lakers','New York','Boston','Golden State','Chicago','San Antonio','Miami','Utah'])[CAST(o_orderkey % 8 AS INT) + 1] AS team,
+      |    (['LA Lakers','New York','Boston','Golden State','Chicago','San Antonio','Miami','Utah'])[CAST((o_orderkey + 3) % 8 AS INT) + 1] AS opp,
+      |    (['leads','trails','now leads','tied','now tied'])[CAST(o_custkey % 5 AS INT) + 1] AS phrase,
+      |    CAST(o_orderkey % 150 AS VARCHAR) AS score_a,
+      |    CAST(o_custkey % 150 AS VARCHAR) AS score_b,
+      |    o_orderkey % 2 = 0 AS team_won
+      |  FROM orders
+      |)
+      |SELECT game_id,
+      |  CASE WHEN team_won THEN team ELSE opp END AS winner,
+      |  CASE WHEN team_won THEN opp ELSE team END AS loser,
+      |  time_str AS time_remaining,
+      |  CAST(qnum AS VARCHAR) AS quarter,
+      |  player AS shots_by,
+      |  outc AS outcome,
+      |  pts AS attempt,
+      |  dist AS distance,
+      |  team,
+      |  CASE WHEN phrase IN ('tied','now tied') THEN score_a
+      |       WHEN team_won THEN score_a ELSE score_b END AS winner_score,
+      |  CASE WHEN phrase IN ('tied','now tied') THEN score_a
+      |       WHEN team_won THEN score_b ELSE score_a END AS loser_score
+      |FROM params
+      |ORDER BY game_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q07_play_parse" -> (playParse _))
+
+  val oracle: Map[String, String] = Map(
+    "q07_play_parse" -> playParseSql)
+}

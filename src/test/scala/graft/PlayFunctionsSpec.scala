@@ -1,0 +1,126 @@
+package graft
+
+import graft.functions.PlayFunctions._
+import graft.ingest.Ingest
+import org.apache.spark.sql.functions.col
+
+/** Table-driven parity tests for F1–F9 against the play grammar
+  * (FIXTURES.md A3), covering every branch of the score parser:
+  * one-/two-word cities × leads/trails/now-leads/now-trails/tied/now-tied
+  * × winner-is-team / winner-is-opponent.
+  */
+class PlayFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def play(team: String, phrase: String, score: String = "10-15",
+      clock: String = "1st Q, 11:30.0 remaining",
+      shot: String = "LeBron James missed 3-pointer from 25 ft") =
+    s"$clock<br>$shot<br>$team $phrase $score"
+
+  private def parseOne(winner: String, loser: String, p: String) = {
+    val df = Seq((winner, loser, p)).toDF("winner", "loser", "play")
+      .withColumn("quarter", quarter(col("play")))
+      .withColumn("time_remaining", timeRemaining(col("play")))
+      .withColumn("shots_by", shotsBy(col("play")))
+      .withColumn("outcome", outcome(col("play")))
+      .withColumn("attempt", attempt(col("play")))
+      .withColumn("distance", distance(col("play")))
+      .withColumn("team", team(col("play")))
+      .withColumn("winner_score", winnerScore(col("winner"), col("team"), col("play")))
+      .withColumn("loser_score", loserScore(col("loser"), col("team"), col("play")))
+    df.collect()(0)
+  }
+
+  test("F1-F7: clock and shot segment") {
+    val r = parseOne("Boston", "Miami", play("Boston", "leads"))
+    assert(r.getAs[String]("quarter") == "1")
+    assert(r.getAs[String]("time_remaining") == "11:30.0")
+    assert(r.getAs[String]("shots_by") == "LeBron James")
+    assert(r.getAs[String]("outcome") == "missed")
+    assert(r.getAs[String]("attempt") == "3-pointer")
+    assert(r.getAs[String]("distance") == "25ft")
+  }
+
+  test("F1: quarter digit for each period") {
+    for ((c, q) <- Seq("1st" -> "1", "2nd" -> "2", "3rd" -> "3", "4th" -> "4")) {
+      val r = parseOne("Boston", "Miami",
+        play("Boston", "leads", clock = s"$c Q, 0:05.0 remaining"))
+      assert(r.getAs[String]("quarter") == q)
+    }
+  }
+
+  test("F5/F6: made and 2-pointer variants") {
+    val r = parseOne("Boston", "Miami", play("Boston", "leads",
+      shot = "Stephen Curry made 2-pointer from 8 ft"))
+    assert(r.getAs[String]("outcome") == "made")
+    assert(r.getAs[String]("attempt") == "2-pointer")
+    assert(r.getAs[String]("shots_by") == "Stephen Curry")
+    assert(r.getAs[String]("distance") == "8ft")
+  }
+
+  test("F8: one-word vs two-word city names") {
+    for (t <- Seq("Boston", "Chicago", "Miami", "Utah"))
+      assert(parseOne(t, "X", play(t, "leads")).getAs[String]("team") == t)
+    for (t <- Seq("LA Lakers", "New York", "San Antonio", "Golden State"))
+      assert(parseOne(t, "X", play(t, "leads")).getAs[String]("team") == t)
+  }
+
+  // F9 branch matrix. Score phrase is always "10-15": A=10, B=15.
+  private val f9Cases = for {
+    t <- Seq("Boston", "LA Lakers")
+    phrase <- Seq("leads", "trails", "now leads", "now trails", "tied", "now tied")
+    winnerIsTeam <- Seq(true, false)
+  } yield (t, phrase, winnerIsTeam)
+
+  test("F9: winner/loser score across all branches") {
+    for ((t, phrase, winnerIsTeam) <- f9Cases) {
+      val (w, l) = if (winnerIsTeam) (t, "Opponent") else ("Opponent", t)
+      val r = parseOne(w, l, play(t, phrase))
+      val (expW, expL) =
+        if (phrase.endsWith("tied")) ("10", "10")
+        else if (winnerIsTeam) ("10", "15")
+        else ("15", "10")
+      assert(r.getAs[String]("winner_score") == expW,
+        s"winner_score for ($t, $phrase, winnerIsTeam=$winnerIsTeam)")
+      assert(r.getAs[String]("loser_score") == expL,
+        s"loser_score for ($t, $phrase, winnerIsTeam=$winnerIsTeam)")
+    }
+  }
+
+  test("ingest transform: envelope → flattened derived frame") {
+    val json = """{"game_id":"202501150CLE","year":"2025","month":"01",
+      |"day":"15","winner":"Cleveland","loser":"LA Lakers","x":"118",
+      |"y":"167","play":"PLAY"}""".stripMargin.replace("\n", "")
+      .replace("PLAY", play("LA Lakers", "trails"))
+    val env = Seq(("k1", json)).toDF("key", "value")
+    val out = Ingest.transform(env).collect()(0)
+    assert(out.getAs[String]("game_id") == "202501150CLE")
+    assert(out.getAs[String]("team") == "LA Lakers")
+    assert(out.getAs[String]("quarter") == "1")
+    // LA Lakers (the loser) trails: loser==team → A side
+    assert(out.getAs[String]("loser_score") == "10")
+    assert(out.getAs[String]("winner_score") == "15")
+    // schema parity with the reference output (FIXTURES.md A3)
+    assert(Ingest.transform(env).columns.toSeq == Seq("game_id", "year",
+      "month", "day", "winner", "loser", "x", "y", "play", "time_remaining",
+      "quarter", "shots_by", "outcome", "attempt", "distance", "team",
+      "winner_score", "loser_score"))
+  }
+
+  test("dirty play string degrades to nulls, never throws (ANSI-safe)") {
+    val r = parseOne("A", "B", "garbage no segments")
+    assert(r.getAs[String]("quarter") == "g") // first char of first token
+    assert(r.getAs[String]("time_remaining") == "segments")
+    assert(r.isNullAt(r.fieldIndex("shots_by")))
+    assert(r.isNullAt(r.fieldIndex("team")))
+    assert(r.isNullAt(r.fieldIndex("winner_score")))
+    val r2 = parseOne("A", "B", "")
+    assert(r2.isNullAt(r2.fieldIndex("winner_score")))
+  }
+
+  test("ingest transform: malformed JSON → null struct fields (PERMISSIVE)") {
+    val env = Seq(("k1", "{not json")).toDF("key", "value")
+    val out = Ingest.transform(env).select("game_id", "play").collect()(0)
+    assert(out.isNullAt(0) && out.isNullAt(1))
+  }
+}
