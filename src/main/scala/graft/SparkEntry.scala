@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{PlayParse, Relational}
+import graft.queries.{EventOps, PlayParse, Relational, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,10 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Relational.queries, Relational.oracle),
-      (PlayParse.queries, PlayParse.oracle))
+      (PlayParse.queries, PlayParse.oracle),
+      (TextOps.queries, TextOps.oracle),
+      (VectorOps.queries, VectorOps.oracle),
+      (EventOps.queries, EventOps.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators in their batch form (the streaming twins live in
+  * graft.streaming and are exercised by ScalaTest): JSON prop access,
+  * tumbling-window rollups, gaps-and-islands sessionization, per-type
+  * profiles (SURVEY.md §2 F13, §2.9 N-extensions).
+  */
+object EventOps {
+  import Exact._
+
+  /** F13: JSON field extraction from the props column. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy(col("event_id"))
+
+  val jsonExtractSql: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Tumbling 1-hour rollup per event type — the batch twin of the
+    * streaming windowed aggregation. Uses Spark's `window()` so the same
+    * expression works under readStream + watermark.
+    */
+  def hourlyRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumD(col("value")).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"),
+        col("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  val hourlyRollupSql: String =
+    s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+       |  COUNT(*) AS n, ${sumDSql("value")} AS total_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY hour, event_type""".stripMargin
+
+  /** Gaps-and-islands sessionization (30-minute inactivity gap): the
+    * deterministic batch twin of session_window/flatMapGroupsWithState.
+    * Timestamps surface as epoch micros (long) so both engines agree on
+    * serialization.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    ev.groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"), sumD(col("value")).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val sessionizeSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+       |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+       |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+       |  FROM events
+       |), flagged AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+       |                 THEN 1 ELSE 0 END AS is_new
+       |  FROM ev
+       |), sess AS (
+       |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flagged
+       |)
+       |SELECT user_id, session_id, min(us) AS start_us, max(us) AS end_us,
+       |  COUNT(*) AS n_events, ${sumDSql("value")} AS session_value
+       |FROM sess GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  /** Per-type profile: exact distinct users, value distribution. */
+  def typeStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sumD(col("value")).as("total_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("event_type"))
+
+  val typeStatsSql: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  ${sumDSql("value")} AS total_value,
+       |  MIN(value) AS min_value, MAX(value) AS max_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_json_extract" -> (jsonExtract _),
+    "q18_hourly_rollup" -> (hourlyRollup _),
+    "q19_sessionize" -> (sessionize _),
+    "q20_type_stats" -> (typeStats _))
+
+  val oracle: Map[String, String] = Map(
+    "q17_json_extract" -> jsonExtractSql,
+    "q18_hourly_rollup" -> hourlyRollupSql,
+    "q19_sessionize" -> sessionizeSql,
+    "q20_type_stats" -> typeStatsSql)
+}

@@ -1,0 +1,282 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the LLM-training-pipeline surface (SURVEY.md §2 F11, D3; north star).
+  *
+  * Everything is native expressions (no UDFs): tokenization, stopword
+  * ratios, language-ID, fingerprinting, MinHash and SimHash all run inside
+  * whole-stage codegen and scale linearly with a single shuffle where a
+  * groupBy/join requires one. The MinHash band join is the standard
+  * LSH shape: candidates = docs sharing a band bucket, so the join is an
+  * equi-join on (band_idx, band_hash) — shuffle-partitioned by bucket, no
+  * O(N²) comparison.
+  */
+object TextOps {
+  private def tokens: Column = split(col("text"), " ")
+
+  // ---------------------------------------------------------------- stats
+  /** Per-document stats: chars, whitespace tokens, distinct types,
+    * stopword ratio, punctuation ratio, BPE-ish subword token count.
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("n_tokens"),
+      size(array_distinct(tokens)).as("n_types"),
+      (size(filter(tokens, t => t.isin(stopwords: _*))).cast("double") /
+        size(tokens).cast("double")).as("stop_ratio"),
+      (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
+        length(col("text")).cast("double")).as("punct_ratio"),
+      size(regexp_extract_all(col("text"), lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0)))
+        .as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textStatsSql: String =
+    """SELECT doc_id,
+      |  length(text) AS n_chars_m,
+      |  len(regexp_extract_all(text, '\S+')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_types,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |       t -> t IN ('the','a','an','of','and','to','in','is'))) AS DOUBLE)
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+      |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+      |  len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS n_bpe_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- language id
+  /** Marker-word language scoring with deterministic argmax (n-gram
+    * heuristic family; marker sets are illustrative, the operator shape —
+    * score-per-language then argmax — is the point).
+    */
+  def languageId(spark: SparkSession, dir: String): DataFrame = {
+    val markers = Seq(
+      "en" -> Seq("the", "and", "is", "of", "to"),
+      "es" -> Seq("el", "la", "de", "que", "y"),
+      "fr" -> Seq("le", "les", "et", "une", "dans"),
+      "de" -> Seq("der", "die", "und", "das", "ist"))
+    def score(ws: Seq[String]): Column =
+      size(filter(tokens, t => t.isin(ws: _*)))
+    val scored = markers.foldLeft(Tables.documents(spark, dir)) {
+      case (df, (l, ws)) => df.withColumn(s"score_$l", score(ws))
+    }
+    val best = greatest(markers.map { case (l, _) => col(s"score_$l") }: _*)
+    val pred = markers.foldRight(lit("und"): Column) { case ((l, _), acc) =>
+      when(col(s"score_$l") === best && best > 0, l).otherwise(acc)
+    }
+    scored.select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val languageIdSql: String = {
+    val markers = Seq(
+      "en" -> Seq("the", "and", "is", "of", "to"),
+      "es" -> Seq("el", "la", "de", "que", "y"),
+      "fr" -> Seq("le", "les", "et", "une", "dans"),
+      "de" -> Seq("der", "die", "und", "das", "ist"))
+    val scores = markers.map { case (l, ws) =>
+      s"len(list_filter(string_split(text, ' '), t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))) AS score_$l"
+    }.mkString(",\n    ")
+    val best = s"greatest(${markers.map(m => s"score_${m._1}").mkString(",")})"
+    val pred = markers.foldRight("'und'") { case ((l, _), acc) =>
+      s"CASE WHEN score_$l = best AND best > 0 THEN '$l' ELSE $acc END"
+    }
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    $scores
+       |  FROM documents
+       |), withbest AS (
+       |  SELECT *, $best AS best FROM scored
+       |)
+       |SELECT doc_id, lang, $pred AS pred_lang
+       |FROM withbest
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------- fingerprint
+  /** Whitespace-normalized md5 content fingerprint. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- exact dedup
+  /** Exact dedup, deterministic formulation: one surviving row per key
+    * (min doc_id) + survivor count — groupBy-based, single shuffle.
+    */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_rows"))
+      .orderBy(col("lang"), col("source"))
+
+  val exactDedupSql: String =
+    """SELECT lang, source, min(doc_id) AS keep_doc_id, count(*) AS n_rows
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // -------------------------------------------------------------- minhash
+  /** MinHash LSH near-duplicate candidates, fully deterministic (md5-based
+    * hash family, so the DuckDB oracle reproduces signatures exactly):
+    * 3-token shingles → 16 minhashes → 8 bands of 2 → band-bucket
+    * equi-join → candidate pairs with exact shingle-set Jaccard attached.
+    */
+  val minhashN = 16
+  val minhashBands = 8 // of 2 rows each
+
+  /** Token 3-gram shingles per doc (docs with <3 tokens can't shingle). */
+  private def shingleTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(size(tokens) >= 3)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), size(tokens) - 3),
+          i => array_join(slice(tokens, i + 1, lit(3)), " ")).as("shingles"))
+
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingleTable(spark, dir)
+    val sigs = (0 until minhashN).map { j =>
+      array_min(transform(col("shingles"), s => md5(concat(lit(s"$j:"), s))))
+        .as(s"sig_$j")
+    }
+    val withSig = docs.select(col("doc_id") +: sigs: _*)
+    val bands = (0 until minhashBands).map { b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat_ws("|", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
+          .as("band_hash"))
+    }
+    // Narrow (doc_id, band_idx, band_hash) behind a shuffle barrier: the
+    // exchange materializes the 16 minhash transforms ONCE, and Spark's
+    // ReuseExchange makes both sides of the self-join read the same
+    // shuffle output instead of recomputing the signature pipeline twice
+    // (without it, ProjectCollapse inlines the md5 transforms into every
+    // band row on both join sides — ~30x slower at any scale).
+    val bandKeys = withSig
+      .select(col("doc_id"), explode(array(bands: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_hash").as("band_hash"))
+      .repartition(col("band_idx"), col("band_hash"))
+    val pairs = bandKeys.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(bandKeys.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    // Jaccard only for surviving candidates: two small joins against the
+    // shingle table (candidate count << corpus size by LSH design).
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(array_distinct(col("sh_a")), array_distinct(col("sh_b")))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val minhashPairsSql: String = {
+    val sigs = (0 until minhashN).map { j =>
+      s"list_aggregate(list_transform(shingles, s -> md5('$j:' || s)), 'min') AS sig_$j"
+    }.mkString(",\n    ")
+    val bands = (0 until minhashBands).map { b =>
+      s"({'band_idx': $b, 'band_hash': md5(sig_${2 * b} || '|' || sig_${2 * b + 1})})"
+    }.mkString(",\n    ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+       |), sh AS (
+       |  SELECT doc_id,
+       |    [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] AS shingles
+       |  FROM toks
+       |), sigs AS (
+       |  SELECT doc_id, shingles,
+       |    $sigs
+       |  FROM sh
+       |), banded AS (
+       |  SELECT doc_id, shingles, unnest([
+       |    $bands
+       |  ]) AS band
+       |  FROM sigs
+       |), flat AS (
+       |  SELECT doc_id, shingles, band.band_idx AS band_idx,
+       |         band.band_hash AS band_hash
+       |  FROM banded
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS DOUBLE) /
+       |    CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE) AS jaccard
+       |FROM flat a JOIN flat b
+       |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |  AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // -------------------------------------------------------------- simhash
+  /** 32-bit SimHash over whitespace tokens. Portable bit extraction: bit i
+    * of a token's hash = bit (3 - i%4) of hex digit i/4 of md5(token), so
+    * both engines derive identical bits from identical md5 hex strings.
+    * Majority rule: bit set iff 2*ones >= n_tokens (ties set).
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .withColumn("h8", substring(md5(col("tok")), 1, 8))
+    val bitSums = (0 until 32).map { i =>
+      sum(expr(s"((instr('0123456789abcdef', substring(h8, ${i / 4 + 1}, 1)) - 1) >> ${3 - i % 4}) & 1"))
+        .as(s"ones_$i")
+    }
+    val aggCols = count(lit(1)).as("n_tok") +: bitSums
+    val agg = docs.groupBy(col("doc_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val sim = (0 until 32).map { i =>
+      when(col(s"ones_$i") * 2 >= col("n_tok"), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash")).orderBy(col("doc_id"))
+  }
+
+  val simhashSql: String = {
+    val bitSums = (0 until 32).map { i =>
+      s"SUM(((instr('0123456789abcdef', substring(h8, ${i / 4 + 1}, 1)) - 1) >> ${3 - i % 4}) & 1) AS ones_$i"
+    }.mkString(",\n    ")
+    val sim = (0 until 32).map { i =>
+      s"(CASE WHEN ones_$i * 2 >= n_tok THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, substring(md5(t.tok), 1, 8) AS h8
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents) t
+       |), agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_tok,
+       |    $bitSums
+       |  FROM toks GROUP BY doc_id
+       |)
+       |SELECT doc_id, $sim AS simhash
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q08_text_stats" -> (textStats _),
+    "q09_language_id" -> (languageId _),
+    "q10_fingerprint" -> (fingerprint _),
+    "q11_exact_dedup" -> (exactDedup _),
+    "q12_minhash_pairs" -> (minhashPairs _),
+    "q13_simhash" -> (simhash _))
+
+  val oracle: Map[String, String] = Map(
+    "q08_text_stats" -> textStatsSql,
+    "q09_language_id" -> languageIdSql,
+    "q10_fingerprint" -> fingerprintSql,
+    "q11_exact_dedup" -> exactDedupSql,
+    "q12_minhash_pairs" -> minhashPairsSql,
+    "q13_simhash" -> simhashSql)
+}
