@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EventOps, PlayParse, Relational, TextOps, VectorOps}
+import graft.queries.{EventOps, MultimodalOps, PlayParse, Relational, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,8 @@ object SparkEntry {
       (PlayParse.queries, PlayParse.oracle),
       (TextOps.queries, TextOps.oracle),
       (VectorOps.queries, VectorOps.oracle),
-      (EventOps.queries, EventOps.oracle))
+      (EventOps.queries, EventOps.oracle),
+      (MultimodalOps.queries, MultimodalOps.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries for the multimodal plumbing and embedding
+  * near-duplicate detection (north star).
+  */
+object MultimodalOps {
+  /** Binary-column decode pipeline over document blobs. The DuckDB oracle
+    * mirrors the deterministic stub arithmetic from byte lengths (texts
+    * are ascii, so octet_length == length).
+    */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.decodeMeta(Multimodal.documentBlobs(spark, dir))
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id AS media_id,
+      |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  CASE (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]
+      |    WHEN 'image' THEN (CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END)
+      |    WHEN 'audio' THEN 'wav'
+      |    ELSE 'mp4' END AS format,
+      |  CAST(64 + (length(text) % 577) AS INT) AS width,
+      |  CAST(64 + ((length(text) * 31 + ascii(substring(text, 1, 1))) % 513) AS INT) AS height,
+      |  CASE WHEN (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] = 'video'
+      |       THEN CAST(length(text) % 24 + 1 AS INT) ELSE 1 END AS n_frames
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
+  /** Embedding near-duplicate detection, LSH-bucketed (scale path):
+    * collection = embeddings ∪ planted perturbed copies (+7 in quantized
+    * space — preserves every pairwise component comparison, so planted
+    * pairs land in the same bucket by construction). Bucket = 16 sign
+    * bits of component comparisons; candidates bucket-join (equi-join,
+    * shuffle on bucket — never O(N²)); verify exact quantized cosine
+    * >= 0.999.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val planted = base.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("q"), x => x + 7L).as("q"))
+    val all = base.unionByName(planted)
+    val bucket = (0 until 16).map { k =>
+      when(element_at(col("q"), 2 * k + 1) >= element_at(col("q"), 2 * k + 2), lit(1L << k))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val withBucket = all
+      .withColumn("bucket", bucket)
+      .withColumn("norm", sqrt(idot(col("q"), col("q")).cast("double")))
+      .repartition(col("bucket"))
+    val a = withBucket.select(col("bucket"), col("vec_id").as("id_a"),
+      col("q").as("qa"), col("norm").as("na"))
+    val b = withBucket.select(col("bucket"), col("vec_id").as("id_b"),
+      col("q").as("qb"), col("norm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", idot(col("qa"), col("qb")).cast("double") /
+        (col("na") * col("nb")))
+      .filter(col("cos") >= 0.999)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val embeddingNearDupSql: String = {
+    val bucketExpr = (0 until 16).map { k =>
+      s"(CASE WHEN qv[${2 * k + 1}] >= qv[${2 * k + 2}] THEN (CAST(1 AS BIGINT) << $k) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |), allv AS (
+       |  SELECT vec_id, qv FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 100000, list_transform(qv, x -> x + 7) FROM base
+       |), bucketed AS (
+       |  SELECT vec_id, qv, $bucketExpr AS bucket,
+       |    sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
+       |  FROM allv
+       |)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) AS DOUBLE) /
+       |    (a.nrm * b.nrm) AS cos
+       |FROM bucketed a JOIN bucketed b
+       |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) AS DOUBLE) /
+       |    (a.nrm * b.nrm) >= 0.999
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_multimodal_meta" -> (multimodalMeta _),
+    "q22_embedding_neardup" -> (embeddingNearDup _))
+
+  val oracle: Map[String, String] = Map(
+    "q21_multimodal_meta" -> multimodalMetaSql,
+    "q22_embedding_neardup" -> embeddingNearDupSql)
+}

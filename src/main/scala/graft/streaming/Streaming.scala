@@ -1,0 +1,143 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface (BASELINE.json `spark_approach`;
+  * SURVEY.md §2.9): the reference drains a Kafka topic as a batch and
+  * destroys it for progress tracking — here the same drain-and-stop
+  * semantics are Trigger.AvailableNow + checkpointed offsets, plus the
+  * event-time operators the reference lacks (watermarks, windows,
+  * streaming dedup, custom state).
+  *
+  * Every transform takes a DataFrame so the identical code runs over
+  * `readStream` (production) and a batch frame (tests/oracle twins).
+  */
+object Streaming {
+  /** Typed event row for stateful ops. */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Int, total_value: Double)
+
+  case class SessionState(startUs: Long, endUs: Long, n: Int, value: Double)
+
+  /** File-based streaming source over the events schema — the
+    * broker-free twin of the Kafka source (same frame shape downstream).
+    */
+  def fileEventSource(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file stream source needs a directory; stage the single-file
+    // fixture into one (testdata is read-only).
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val staged = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-events-${math.abs(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(staged)
+    val dst = staged.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(dst))
+      java.nio.file.Files.copy(src, dst)
+    val schema = spark.read.parquet(dst.toString).schema
+    spark.readStream.schema(schema).parquet(staged.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** D2: streaming dedup — exactly-one-row-per-key across micro-batches,
+    * state bounded by the watermark.
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Watermarked tumbling-window rollup — the streaming twin of
+    * EventOps.hourlyRollup (same expressions, append-mode safe).
+    */
+  def windowedRollup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"),
+        col("total_value"))
+
+  /** Event-time session windows via the built-in session_window (30-minute
+    * gap) — state-store backed, watermark-bounded.
+    */
+  def sessionWindowRollup(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("start"),
+        col("session_window.end").as("end"), col("n_events"), col("total_value"))
+
+  /** Custom stateful sessionization with flatMapGroupsWithState — the
+    * escape hatch for session semantics session_window can't express
+    * (here: emit a session when 30 min of event-time silence passes,
+    * tracked per user with explicit state + event-time timeout).
+    */
+  def statefulSessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stateEnc: org.apache.spark.sql.Encoder[SessionState] =
+      Encoders.product[SessionState]
+    implicit val outEnc: org.apache.spark.sql.Encoder[SessionOut] =
+      Encoders.product[SessionOut]
+    val gapUs = gapMinutes * 60L * 1000000L
+    // Timestamp.getTime is millis; keep the full microsecond precision the
+    // event-time column carries (batch twin uses unix_micros).
+    def micros(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.startUs, s.endUs, s.n, s.value))
+          } else {
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption.orNull
+            rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+              val us = micros(e.ts)
+              cur match {
+                case null =>
+                  cur = SessionState(us, us, 1, e.value)
+                case s if us - s.endUs > gapUs =>
+                  closed ::= SessionOut(userId, s.startUs, s.endUs, s.n, s.value)
+                  cur = SessionState(us, us, 1, e.value)
+                case s =>
+                  cur = SessionState(s.startUs, math.max(s.endUs, us), s.n + 1,
+                    s.value + e.value)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.endUs / 1000L + gapMinutes * 60L * 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Drain a streaming frame to an in-memory table and return the result —
+    * AvailableNow semantics, used by tests and local verification.
+    */
+  def drainToBatch(streamed: DataFrame, name: String,
+      outputMode: String = "append"): DataFrame = {
+    val q = streamed.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    streamed.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics over the events fixture: AvailableNow drain,
+  * watermarked windows, streaming dedup, session windows, custom state.
+  * Batch twins (EventOps) are the DuckDB-oracle-checked equivalents; here
+  * we assert the streaming results agree with the batch results.
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def streamEvents = Streaming.fileEventSource(spark, sf)
+  private def batchEvents = Tables.events(spark, sf)
+
+  test("windowed rollup: streaming emits a correct prefix of the batch result") {
+    val got = Streaming.drainToBatch(
+      Streaming.windowedRollup(streamEvents), "rollup_t")
+    val want = graft.queries.EventOps.hourlyRollup(spark, sf)
+    // append mode only emits watermark-closed windows: everything emitted
+    // must match the batch twin exactly; only trailing windows may be held
+    assert(got.exceptAll(want).count() == 0)
+    val slack = want.select("event_type").distinct().count() * 3
+    assert(got.count() >= want.count() - slack && got.count() > 0)
+  }
+
+  test("streaming dedup within watermark: one row per key") {
+    // duplicate the stream by unioning it with itself via two reads
+    val dup = streamEvents.union(streamEvents)
+    val got = Streaming.drainToBatch(
+      Streaming.dedupWithinWatermark(dup, Seq("event_id")), "dedup_t")
+    assert(got.count() == batchEvents.count())
+    assert(got.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("session_window rollup produces bounded sessions") {
+    val got = Streaming.drainToBatch(
+      Streaming.sessionWindowRollup(streamEvents), "sess_t")
+    assert(got.count() > 0)
+    // every session is at least one event and spans >= 0 time
+    assert(got.filter(col("n_events") < 1).count() == 0)
+    assert(got.filter(col("end") < col("start")).count() == 0)
+    // append mode holds watermark-open sessions; emitted ones cover most events
+    val emitted = got.agg(sum("n_events")).as[Long].collect()(0)
+    assert(emitted <= batchEvents.count() && emitted > batchEvents.count() / 2)
+  }
+
+  test("stateful sessionize (flatMapGroupsWithState) matches batch gaps-and-islands") {
+    val ev = batchEvents
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Streaming.Event]
+    // run the SAME code path in batch mode is not supported for
+    // flatMapGroupsWithState with EventTimeTimeout on batch; drive it as a
+    // real stream instead
+    val streamed = Streaming.fileEventSource(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Streaming.Event]
+    val got = Streaming.drainToBatch(
+      Streaming.statefulSessionize(streamed).toDF(), "state_sess_t")
+    // batch oracle: q19 sessionize (30-min gaps) — compare session counts
+    // for sessions the stream could close (all but each user's last open one)
+    val batch = graft.queries.EventOps.sessionize(spark, sf)
+    val gotN = got.count()
+    val batchN = batch.count()
+    val users = batchEvents.select("user_id").distinct().count()
+    // stream emits sessions closed by watermark/timeout; final sessions may
+    // stay open when the stream ends, so: batchN - users <= gotN <= batchN
+    assert(gotN >= batchN - users && gotN <= batchN,
+      s"got $gotN sessions, batch says $batchN over $users users")
+    // sessions that were emitted must exactly match a batch session
+    val match_ = got.join(batch,
+      got("user_id") === batch("user_id") &&
+        got("start_us") === batch("start_us") &&
+        got("end_us") === batch("end_us") &&
+        got("n_events") === batch("n_events"))
+    assert(match_.count() == gotN)
+  }
+}
