@@ -156,17 +156,18 @@ object TextOps {
         md5(concat_ws("|", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
           .as("band_hash"))
     }
-    // Narrow (doc_id, band_idx, band_hash) behind a shuffle barrier: the
-    // exchange materializes the 16 minhash transforms ONCE, and Spark's
-    // ReuseExchange makes both sides of the self-join read the same
-    // shuffle output instead of recomputing the signature pipeline twice
-    // (without it, ProjectCollapse inlines the md5 transforms into every
-    // band row on both join sides — ~30x slower at any scale).
+    // Persist the narrow (doc_id, band_idx, band_hash) table: both sides
+    // of the self-join then read the materialized band keys instead of
+    // recomputing the 16-minhash signature pipeline twice (ProjectCollapse
+    // would otherwise inline the md5 transforms into every band row on
+    // both join sides — ~5x slower here, arbitrarily worse at scale; a
+    // shuffle barrier alone doesn't survive Spark electing a broadcast
+    // join, which skips exchange reuse).
     val bandKeys = withSig
       .select(col("doc_id"), explode(array(bands: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx").as("band_idx"),
         col("band.band_hash").as("band_hash"))
-      .repartition(col("band_idx"), col("band_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = bandKeys.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
       .join(bandKeys.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b")),
         Seq("band_idx", "band_hash"))
