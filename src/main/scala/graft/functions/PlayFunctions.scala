@@ -104,4 +104,26 @@ object PlayFunctions {
 
   def loserScore(loser: Column, teamCol: Column, play: Column): Column =
     scoreFor(loser, teamCol, play)
+
+  /** Register every play function as a SQL-callable temp function
+    * (`SELECT play_quarter(play) …`). These are expression-tree rewrites,
+    * not UDFs — the registered functions inline into the plan and stay
+    * inside codegen exactly like the Column API.
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.registerExprFunction
+    def reg1(name: String, f: Column => Column): Unit =
+      registerExprFunction(spark, name, es => f(es.head))
+    def reg3(name: String, f: (Column, Column, Column) => Column): Unit =
+      registerExprFunction(spark, name, es => f(es(0), es(1), es(2)))
+    reg1("play_quarter", quarter)
+    reg1("play_time_remaining", timeRemaining)
+    reg1("play_shots_by", shotsBy)
+    reg1("play_outcome", outcome)
+    reg1("play_attempt", attempt)
+    reg1("play_distance", distance)
+    reg1("play_team", team)
+    reg3("play_winner_score", winnerScore)
+    reg3("play_loser_score", loserScore)
+  }
 }

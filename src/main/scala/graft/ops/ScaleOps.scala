@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale techniques as reusable operators: skew salting and bucketed
+  * co-located joins. These are the knobs a 100 TB deployment turns when
+  * AQE's automatic skew handling isn't enough or when a join key is
+  * reused across many queries.
+  */
+object ScaleOps {
+  /** Two-stage aggregation for skewed group keys. Stage 1 spreads each
+    * hot key over `buckets` salted sub-keys (shuffle 1 is balanced);
+    * stage 2 combines the per-salt partials (shuffle 2 moves only
+    * `buckets` rows per key). Works for any algebraic aggregate — the
+    * caller provides partial and final expressions.
+    *
+    * Example: salted count+sum
+    *   saltedAggregate(df, Seq(col("k")), 32,
+    *     partial = Seq(count(lit(1)).as("c"), sum(col("v")).as("s")),
+    *     fin     = Seq(sum(col("c")).as("n"), sum(col("s")).as("total")))
+    */
+  def saltedAggregate(df: DataFrame, keys: Seq[Column], buckets: Int,
+      partial: Seq[Column], fin: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val stage1 = salted.groupBy(keys :+ col("__salt"): _*)
+      .agg(partial.head, partial.tail: _*)
+    stage1.groupBy(keys: _*).agg(fin.head, fin.tail: _*)
+  }
+
+  /** Skew-proof equi-join of a large skewed frame against a small frame:
+    * the big side gets a deterministic-per-row salt, the small side is
+    * replicated once per salt value, and the join key becomes
+    * (key, salt) — hot keys spread over `buckets` tasks. Use when the
+    * small side is too big to broadcast but the key histogram is spiky.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      buckets: Int, joinType: String = "inner"): DataFrame = {
+    val bigSalted = big.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val smallExploded = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets - 1L))))
+    bigSalted.join(smallExploded, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
+
+  /** Bucketed table write: pre-shuffles once at write time so every
+    * later join/aggregate on `bucketCols` is exchange-free. The 100 TB
+    * pattern for dimension/fact co-location.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Range-partitioned write for sorted, pruned scans (e.g. by date). */
+  def writeRangePartitioned(df: DataFrame, path: String, n: Int,
+      rangeCols: Seq[Column]): Unit =
+    df.repartitionByRange(n, rangeCols: _*).write.mode("overwrite").parquet(path)
+}

@@ -1,0 +1,129 @@
+package graft
+
+import graft.functions.PlayFunctions
+import graft.merge.Merge
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.2): play-grammar parser
+  * totality/correctness over generated plays, merge idempotence, key
+  * uniqueness, union-by-name null-fill. Uses raw ScalaCheck generators
+  * with fixed seeds (scalatestplus bridge is not among the allowed deps).
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val teams = Vector("Boston", "Chicago", "Miami", "Utah", "Cleveland",
+    "LA Lakers", "New York", "San Antonio", "Golden State")
+  private val phraseGen = Gen.oneOf("leads", "trails", "now leads", "now trails",
+    "tied", "now tied")
+
+  private case class PlayCase(team: String, opp: String, phrase: String,
+      q: Int, min: Int, sec: Int, a: Int, b: Int, made: Boolean,
+      pts: Int, dist: Int, teamWon: Boolean)
+
+  private val playGen: Gen[PlayCase] = for {
+    ti <- Gen.choose(0, teams.size - 1)
+    dj <- Gen.choose(1, teams.size - 1) // winner==loser is degenerate: the
+                                        // score-side pick is ambiguous there
+    t = teams(ti); o = teams((ti + dj) % teams.size)
+    p <- phraseGen
+    q <- Gen.choose(1, 4); mi <- Gen.choose(0, 11); se <- Gen.choose(0, 59)
+    a <- Gen.choose(0, 150); b <- Gen.choose(0, 150)
+    made <- Gen.oneOf(true, false); pts <- Gen.choose(2, 3)
+    d <- Gen.choose(0, 30); w <- Gen.oneOf(true, false)
+  } yield PlayCase(t, o, p, q, mi, se, a, b, made, pts, d, w)
+
+  private def render(c: PlayCase): (String, String, String) = {
+    val suffix = Map(1 -> "st", 2 -> "nd", 3 -> "rd", 4 -> "th")(c.q)
+    val play = s"${c.q}$suffix Q, ${c.min}:%02d.0 remaining<br>".format(c.sec) +
+      s"First Last ${if (c.made) "made" else "missed"} ${c.pts}-pointer from ${c.dist} ft<br>" +
+      s"${c.team} ${c.phrase} ${c.a}-${c.b}"
+    val (winner, loser) = if (c.teamWon) (c.team, c.opp) else (c.opp, c.team)
+    (play, winner, loser)
+  }
+
+  test("parser matches grammar semantics on arbitrary generated plays") {
+    for (seed <- 1L to 5L) {
+      val cases = sample(Gen.listOfN(120, playGen), seed);
+      {
+        val rows = cases.map { c =>
+          val (play, w, l) = render(c)
+          (play, w, l, c)
+        }
+        val df = rows.map { case (p, w, l, _) => (p, w, l) }
+          .toDF("play", "winner", "loser")
+          .withColumn("quarter", PlayFunctions.quarter(col("play")))
+          .withColumn("outcome", PlayFunctions.outcome(col("play")))
+          .withColumn("attempt", PlayFunctions.attempt(col("play")))
+          .withColumn("distance", PlayFunctions.distance(col("play")))
+          .withColumn("team", PlayFunctions.team(col("play")))
+          .withColumn("ws", PlayFunctions.winnerScore(col("winner"), col("team"), col("play")))
+          .withColumn("ls", PlayFunctions.loserScore(col("loser"), col("team"), col("play")))
+        val got = df.collect()
+        got.zip(rows).foreach { case (r, (_, _, _, c)) =>
+          assert(r.getAs[String]("quarter") == c.q.toString)
+          assert(r.getAs[String]("outcome") == (if (c.made) "made" else "missed"))
+          assert(r.getAs[String]("attempt") == s"${c.pts}-pointer")
+          assert(r.getAs[String]("distance") == s"${c.dist}ft")
+          assert(r.getAs[String]("team") == c.team)
+          val (expW, expL) =
+            if (c.phrase.endsWith("tied")) (c.a.toString, c.a.toString)
+            else if (c.teamWon) (c.a.toString, c.b.toString)
+            else (c.b.toString, c.a.toString)
+          assert(r.getAs[String]("ws") == expW, s"case $c")
+          assert(r.getAs[String]("ls") == expL, s"case $c")
+        }
+      }
+    }
+  }
+
+  private val rowGen = for {
+    g <- Gen.choose(1, 30); t <- Gen.choose(0, 20); q <- Gen.choose(1, 4)
+    payload <- Gen.alphaStr.map(_.take(8))
+  } yield (s"g$g", s"$t:00.0", q.toString, payload)
+
+  test("merge: idempotent, unique keys, null-fill") {
+    for (seed <- 1L to 3L) {
+      val s = sample(Gen.listOfN(40, rowGen), seed)
+      val d = sample(Gen.listOfN(25, rowGen), seed + 100);
+      {
+        val season = s.toDF("game_id", "time_remaining", "quarter", "payload")
+        val delta = d.toDF("game_id", "time_remaining", "quarter", "payload")
+          .withColumn("batch_tag", lit("fresh"))
+        val m = Merge.mergeDeterministic(season, delta)
+        // unique keys
+        assert(m.groupBy("game_id", "time_remaining", "quarter").count()
+          .filter(col("count") > 1).count() == 0)
+        // idempotent: merging the delta again changes nothing
+        val m2 = Merge.mergeDeterministic(m, delta)
+        assert(m2.exceptAll(m).count() == 0 && m.exceptAll(m2).count() == 0)
+        // null-fill: season-only keys have null batch_tag
+        val seasonOnly = season.select("game_id", "time_remaining", "quarter")
+          .exceptAll(delta.select("game_id", "time_remaining", "quarter"))
+          .distinct().count()
+        assert(m.filter(col("batch_tag").isNull).count() == seasonOnly)
+      }
+    }
+  }
+
+  test("SQL-registered play functions match the Column API") {
+    PlayFunctions.registerSql(spark)
+    val play = "3rd Q, 7:15.0 remaining<br>Jayson Tatum made 3-pointer from 26 ft<br>Boston now leads 88-80"
+    Seq((play, "Boston", "Miami")).toDF("play", "winner", "loser")
+      .createOrReplaceTempView("plays_t")
+    val r = spark.sql(
+      """SELECT play_quarter(play) q, play_time_remaining(play) tr,
+        |  play_shots_by(play) sb, play_outcome(play) o, play_attempt(play) at,
+        |  play_distance(play) d, play_team(play) t,
+        |  play_winner_score(winner, play_team(play), play) ws,
+        |  play_loser_score(loser, play_team(play), play) ls
+        |FROM plays_t""".stripMargin).collect()(0)
+    assert(r.toSeq == Seq("3", "7:15.0", "Jayson Tatum", "made", "3-pointer",
+      "26ft", "Boston", "88", "80"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.ops.ScaleOps
+import org.apache.spark.sql.functions._
+
+/** Skew salting and bucketing: results must equal the unsalted plans;
+  * bucketed joins must be exchange-free.
+  */
+class ScaleOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // skewed frame: key 0 holds 90% of rows
+  private def skewed = (1 to 10000).map { i =>
+    (if (i % 10 == 0) i % 7 else 0L, i.toDouble)
+  }.toDF("k", "v")
+
+  test("saltedAggregate equals plain aggregate") {
+    val plain = skewed.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum($"v".cast("decimal(18,2)")).as("total"))
+    val salted = ScaleOps.saltedAggregate(skewed, Seq(col("k")), 16,
+      partial = Seq(count(lit(1)).as("c"), sum($"v".cast("decimal(18,2)")).as("s")),
+      fin = Seq(sum(col("c")).as("n"), sum(col("s")).as("total")))
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
+  }
+
+  test("saltedJoin equals plain join") {
+    val dim = (0L to 6L).map(k => (k, s"name_$k")).toDF("k", "name")
+    val plain = skewed.join(dim, Seq("k")).select("k", "v", "name")
+    val salted = ScaleOps.saltedJoin(skewed, dim, "k", 8).select("k", "v", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    ScaleOps.writeBucketed(li, "li_b", 4, Seq("l_orderkey"), Seq("l_orderkey"))
+    ScaleOps.writeBucketed(o, "o_b", 4, Seq("o_orderkey"), Seq("o_orderkey"))
+    val joined = spark.table("li_b")
+      .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    // and it still returns the right rows
+    assert(joined.count() ==
+      li.join(o, col("l_orderkey") === col("o_orderkey")).count())
+  }
+}
