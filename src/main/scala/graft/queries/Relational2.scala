@@ -1,0 +1,217 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced relational surface: rollup/grouping sets, set operations,
+  * semi/anti joins, as-of join, pivot, hamming-distance near-dup pairs,
+  * running windows (SURVEY.md §2.3/2.6/2.7 exposure + north star).
+  */
+object Relational2 {
+  import Exact._
+
+  /** ROLLUP over region/nation with grouping indicators. */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sumD(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        grouping(col("r_name")).as("g_region"),
+        grouping(col("n_name")).as("g_nation"))
+      .orderBy(col("g_region"), col("g_nation"), col("r_name"), col("n_name"))
+  }
+
+  val revenueRollupSql: String =
+    s"""SELECT r_name, n_name,
+       |  ${sumDSql("o_totalprice")} AS revenue,
+       |  COUNT(*) AS n_orders,
+       |  CAST(grouping(r_name) AS TINYINT) AS g_region,
+       |  CAST(grouping(n_name) AS TINYINT) AS g_nation
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP(r_name, n_name)
+       |ORDER BY g_region, g_nation, r_name, n_name""".stripMargin
+
+  /** INTERSECT / EXCEPT over customer activity windows, tagged + unioned. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def buyers(year: Int) = o
+      .filter(col("o_orderdate") >= to_timestamp(lit(s"$year-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit(s"${year + 1}-01-01")))
+      .select(col("o_custkey"))
+    val both = buyers(1996).intersect(buyers(1997))
+      .withColumn("tag", lit("both_years"))
+    val only96 = buyers(1996).except(buyers(1997))
+      .withColumn("tag", lit("only_1996"))
+    both.unionByName(only96).orderBy(col("tag"), col("o_custkey"))
+  }
+
+  val setOpsSql: String =
+    """WITH b96 AS (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |), b97 AS (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |)
+      |SELECT o_custkey, 'both_years' AS tag FROM (SELECT * FROM b96 INTERSECT SELECT * FROM b97)
+      |UNION ALL
+      |SELECT o_custkey, 'only_1996' AS tag FROM (SELECT * FROM b96 EXCEPT SELECT * FROM b97)
+      |ORDER BY tag, o_custkey""".stripMargin
+
+  /** Left-semi and left-anti joins, tagged + unioned. */
+  def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey")).withColumn("kind", lit("has_orders"))
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey")).withColumn("kind", lit("no_orders"))
+    semi.unionByName(anti).orderBy(col("kind"), col("c_custkey"))
+  }
+
+  val semiAntiSql: String =
+    """SELECT c_custkey, 'has_orders' AS kind FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT c_custkey, 'no_orders' AS kind FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY kind, c_custkey""".stripMargin
+
+  /** As-of join: each event matched to the user's latest order with
+    * o_orderdate <= ts. Orders are first deduped to one per
+    * (custkey, orderdate) so the as-of match is unique — DuckDB's ASOF
+    * JOIN picks an arbitrary row among equal keys otherwise.
+    *
+    * Plan shape: equi-join on the user key + range predicate, then a
+    * per-event max — Catalyst runs it as a hash join with filter. At
+    * 100 TB the same semantics come from repartition-by-key + sorted
+    * mapPartitions merge; the relational form is the correctness spec.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val joined = ev.join(o,
+      ev("user_id") === o("o_custkey") && o("o_orderdate") <= ev("ts"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("asof_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("asof_orderdate_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY o_custkey, o_orderdate
+      |), e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |)
+      |SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey,
+      |  epoch_us(o.o_orderdate) AS asof_orderdate_us
+      |FROM e ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
+  /** Pivot: per-user event counts by type (explicit value list keeps the
+    * output schema static, as a production pivot should).
+    */
+  val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0, eventTypes)
+      .withColumnsRenamed(eventTypes.map(t => t -> s"n_$t").toMap)
+      .orderBy(col("user_id"))
+
+  val pivotEventsSql: String = {
+    val cols = eventTypes.map { t =>
+      s"COUNT(*) FILTER (WHERE event_type = '$t') AS n_$t"
+    }.mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $cols
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  /** SimHash near-dup pairs by Hamming distance (<= 2 of 32 bits) — the
+    * bit-level companion to q12's MinHash. Self-join over the (small)
+    * signature table; at corpus scale the band trick from q12 applies to
+    * simhash chunks identically.
+    */
+  def simhashHammingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = TextOps.simhash(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("h_a"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("h_b"))
+    a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= 2)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val simhashHammingPairsSql: String =
+    s"""WITH sig AS (${TextOps.simhashSql.replace("ORDER BY doc_id", "")})
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Running revenue per customer (cumulative window, explicit frame). */
+  def runningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"),
+        sum(dec2(col("o_totalprice"))).over(w).cast("double").as("running_revenue"))
+      .orderBy(col("o_custkey"), col("order_us"), col("o_orderkey"))
+  }
+
+  val runningRevenueSql: String =
+    """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_us,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_revenue
+      |FROM orders
+      |ORDER BY o_custkey, order_us, o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_revenue_rollup" -> (revenueRollup _),
+    "q24_set_ops" -> (setOps _),
+    "q25_semi_anti" -> (semiAnti _),
+    "q26_asof_join" -> (asofJoin _),
+    "q27_pivot_events" -> (pivotEvents _),
+    "q28_simhash_hamming" -> (simhashHammingPairs _),
+    "q29_running_revenue" -> (runningRevenue _))
+
+  val oracle: Map[String, String] = Map(
+    "q23_revenue_rollup" -> revenueRollupSql,
+    "q24_set_ops" -> setOpsSql,
+    "q25_semi_anti" -> semiAntiSql,
+    "q26_asof_join" -> asofJoinSql,
+    "q27_pivot_events" -> pivotEventsSql,
+    "q28_simhash_hamming" -> simhashHammingPairsSql,
+    "q29_running_revenue" -> runningRevenueSql)
+}
