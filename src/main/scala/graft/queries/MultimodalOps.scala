@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorFunctions._
+import graft.functions.expressions.LongDotProduct.longDot
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -56,7 +57,7 @@ object MultimodalOps {
     }.reduce(_ + _)
     val withBucket = all
       .withColumn("bucket", bucket)
-      .withColumn("norm", sqrt(idot(col("q"), col("q")).cast("double")))
+      .withColumn("norm", sqrt(longDot("q", "q").cast("double")))
       .repartition(col("bucket"))
     val a = withBucket.select(col("bucket"), col("vec_id").as("id_a"),
       col("q").as("qa"), col("norm").as("na"))
@@ -64,7 +65,7 @@ object MultimodalOps {
       col("q").as("qb"), col("norm").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", idot(col("qa"), col("qb")).cast("double") /
+      .withColumn("cos", longDot("qa", "qb").cast("double") /
         (col("na") * col("nb")))
       .filter(col("cos") >= 0.999)
       .select(col("id_a"), col("id_b"), col("cos"))

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorFunctions._
+import graft.functions.expressions.LongDotProduct.longDot
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -28,12 +29,12 @@ object VectorOps {
     // a single fold per pair instead of three.
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
-      .withColumn("norm", sqrt(idot(col("q"), col("q")).cast("double")))
+      .withColumn("norm", sqrt(longDot("q", "q").cast("double")))
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("norm").as("pnorm"))
     val cands = emb.select(col("vec_id").as("cand_id"), col("q").as("cq"), col("norm").as("cnorm"))
     val scored = cands.join(broadcast(probes), col("cand_id") =!= col("probe_id"))
-      .withColumn("cos", idot(col("pq"), col("cq")).cast("double") /
+      .withColumn("cos", longDot("pq", "cq").cast("double") /
         (col("pnorm") * col("cnorm")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id"))
@@ -96,7 +97,7 @@ object VectorOps {
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
-      .withColumn("norm", sqrt(idot(col("q"), col("q")).cast("double")))
+      .withColumn("norm", sqrt(longDot("q", "q").cast("double")))
     // centroid table: label -> quantized centroid (built from the data)
     val cents = Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(quantize(col("embedding"))).as(Seq("pos", "qval")))
@@ -122,7 +123,7 @@ object VectorOps {
         col("q").as("cq"), col("norm").as("cnorm"))
       .join(broadcast(probeCells), Seq("cell"))
       .filter(col("cand_id") =!= col("probe_id"))
-      .withColumn("cos", idot(col("pq"), col("cq")).cast("double") /
+      .withColumn("cos", longDot("pq", "cq").cast("double") /
         (col("pnorm") * col("cnorm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)

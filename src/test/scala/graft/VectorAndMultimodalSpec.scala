@@ -24,6 +24,33 @@ class VectorAndMultimodalSpec extends SparkTestBase {
     assert(math.abs(got - 1.0) < 1e-12)
   }
 
+  test("LongDotProduct expression: matches the fold, null-safe, codegen'd") {
+    import graft.functions.expressions.LongDotProduct.longDot
+    val df = Seq(
+      (Array(2L, 3L, 5L), Array(7L, 11L, 13L)),
+      (Array(1L, -4L, 0L), Array(-2L, 8L, 99L))
+    ).toDF("a", "b")
+    val got = df.select(longDot("a", "b")).as[Long].collect().toSeq
+    assert(got == Seq(2 * 7 + 3 * 11 + 5 * 13L, -2 - 32 + 0L))
+    // fold-equivalence
+    val fold = df.select(VectorFunctions.idot(col("a"), col("b"))).as[Long].collect().toSeq
+    assert(got == fold)
+    // null input → null output
+    val withNull = Seq((Some(Array(1L, 2L)), Option.empty[Array[Long]]))
+      .toDF("a", "b")
+    assert(withNull.select(longDot("a", "b")).collect()(0).isNullAt(0))
+    // expression survives whole-stage codegen (no fallback): a local Seq
+    // constant-folds to LocalTableScan, so use a range source
+    val ranged = spark.range(100)
+      .select(array($"id", $"id" + 1).as("a"), array($"id" * 2, $"id" * 3).as("b"))
+      .select(longDot("a", "b").as("d"))
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen span
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [long_dot_product"), plan)
+    assert(ranged.as[Long].collect().take(2).toSeq ==
+      Seq(0L * 0 + 1 * 0, 1 * 2 + 2 * 3L))
+  }
+
   test("CentroidAggregator: avg of vectors per group, merge-safe") {
     val agg = new VectorFunctions.CentroidAggregator(2)
     val ds = Seq(
