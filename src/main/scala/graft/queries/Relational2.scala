@@ -197,7 +197,20 @@ object Relational2 {
       |FROM orders
       |ORDER BY o_custkey, order_us, o_orderkey""".stripMargin
 
+  /** Monthly revenue rollup — date truncation + formatting parity. */
+  def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+      .agg(sumD(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("month"))
+
+  val monthlyRevenueSql: String =
+    s"""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       |  ${sumDSql("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+       |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_monthly_revenue" -> (monthlyRevenue _),
     "q23_revenue_rollup" -> (revenueRollup _),
     "q24_set_ops" -> (setOps _),
     "q25_semi_anti" -> (semiAnti _),
@@ -207,6 +220,7 @@ object Relational2 {
     "q29_running_revenue" -> (runningRevenue _))
 
   val oracle: Map[String, String] = Map(
+    "q30_monthly_revenue" -> monthlyRevenueSql,
     "q23_revenue_rollup" -> revenueRollupSql,
     "q24_set_ops" -> setOpsSql,
     "q25_semi_anti" -> semiAntiSql,

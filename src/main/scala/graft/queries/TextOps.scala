@@ -265,7 +265,54 @@ object TextOps {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------- keywords
+  /** TF-IDF keyword extraction, top-3 per document. Deterministic
+    * scoring without logs: score = tf * N / df (integer numerator is
+    * exact; one double division both engines share), ties broken on the
+    * token. Two shuffles: (doc, token) aggregation and the token
+    * document-frequency join — the standard inverted-index build shape.
+    */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(tokens).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("tok")).crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("tok").as("keyword"), col("rank"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val tfidfKeywordsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+      |), dfreq AS (
+      |  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+      |    CAST(tf.tf * (SELECT COUNT(*) FROM documents) AS DOUBLE)
+      |      / CAST(dfreq.df AS DOUBLE) AS score
+      |  FROM tf JOIN dfreq ON tf.tok = dfreq.tok
+      |), ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                               ORDER BY score DESC, tok) AS rank
+      |  FROM scored
+      |)
+      |SELECT doc_id, tok AS keyword, rank, score
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_tfidf_keywords" -> (tfidfKeywords _),
     "q08_text_stats" -> (textStats _),
     "q09_language_id" -> (languageId _),
     "q10_fingerprint" -> (fingerprint _),
@@ -274,6 +321,7 @@ object TextOps {
     "q13_simhash" -> (simhash _))
 
   val oracle: Map[String, String] = Map(
+    "q31_tfidf_keywords" -> tfidfKeywordsSql,
     "q08_text_stats" -> textStatsSql,
     "q09_language_id" -> languageIdSql,
     "q10_fingerprint" -> fingerprintSql,
