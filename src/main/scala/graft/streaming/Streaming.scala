@@ -128,6 +128,48 @@ object Streaming {
       }
   }
 
+  /** Streaming upsert sink: the reference's merge job (season ∪ delta →
+    * one row per key) as a foreachBatch sink, i.e. continuous ingestion
+    * straight into the maintained dataset instead of a separate batch
+    * merge pass. Each micro-batch: read current season parquet → merge
+    * deterministically (delta wins) → atomically republish. Exactly-once
+    * end-to-end: the checkpoint replays unacked batches and the merge is
+    * idempotent by key.
+    *
+    * Scale note: for true 100 TB seasons this same hook swaps the
+    * read/rewrite for a storage-layer MERGE INTO (Delta/Iceberg); the
+    * dataflow and idempotence contract stay identical.
+    */
+  def upsertSink(delta: DataFrame, seasonPath: String, checkpoint: String,
+      keys: Seq[String] = graft.merge.Merge.dedupKeys): Unit = {
+    val q = delta.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(seasonPath), spark.sparkContext.hadoopConfiguration)
+        val cur = new org.apache.hadoop.fs.Path(seasonPath)
+        val merged =
+          if (fs.exists(cur)) {
+            val season = spark.read.parquet(seasonPath)
+            graft.merge.Merge.mergeDeterministic(season, batch.toDF(), keys)
+          } else batch.toDF()
+        // write-new-then-swap keeps the season readable mid-publish
+        val tmp = new org.apache.hadoop.fs.Path(seasonPath + ".next")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        val bak = new org.apache.hadoop.fs.Path(seasonPath + ".old")
+        if (fs.exists(bak)) fs.delete(bak, true)
+        if (fs.exists(cur)) fs.rename(cur, bak)
+        fs.rename(tmp, cur)
+        if (fs.exists(bak)) fs.delete(bak, true)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain a streaming frame to an in-memory table and return the result —
     * AvailableNow semantics, used by tests and local verification.
     */

@@ -46,6 +46,27 @@ class StreamingSpec extends SparkTestBase {
     assert(emitted <= batchEvents.count() && emitted > batchEvents.count() / 2)
   }
 
+  test("foreachBatch upsert sink: stream merges into the season dataset") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val season = s"$dir/season"
+    // seed season with a subset (keyed by event_id for this fixture)
+    batchEvents.filter($"event_id" < 100)
+      .withColumn("src_tag", lit("seed"))
+      .write.parquet(season)
+    val delta = streamEvents.withColumn("src_tag", lit("delta"))
+    Streaming.upsertSink(delta, season, s"$dir/ckpt", keys = Seq("event_id"))
+    val merged = spark.read.parquet(season)
+    assert(merged.count() == batchEvents.count())
+    assert(merged.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+    // delta wins on overlapping keys
+    assert(merged.filter($"event_id" < 100 && $"src_tag" === "delta").count() == 100)
+    // re-running the same drained stream is a no-op (checkpoint + idempotence)
+    Streaming.upsertSink(
+      Streaming.fileEventSource(spark, sf).withColumn("src_tag", lit("delta2")),
+      season, s"$dir/ckpt", keys = Seq("event_id"))
+    assert(spark.read.parquet(season).filter($"src_tag" === "delta2").count() == 0)
+  }
+
   test("stateful sessionize (flatMapGroupsWithState) matches batch gaps-and-islands") {
     val ev = batchEvents
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
