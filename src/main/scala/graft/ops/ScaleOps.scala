@@ -62,4 +62,28 @@ object ScaleOps {
   def writeRangePartitioned(df: DataFrame, path: String, n: Int,
       rangeCols: Seq[Column]): Unit =
     df.repartitionByRange(n, rangeCols: _*).write.mode("overwrite").parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(bytes / targetBytes) files. Streaming sinks and per-batch
+    * writers accrete small files that tax scan planning and the
+    * NameNode/object store; periodic compaction is table maintenance 101
+    * at 100 TB. Atomic via write-next-then-swap.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(path + ".old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    fs.rename(p, bak)
+    fs.rename(tmp, p)
+    fs.delete(bak, true)
+    nFiles
+  }
 }

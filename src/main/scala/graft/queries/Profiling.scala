@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling, exact-moment statistics, sketches, and snapshot
+  * diffing (CDC for the "updating datasets" theme).
+  */
+object Profiling {
+  import Exact._
+
+  /** Sketch-based profile: HLL++ distinct counts and approximate
+    * quantiles. No portable oracle exists (DuckDB's approx algorithms
+    * differ), so this is a rows-only query by design — the exact twins
+    * are q20/q33/q35.
+    */
+  def sketchProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_median_qty"),
+        percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.75)), lit(10000)).as("approx_price_quartiles"))
+      .orderBy(col("l_returnflag"))
+
+  /** Exact second moments: variance, stddev, and correlation computed
+    * from decimal sums (order-independent), combined in double with the
+    * identical IEEE expression on both engines. Built-in var_samp/corr
+    * use streaming partial aggregation whose fp order varies run to run —
+    * this formulation is the deterministic equivalent.
+    */
+  def statsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def d(c: Column): Column = c.cast("double")
+    val g = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(dec2(col("l_quantity"))).as("sx"),
+      sum(dec2(col("l_quantity")) * dec2(col("l_quantity"))).as("sxx"),
+      sum(dec2(col("l_extendedprice"))).as("sy"),
+      sum(dec2(col("l_extendedprice")) * dec2(col("l_extendedprice"))).as("syy"),
+      sum(dec2(col("l_quantity")) * dec2(col("l_extendedprice"))).as("sxy"))
+    val n = d(col("n"))
+    val vx = (n * d(col("sxx")) - d(col("sx")) * d(col("sx"))) / (n * (n - 1))
+    val vy = (n * d(col("syy")) - d(col("sy")) * d(col("sy"))) / (n * (n - 1))
+    val cov = (n * d(col("sxy")) - d(col("sx")) * d(col("sy"))) / (n * (n - 1))
+    val corr = (n * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+      (sqrt(n * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+        sqrt(n * d(col("syy")) - d(col("sy")) * d(col("sy"))))
+    g.select(col("l_returnflag"), col("n"),
+      vx.as("var_qty"), sqrt(vx).as("stddev_qty"),
+      vy.as("var_price"), cov.as("cov_qty_price"), corr.as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val statsMomentsSql: String = {
+    val sx = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+    val sxx = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+    val sy = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+    val syy = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+    val sxy = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+    s"""WITH g AS (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |    $sx AS sx, $sxx AS sxx, $sy AS sy, $syy AS syy, $sxy AS sxy
+       |  FROM lineitem GROUP BY l_returnflag
+       |)
+       |SELECT l_returnflag, n,
+       |  (CAST(n AS DOUBLE)*sxx - sx*sx) / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1)) AS var_qty,
+       |  sqrt((CAST(n AS DOUBLE)*sxx - sx*sx) / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1))) AS stddev_qty,
+       |  (CAST(n AS DOUBLE)*syy - sy*sy) / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1)) AS var_price,
+       |  (CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1)) AS cov_qty_price,
+       |  (CAST(n AS DOUBLE)*sxy - sx*sy) /
+       |    (sqrt(CAST(n AS DOUBLE)*sxx - sx*sx) * sqrt(CAST(n AS DOUBLE)*syy - sy*sy)) AS corr_qty_price
+       |FROM g ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** Snapshot diff (CDC): added / removed / changed rows between two
+    * dataset versions, via full-outer join on the key. The core primitive
+    * for incrementally maintaining a 100 TB dataset: downstream consumers
+    * get a delta stream instead of re-reading the snapshot.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val v1 = o.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey").as("key"), dec2(col("o_totalprice")).as("old_price"))
+    val v2 = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("key"),
+        when(col("o_orderkey") % 3 === 0, dec2(col("o_totalprice")) + lit(10).cast("decimal(18,2)"))
+          .otherwise(dec2(col("o_totalprice"))).as("new_price"))
+    v1.join(v2, Seq("key"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_price").isNull, "added")
+          .when(col("new_price").isNull, "removed")
+          .when(col("old_price") =!= col("new_price"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("change_type") =!= "unchanged")
+      .select(col("key"), col("change_type"),
+        col("old_price").cast("double").as("old_price"),
+        col("new_price").cast("double").as("new_price"))
+      .orderBy(col("key"))
+  }
+
+  val snapshotDiffSql: String =
+    """WITH v1 AS (
+      |  SELECT o_orderkey AS key, CAST(o_totalprice AS DECIMAL(18,2)) AS old_price
+      |  FROM orders WHERE o_orderkey % 5 <> 0
+      |), v2 AS (
+      |  SELECT o_orderkey AS key,
+      |    CASE WHEN o_orderkey % 3 = 0
+      |         THEN CAST(o_totalprice AS DECIMAL(18,2)) + CAST(10 AS DECIMAL(18,2))
+      |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS new_price
+      |  FROM orders WHERE o_orderkey % 7 <> 0
+      |), d AS (
+      |  SELECT coalesce(v1.key, v2.key) AS key, old_price, new_price,
+      |    CASE WHEN old_price IS NULL THEN 'added'
+      |         WHEN new_price IS NULL THEN 'removed'
+      |         WHEN old_price <> new_price THEN 'changed'
+      |         ELSE 'unchanged' END AS change_type
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.key = v2.key
+      |)
+      |SELECT key, change_type, CAST(old_price AS DOUBLE) AS old_price,
+      |       CAST(new_price AS DOUBLE) AS new_price
+      |FROM d WHERE change_type <> 'unchanged'
+      |ORDER BY key""".stripMargin
+
+  /** Exact interpolated quantiles (sort-based `percentile`) — both
+    * engines use pos = p*(n-1) linear interpolation on the same doubles.
+    */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("p75_price"))
+      .orderBy(col("l_returnflag"))
+
+  val quantilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
+      |  quantile_cont(l_extendedprice, 0.75) AS p75_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_sketch_profile" -> (sketchProfile _),
+    "q33_stats_moments" -> (statsMoments _),
+    "q34_snapshot_diff" -> (snapshotDiff _),
+    "q35_quantiles" -> (quantiles _))
+
+  val oracle: Map[String, String] = Map(
+    "q33_stats_moments" -> statsMomentsSql,
+    "q34_snapshot_diff" -> snapshotDiffSql,
+    "q35_quantiles" -> quantilesSql)
+}

@@ -31,6 +31,20 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(salted.exceptAll(plain).count() == 0)
   }
 
+  test("compact: many small files -> few files, same rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = (1 to 5000).map(i => (i.toLong, s"row_$i")).toDF("id", "payload")
+    df.repartition(64).write.parquet(dir) // 64 tiny files
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before >= 32)
+    val n = ScaleOps.compact(spark, dir, targetBytes = 1L << 20)
+    val after = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after == n && after < before / 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 5000)
+    assert(back.agg(sum("id")).head().getLong(0) == 5000L * 5001 / 2)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
