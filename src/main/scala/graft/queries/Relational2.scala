@@ -105,13 +105,16 @@ object Relational2 {
       .agg(max(col("o_orderkey")).as("o_orderkey"))
     val joined = ev.join(o,
       ev("user_id") === o("o_custkey") && o("o_orderdate") <= ev("ts"))
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    joined.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // latest-prior pick as max(struct(date, key)): a hash aggregate with
+    // map-side partial combine — the row_number window alternative sorts
+    // the full joined set per event (10M+ intermediate rows at sf0.1),
+    // this collapses it during the shuffle. Lexicographic struct max is
+    // deterministic because (custkey, date) is unique after the dedup.
+    joined.groupBy(col("event_id"), col("user_id"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
       .select(col("event_id"), col("user_id"),
-        col("o_orderkey").as("asof_orderkey"),
-        unix_micros(col("o_orderdate").cast("timestamp")).as("asof_orderdate_us"))
+        col("m.o_orderkey").as("asof_orderkey"),
+        unix_micros(col("m.o_orderdate").cast("timestamp")).as("asof_orderdate_us"))
       .orderBy(col("event_id"))
   }
 

@@ -45,6 +45,23 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(back.agg(sum("id")).head().getLong(0) == 5000L * 5001 / 2)
   }
 
+  test("hive-partitioned write prunes partitions at scan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString + "/t"
+    Tables.orders(spark, sf)
+      .withColumn("order_month",
+        date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.partitionBy("order_month").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("order_month") === "1997-01")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // partition filter present and no pushed data-filter needed
+    assert(plan.contains("PartitionFilters: [isnotnull(order_month"), plan)
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    assert(pruned.count() ==
+      Tables.orders(spark, sf)
+        .filter(date_format(col("o_orderdate"), "yyyy-MM") === "1997-01").count())
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
