@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions must make long_dot_product SQL-callable in a session
+  * built with the extensions installed. Builds a sibling session over the
+  * (possibly shared) SparkContext — never stops it, other suites reuse it.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  test("long_dot_product injected via SparkSessionExtensions") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .withExtensions(new GraftExtensions)
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val r = spark.sql(
+        "SELECT long_dot_product(array(2L, 3L), array(5L, 7L)) AS d")
+        .collect()(0).getLong(0)
+      assert(r == 31L)
+      // config-string route resolves the same class
+      assert(new GraftExtensions().isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
