@@ -20,6 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("long_dot_product"),
       new ExpressionInfo(classOf[LongDotProduct].getName, "long_dot_product"),
-      (children: Seq[Expression]) => LongDotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        if (children.size != 2)
+          throw new IllegalArgumentException(
+            s"long_dot_product requires exactly 2 arguments, got ${children.size}")
+        LongDotProduct(children(0), children(1))
+      }))
   }
 }

@@ -53,7 +53,9 @@ object PlayFunctions {
   def outcome(play: Column): Column =
     regexp_extract(seg(play, 1), "made|missed", 0)
 
-  /** F6: "[0-9]-pointer" from the shot segment
+  /** F6: "[0-9]-pointer" from the shot segment. The trailing `?` binds to
+    * the single character 'r' — "[0-9]-pointe" would also match. That
+    * quirk is the reference's own pattern, replicated verbatim
     * (reference spark_processing.py:152-153). */
   def attempt(play: Column): Column =
     regexp_extract(seg(play, 1), "[0-9]-pointer?", 0)

@@ -19,7 +19,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * one place in the engine where a custom `Expression` with `doGenCode`
   * is justified (SURVEY.md §4 preference ladder: compose built-ins →
   * custom Expression → custom operator). Semantics are identical to the
-  * fold: null if either side is null, sequential accumulation.
+  * fold: null if either side is null OR the lengths differ (zip_with
+  * null-pads the shorter array, poisoning the fold), sequential
+  * accumulation otherwise.
   */
 case class LongDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -36,17 +38,22 @@ case class LongDotProduct(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "long_dot_product"
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
-    var acc = 0L
-    var i = 0
-    while (i < n) {
-      acc += xs.getLong(i) * ys.getLong(i)
-      i += 1
+    if (xs.numElements() != ys.numElements()) null
+    else {
+      val n = xs.numElements()
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        acc += xs.getLong(i) * ys.getLong(i)
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -55,12 +62,16 @@ case class LongDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -38,13 +38,18 @@ object Merge {
       .dropDuplicates(dedupKeys)
 
   /** Deterministic upsert upgrade: newest source wins, reproducible under
-    * retries and shuffle-order changes. `sourcePriority` 0 beats 1.
+    * retries and shuffle-order changes. `__src` 0 (delta) beats 1
+    * (season); duplicate keys WITHIN a source are tie-broken by the
+    * remaining columns lexicographically, so the winner never depends on
+    * shuffle order.
     */
   def mergeDeterministic(season: DataFrame, delta: DataFrame,
       keys: Seq[String] = dedupKeys): DataFrame = {
     val tagged = season.withColumn("__src", lit(1))
       .unionByName(delta.withColumn("__src", lit(0)), allowMissingColumns = true)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__src"))
+    val tieBreak = tagged.columns.filterNot((keys :+ "__src").contains).sorted
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__src") +: tieBreak.map(col): _*)
     tagged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "__src")

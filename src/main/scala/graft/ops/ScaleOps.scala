@@ -37,6 +37,13 @@ object ScaleOps {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       buckets: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit each unmatched small-side row once per
+    // salt replica — only join types that never null-pad the small side
+    // are sound under replication.
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched " +
+        "small-side rows across salt replicas; use inner/left/semi/anti")
     val bigSalted = big.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
     val smallExploded = small.withColumn("__salt",
@@ -67,19 +74,28 @@ object ScaleOps {
     * ceil(bytes / targetBytes) files. Streaming sinks and per-batch
     * writers accrete small files that tax scan planning and the
     * NameNode/object store; periodic compaction is table maintenance 101
-    * at 100 TB. Atomic via write-next-then-swap.
+    * at 100 TB.
+    *
+    * Swap discipline (single-writer, rename-based FS): a complete copy
+    * always exists on disk — `.old` is only deleted after the new data is
+    * in place, and a crashed run is recovered from `.old` on the next
+    * call. Readers racing the two renames can briefly see a missing
+    * path; with a transactional table format (Delta/Iceberg) this becomes
+    * a metadata swap.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long = 128L << 20): Int = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri,
       spark.sparkContext.hadoopConfiguration)
+    val bak = new org.apache.hadoop.fs.Path(path + ".old")
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    if (!fs.exists(p) && fs.exists(bak)) fs.rename(bak, p) // crash recovery
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
     spark.read.parquet(path).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    val bak = new org.apache.hadoop.fs.Path(path + ".old")
     if (fs.exists(bak)) fs.delete(bak, true)
     fs.rename(p, bak)
     fs.rename(tmp, p)

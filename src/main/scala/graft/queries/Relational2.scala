@@ -159,6 +159,8 @@ object Relational2 {
     * simhash chunks identically.
     */
   def simhashHammingPairs(spark: SparkSession, dir: String): DataFrame = {
+    // persist: self-join reads stored signatures once; CacheManager
+    // dedupes by canonicalized plan so repeats reuse one bounded entry
     val sig = TextOps.simhash(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("h_a"))

@@ -157,12 +157,15 @@ object TextOps {
           .as("band_hash"))
     }
     // Persist the narrow (doc_id, band_idx, band_hash) table: both sides
-    // of the self-join then read the materialized band keys instead of
+    // of the self-join read the materialized band keys instead of
     // recomputing the 16-minhash signature pipeline twice (ProjectCollapse
     // would otherwise inline the md5 transforms into every band row on
     // both join sides — ~5x slower here, arbitrarily worse at scale; a
     // shuffle barrier alone doesn't survive Spark electing a broadcast
-    // join, which skips exchange reuse).
+    // join, which skips exchange reuse). Storage is bounded: CacheManager
+    // keys entries by canonicalized plan, so repeated invocations reuse
+    // one entry per distinct input dir, and MEMORY_AND_DISK evicts under
+    // pressure.
     val bandKeys = withSig
       .select(col("doc_id"), explode(array(bands: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx").as("band_idx"),

@@ -34,13 +34,15 @@ object Streaming {
     // The file stream source needs a directory; stage the single-file
     // fixture into one (testdata is read-only).
     val src = java.nio.file.Paths.get(dir, "events.parquet")
+    // stage dir keyed by the full sanitized path (no hash collisions) and
+    // always refreshed, so a regenerated fixture is never streamed stale
     val staged = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      s"graft-events-${math.abs(dir.hashCode)}")
+      "graft-events-" + dir.replaceAll("[^A-Za-z0-9.-]", "_"))
     java.nio.file.Files.createDirectories(staged)
     val dst = staged.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(dst))
-      java.nio.file.Files.copy(src, dst)
+    java.nio.file.Files.copy(src, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val schema = spark.read.parquet(dst.toString).schema
     spark.readStream.schema(schema).parquet(staged.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -150,15 +152,21 @@ object Streaming {
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(seasonPath), spark.sparkContext.hadoopConfiguration)
         val cur = new org.apache.hadoop.fs.Path(seasonPath)
+        val bak = new org.apache.hadoop.fs.Path(seasonPath + ".old")
+        val tmp = new org.apache.hadoop.fs.Path(seasonPath + ".next")
+        // Crash recovery (single-writer): a previous run may have died
+        // between the two renames below, leaving the season only in .old.
+        // Restore it BEFORE reading, and never delete .old until the new
+        // season is in place — so some complete copy always exists.
+        if (!fs.exists(cur) && fs.exists(bak)) fs.rename(bak, cur)
+        if (fs.exists(tmp)) fs.delete(tmp, true) // stale partial write
         val merged =
           if (fs.exists(cur)) {
             val season = spark.read.parquet(seasonPath)
             graft.merge.Merge.mergeDeterministic(season, batch.toDF(), keys)
           } else batch.toDF()
-        // write-new-then-swap keeps the season readable mid-publish
-        val tmp = new org.apache.hadoop.fs.Path(seasonPath + ".next")
+        // write-new-then-swap keeps a complete season readable throughout
         merged.write.mode("overwrite").parquet(tmp.toString)
-        val bak = new org.apache.hadoop.fs.Path(seasonPath + ".old")
         if (fs.exists(bak)) fs.delete(bak, true)
         if (fs.exists(cur)) fs.rename(cur, bak)
         fs.rename(tmp, cur)

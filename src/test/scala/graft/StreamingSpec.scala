@@ -67,6 +67,22 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(season).filter($"src_tag" === "delta2").count() == 0)
   }
 
+  test("upsert sink recovers a season stranded in .old by a crash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    val season = s"$dir/season"
+    // simulate dying between the two swap renames: season exists ONLY as .old
+    batchEvents.filter($"event_id" < 50).withColumn("src_tag", lit("seed"))
+      .write.parquet(season + ".old")
+    Streaming.upsertSink(
+      streamEvents.withColumn("src_tag", lit("delta")),
+      season, s"$dir/ckpt", keys = Seq("event_id"))
+    val merged = spark.read.parquet(season)
+    // the .old seed survived the crash and merged with the delta
+    assert(merged.count() == batchEvents.count())
+    assert(merged.filter($"src_tag" === "delta").count() == batchEvents.count())
+    assert(!new java.io.File(season + ".old").exists())
+  }
+
   test("stateful sessionize (flatMapGroupsWithState) matches batch gaps-and-islands") {
     val ev = batchEvents
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")

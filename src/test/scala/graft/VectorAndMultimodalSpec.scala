@@ -39,6 +39,13 @@ class VectorAndMultimodalSpec extends SparkTestBase {
     val withNull = Seq((Some(Array(1L, 2L)), Option.empty[Array[Long]]))
       .toDF("a", "b")
     assert(withNull.select(longDot("a", "b")).collect()(0).isNullAt(0))
+    // ragged arrays → null, matching the zip_with fold (null-padding
+    // poisons the fold); corrupt embeddings flag instead of silently
+    // truncating
+    val ragged = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
+    assert(ragged.select(longDot("a", "b")).collect()(0).isNullAt(0))
+    assert(ragged.select(VectorFunctions.idot(col("a"), col("b")))
+      .collect()(0).isNullAt(0))
     // expression survives whole-stage codegen (no fallback): a local Seq
     // constant-folds to LocalTableScan, so use a range source
     val ranged = spark.range(100)
