@@ -34,7 +34,10 @@ object Profiling {
     */
   def statsMoments(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    def d(c: Column): Column = c.cast("double")
+    // decimal -> string -> double: both engines parse strings with
+    // correctly-rounded strtod, whereas native decimal->double casts can
+    // disagree by 1 ulp once sums exceed ~2^53 (seen at 10x scale)
+    def d(c: Column): Column = c.cast("string").cast("double")
     val g = li.groupBy(col("l_returnflag")).agg(
       count(lit(1)).as("n"),
       sum(dec2(col("l_quantity"))).as("sx"),
@@ -56,11 +59,11 @@ object Profiling {
   }
 
   val statsMomentsSql: String = {
-    val sx = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
-    val sxx = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
-    val sy = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
-    val syy = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
-    val sxy = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+    val sx = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+    val sxx = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+    val sy = "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+    val syy = "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+    val sxy = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
     s"""WITH g AS (
        |  SELECT l_returnflag, COUNT(*) AS n,
        |    $sx AS sx, $sxx AS sxx, $sy AS sy, $syy AS syy, $sxy AS sxy

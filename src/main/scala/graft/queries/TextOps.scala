@@ -268,6 +268,50 @@ object TextOps {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------- winnowing
+  /** Winnowing document fingerprints (the MOSS scheme): all k-gram
+    * rolling hashes, then the minimum of each w-hash window, deduplicated
+    * — a position-robust fingerprint set for near-dup detection.
+    * Spark side computes hashes with the O(n) codegen'd
+    * [[graft.functions.expressions.RabinKarpHashes]]; the oracle
+    * recomputes every k-gram naively (mod-congruent values), so the
+    * hash-compare also proves the rolling recurrence correct.
+    */
+  val winnowK = 8
+  val winnowW = 4
+
+  def winnowingFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.RabinKarpHashes.rollingHashes
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= winnowK + winnowW - 1)
+      .select(col("doc_id"), rollingHashes("text", winnowK).as("h"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("h")) - winnowW + 1),
+          i => array_min(slice(col("h"), i, lit(winnowW)))))).as("fp"))
+      .orderBy(col("doc_id"), col("fp"))
+  }
+
+  val winnowingFingerprintsSql: String = {
+    val terms = (0 until winnowK).map { j =>
+      val pow = BigInt(131).pow(winnowK - 1 - j)
+      // CAST: DuckDB int literals/ascii() are INT32 and the products overflow
+      s"CAST(ascii(text[i+$j:i+$j]) AS BIGINT) * CAST($pow AS BIGINT)"
+    }.mkString(" + ")
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    [($terms) % 1000000007 for i in range(1, length(text) - ${winnowK - 2})] AS hs
+       |  FROM documents WHERE length(text) >= ${winnowK + winnowW - 1}
+       |), wins AS (
+       |  SELECT doc_id,
+       |    list_distinct([list_min(hs[i:i+${winnowW - 1}])
+       |                   for i in range(1, len(hs) - ${winnowW - 2})]) AS fps
+       |  FROM h
+       |)
+       |SELECT doc_id, unnest(fps) AS fp
+       |FROM wins ORDER BY doc_id, fp""".stripMargin
+  }
+
   // ---------------------------------------------------------- keywords
   /** TF-IDF keyword extraction, top-3 per document. Deterministic
     * scoring without logs: score = tf * N / df (integer numerator is
@@ -315,6 +359,7 @@ object TextOps {
       |ORDER BY doc_id, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_winnowing_fp" -> (winnowingFingerprints _),
     "q31_tfidf_keywords" -> (tfidfKeywords _),
     "q08_text_stats" -> (textStats _),
     "q09_language_id" -> (languageId _),
@@ -324,6 +369,7 @@ object TextOps {
     "q13_simhash" -> (simhash _))
 
   val oracle: Map[String, String] = Map(
+    "q36_winnowing_fp" -> winnowingFingerprintsSql,
     "q31_tfidf_keywords" -> tfidfKeywordsSql,
     "q08_text_stats" -> textStatsSql,
     "q09_language_id" -> languageIdSql,

@@ -58,6 +58,29 @@ class VectorAndMultimodalSpec extends SparkTestBase {
       Seq(0L * 0 + 1 * 0, 1 * 2 + 2 * 3L))
   }
 
+  test("RabinKarpHashes: rolling recurrence equals naive polynomial, codegen'd") {
+    import graft.functions.expressions.RabinKarpHashes.rollingHashes
+    val k = 8
+    val df = Seq("the quick brown fox jumps", "short", "exactly8").toDF("text")
+    val got = df.select(rollingHashes("text", k)).as[Seq[Long]].collect()
+    // naive O(n*k) twin in pure Scala
+    def naive(s: String): Seq[Long] = {
+      val b = s.getBytes("UTF-8").map(_ & 0xffL)
+      if (b.length < k) Seq.empty
+      else (0 to b.length - k).map { i =>
+        (0 until k).foldLeft(0L)((h, j) => (h * 131 + b(i + j)) % 1000000007L)
+      }
+    }
+    assert(got(0) == naive("the quick brown fox jumps"))
+    assert(got(1).isEmpty) // shorter than k
+    assert(got(2) == naive("exactly8") && got(2).size == 1)
+    // stays inside whole-stage codegen
+    val ranged = spark.range(50).select(concat(lit("prefix_"), $"id".cast("string")).as("text"))
+      .select(rollingHashes("text", k).as("h"))
+    assert(ranged.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    assert(ranged.count() == 50)
+  }
+
   test("CentroidAggregator: avg of vectors per group, merge-safe") {
     val agg = new VectorFunctions.CentroidAggregator(2)
     val ds = Seq(
