@@ -88,46 +88,20 @@ object VectorOps {
       |FROM e GROUP BY label, pos
       |ORDER BY label, pos""".stripMargin
 
-  /** IVF-style ANN (scale path, rows-only check — not SQL-expressible as
-    * a single oracle): coarse-quantize the collection to the label
-    * centroids, probe only the nearest `nprobe` cells. Demonstrates the
-    * two-stage ANN shape: cell assignment (broadcast centroids) then
-    * in-cell brute force.
+  /** IVF ANN (scale path, rows-only check — KMeans assignments aren't
+    * SQL-oracle-reproducible): seeded KMeans coarse quantizer + in-cell
+    * brute force via graft.similarity.Similarity. Measured at 100k
+    * vectors / 1000 probes: 20 s one-time index build + ~1 s per 1000
+    * probes vs 166 s brute force, 100% top-1 recall on planted
+    * near-duplicates (see BUILD_NOTES).
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
-      .withColumn("norm", sqrt(longDot("q", "q").cast("double")))
-    // centroid table: label -> quantized centroid (built from the data)
-    val cents = Tables.embeddings(spark, dir)
-      .select(col("label"), posexplode(quantize(col("embedding"))).as(Seq("pos", "qval")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("qval")).cast("long").as("cq"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cq")))).as("pairs"))
-      .select(col("label").as("cell"), transform(col("pairs"), p => p("cq")).as("centroid"))
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val index = graft.similarity.Similarity.buildIvfIndex(emb, k = 10)
     val probes = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("norm").as("pnorm"))
-    // stage 1: nearest 3 cells per probe (broadcast centroids)
-    val cellRank = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cell_cos").desc, col("cell"))
-    val probeCells = probes.join(broadcast(cents), lit(true))
-      .withColumn("cell_cos", cosineQuantized(col("pq"), col("centroid")))
-      .withColumn("crank", row_number().over(cellRank))
-      .filter(col("crank") <= 3)
-      .select(col("probe_id"), col("pq"), col("pnorm"), col("cell"))
-    // stage 2: brute force within selected cells only
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    emb.select(col("label").as("cell"), col("vec_id").as("cand_id"),
-        col("q").as("cq"), col("norm").as("cnorm"))
-      .join(broadcast(probeCells), Seq("cell"))
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    graft.similarity.Similarity.annSearch(index, probes, nprobe = 3, topK = 5)
       .filter(col("cand_id") =!= col("probe_id"))
-      .withColumn("cos", longDot("pq", "cq").cast("double") /
-        (col("pnorm") * col("cnorm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("probe_id"), col("cand_id"), col("rank"), col("cos"))
       .orderBy(col("probe_id"), col("rank"))
   }
 
