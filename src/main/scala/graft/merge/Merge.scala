@@ -47,9 +47,17 @@ object Merge {
       keys: Seq[String] = dedupKeys): DataFrame = {
     val tagged = season.withColumn("__src", lit(1))
       .unionByName(delta.withColumn("__src", lit(0)), allowMissingColumns = true)
-    val tieBreak = tagged.columns.filterNot((keys :+ "__src").contains).sorted
+    // tie-break only on orderable columns — a map-typed payload column
+    // would fail Window.orderBy analysis (maps are unorderable); frames
+    // whose non-key columns are all unorderable degrade to __src-only
+    // ordering (arbitrary within-source winner, as the reference had)
+    val orderable = tagged.schema.fields
+      .filterNot(f => (keys :+ "__src").contains(f.name))
+      .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+      .map(_.name).sorted
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__src") +: tieBreak.map(col): _*)
+      .orderBy(col("__src") +: orderable.map(col): _*)
     tagged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "__src")

@@ -41,7 +41,8 @@ object ScaleOps {
     // salt replica — only join types that never null-pad the small side
     // are sound under replication.
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
-      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      "leftsemi", "semi", "left_anti", "leftanti", "anti")
+      .contains(joinType.toLowerCase),
       s"saltedJoin: joinType '$joinType' would duplicate unmatched " +
         "small-side rows across salt replicas; use inner/left/semi/anti")
     val bigSalted = big.withColumn("__salt",

@@ -100,9 +100,15 @@ object VectorOps {
     val index = graft.similarity.Similarity.buildIvfIndex(emb, k = 10)
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding"))
-    graft.similarity.Similarity.annSearch(index, probes, nprobe = 3, topK = 5)
-      .filter(col("cand_id") =!= col("probe_id"))
+    // self-match excluded BEFORE ranking so all topK slots hold real
+    // neighbours; materialize the (tiny) result so the index cache can
+    // be released before returning
+    val res = graft.similarity.Similarity
+      .annSearch(index, probes, nprobe = 3, topK = 5, excludeSelf = true)
       .orderBy(col("probe_id"), col("rank"))
+      .localCheckpoint()
+    index.cells.unpersist()
+    res
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

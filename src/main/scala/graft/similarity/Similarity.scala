@@ -54,10 +54,13 @@ object Similarity {
   }
 
   /** Top-k cosine neighbours for probes (probe_id, embedding), searching
-    * `nprobe` cells per probe.
+    * `nprobe` cells per probe. With `excludeSelf` the candidate whose
+    * vec_id equals the probe_id is dropped BEFORE ranking (for probes
+    * drawn from the indexed collection — otherwise the self-match
+    * consumes a top-k slot at cos 1.0).
     */
   def annSearch(index: IvfIndex, probes: DataFrame, nprobe: Int = 3,
-      topK: Int = 5): DataFrame = {
+      topK: Int = 5, excludeSelf: Boolean = false): DataFrame = {
     val p = probes
       .select(col("probe_id"), quantize(col("embedding")).as("pq"))
       .withColumn("pnorm", sqrt(longDot("pq", "pq").cast("double")))
@@ -71,10 +74,11 @@ object Similarity {
       .select(col("probe_id"), col("pq"), col("pnorm"), col("cell"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id"))
-    index.cells
+    val cands = index.cells
       .select(col("cell"), col("vec_id").as("cand_id"), col("q").as("cq2"),
         col("norm").as("cnorm2"))
       .join(broadcast(probeCells), Seq("cell"))
+    (if (excludeSelf) cands.filter(col("cand_id") =!= col("probe_id")) else cands)
       .withColumn("cos", longDot("pq", "cq2").cast("double") /
         (col("pnorm") * col("cnorm2")))
       .withColumn("rank", row_number().over(w))

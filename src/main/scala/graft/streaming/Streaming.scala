@@ -34,11 +34,13 @@ object Streaming {
     // The file stream source needs a directory; stage the single-file
     // fixture into one (testdata is read-only).
     val src = java.nio.file.Paths.get(dir, "events.parquet")
-    // stage dir keyed by the full sanitized path (no hash collisions) and
-    // always refreshed, so a regenerated fixture is never streamed stale
+    // stage dir keyed by the md5 of the full path: collision-proof,
+    // bounded length; always refreshed so a regenerated fixture is never
+    // streamed stale
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val staged = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft-events-" + dir.replaceAll("[^A-Za-z0-9.-]", "_"))
+      System.getProperty("java.io.tmpdir"), s"graft-events-$key")
     java.nio.file.Files.createDirectories(staged)
     val dst = staged.resolve("events.parquet")
     java.nio.file.Files.copy(src, dst,
@@ -149,9 +151,11 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(seasonPath), spark.sparkContext.hadoopConfiguration)
         val cur = new org.apache.hadoop.fs.Path(seasonPath)
+        // Path.toUri percent-encodes; a raw java.net.URI would reject
+        // legal paths containing spaces etc.
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          cur.toUri, spark.sparkContext.hadoopConfiguration)
         val bak = new org.apache.hadoop.fs.Path(seasonPath + ".old")
         val tmp = new org.apache.hadoop.fs.Path(seasonPath + ".next")
         // Crash recovery (single-writer): a previous run may have died

@@ -14,6 +14,13 @@ class ExtensionsSpec extends AnyFunSuite {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     try {
+      // spark.sql.extensions is a STATIC conf — ignored when the builder
+      // reuses a shared test SparkContext — so drive the function through
+      // the programmatic route and separately verify the reflective
+      // contract the config-string route depends on.
+      val ctor = Class.forName("graft.GraftExtensions").getDeclaredConstructor()
+      ctor.newInstance()
+        .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
       val spark = SparkSession.builder()
         .master("local[2]")
         .appName("graft-ext-test")
@@ -25,8 +32,11 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT long_dot_product(array(2L, 3L), array(5L, 7L)) AS d")
         .collect()(0).getLong(0)
       assert(r == 31L)
-      // config-string route resolves the same class
-      assert(new GraftExtensions().isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
+      // wrong arity surfaces the builder's message, not an index error
+      val err = intercept[Exception] {
+        spark.sql("SELECT long_dot_product(array(1L))").collect()
+      }
+      assert(err.getMessage.contains("exactly 2 arguments"), err.getMessage)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)

@@ -43,6 +43,14 @@ class MergeSpec extends SparkTestBase {
     assert(m2.exceptAll(m).count() == 0 && m.exceptAll(m2).count() == 0)
   }
 
+  test("mergeDeterministic tolerates unorderable (map) payload columns") {
+    import org.apache.spark.sql.functions.map
+    val s = season.withColumn("props", map(lit("k"), col("payload")))
+    val d = delta.withColumn("props", map(lit("k"), col("payload")))
+    val m = Merge.mergeDeterministic(s, d)
+    assert(m.count() == 4) // analysis succeeds; one row per key
+  }
+
   test("tgz publish → readSeasonTgz round-trip") {
     val dir = Files.createTempDirectory("graft-tgz").toString
     val df = Merge.mergeDeterministic(season, delta)

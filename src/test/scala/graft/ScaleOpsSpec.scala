@@ -55,8 +55,6 @@ class ScaleOpsSpec extends SparkTestBase {
     val plan = pruned.queryExecution.executedPlan.toString
     // partition filter present and no pushed data-filter needed
     assert(plan.contains("PartitionFilters: [isnotnull(order_month"), plan)
-    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
-      .head.toString
     assert(pruned.count() ==
       Tables.orders(spark, sf)
         .filter(date_format(col("o_orderdate"), "yyyy-MM") === "1997-01").count())
