@@ -214,7 +214,59 @@ object Relational2 {
        |  ${sumDSql("o_totalprice")} AS revenue, COUNT(*) AS n_orders
        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
 
+  /** CUBE over orderstatus × orderpriority — the full grouping-sets
+    * lattice (rollup's 4 sets become cube's 4 combinations here).
+    */
+  def statusPriorityCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sumD(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        grouping(col("o_orderstatus")).as("g_status"),
+        grouping(col("o_orderpriority")).as("g_priority"))
+      .orderBy(col("g_status"), col("g_priority"),
+        col("o_orderstatus"), col("o_orderpriority"))
+
+  val statusPriorityCubeSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |  ${sumDSql("o_totalprice")} AS revenue,
+       |  COUNT(*) AS n_orders,
+       |  CAST(grouping(o_orderstatus) AS TINYINT) AS g_status,
+       |  CAST(grouping(o_orderpriority) AS TINYINT) AS g_priority
+       |FROM orders
+       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin
+
+  /** Edit-distance verification of the MinHash near-dup candidates:
+    * levenshtein over normalized 64-char prefixes (bounded cost — full
+    * O(m·n) edit distance on long documents is the thing LSH exists to
+    * avoid; candidates only, never all pairs).
+    */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 64).as("prefix"))
+    TextOps.minhashPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("prefix").as("pa")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("prefix").as("pb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).as("prefix_edit_distance"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val editDistancePairsSql: String =
+    s"""WITH pairs AS (${TextOps.minhashPairsSql.replace("ORDER BY doc_a, doc_b", "")}),
+       |p AS (SELECT doc_id, substring(text, 1, 64) AS prefix FROM documents)
+       |SELECT pairs.doc_a, pairs.doc_b,
+       |  levenshtein(pa.prefix, pb.prefix) AS prefix_edit_distance
+       |FROM pairs
+       |JOIN p pa ON pairs.doc_a = pa.doc_id
+       |JOIN p pb ON pairs.doc_b = pb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_status_cube" -> (statusPriorityCube _),
+    "q38_edit_distance" -> (editDistancePairs _),
     "q30_monthly_revenue" -> (monthlyRevenue _),
     "q23_revenue_rollup" -> (revenueRollup _),
     "q24_set_ops" -> (setOps _),
@@ -225,6 +277,8 @@ object Relational2 {
     "q29_running_revenue" -> (runningRevenue _))
 
   val oracle: Map[String, String] = Map(
+    "q37_status_cube" -> statusPriorityCubeSql,
+    "q38_edit_distance" -> editDistancePairsSql,
     "q30_monthly_revenue" -> monthlyRevenueSql,
     "q23_revenue_rollup" -> revenueRollupSql,
     "q24_set_ops" -> setOpsSql,
