@@ -66,6 +66,28 @@ object Ingest {
       .withColumn("loser_score", PF.loserScore(col("loser"), col("team"), col("play")))
   }
 
+  /** Typed normalization layer (SURVEY.md §1.2): the reference keeps
+    * everything StringType end-to-end; this additive layer derives typed
+    * twins — int coordinates/scores, a real DateType game date, and the
+    * clock as seconds remaining — without touching the legacy all-string
+    * columns, so the reference-shaped CSV output stays producible from
+    * the same frame.
+    */
+  def typedLayer(df: DataFrame): DataFrame =
+    df
+      .withColumn("x_i", col("x").cast("int"))
+      .withColumn("y_i", col("y").cast("int"))
+      .withColumn("winner_score_i", col("winner_score").cast("int"))
+      .withColumn("loser_score_i", col("loser_score").cast("int"))
+      .withColumn("quarter_i", col("quarter").cast("int"))
+      .withColumn("game_date",
+        make_date(col("year").cast("int"), col("month").cast("int"),
+          col("day").cast("int")))
+      // "M:SS.f" → seconds remaining (double); null-safe on dirty rows
+      .withColumn("seconds_remaining",
+        get(split(col("time_remaining"), ":"), lit(0)).cast("double") * 60 +
+          get(split(col("time_remaining"), ":"), lit(1)).cast("double"))
+
   /** S4: headered CSV sink, overwrite (spark_processing.py:258). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)

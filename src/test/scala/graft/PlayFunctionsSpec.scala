@@ -118,6 +118,28 @@ class PlayFunctionsSpec extends SparkTestBase {
     assert(r2.isNullAt(r2.fieldIndex("winner_score")))
   }
 
+  test("typed layer: typed twins added, legacy string columns untouched") {
+    val json = """{"game_id":"g1","year":"2025","month":"01","day":"15",
+      |"winner":"Cleveland","loser":"LA Lakers","x":"118","y":"167",
+      |"play":"PLAY"}""".stripMargin.replace("\n", "")
+      .replace("PLAY", play("LA Lakers", "trails"))
+    val out = Ingest.typedLayer(
+      Ingest.transform(Seq(("k", json)).toDF("key", "value"))).collect()(0)
+    assert(out.getAs[Int]("x_i") == 118 && out.getAs[Int]("y_i") == 167)
+    assert(out.getAs[Int]("winner_score_i") == 15)
+    assert(out.getAs[Int]("quarter_i") == 1)
+    assert(out.getAs[java.sql.Date]("game_date").toString == "2025-01-15")
+    assert(out.getAs[Double]("seconds_remaining") == 11 * 60 + 30.0)
+    // legacy shape preserved
+    assert(out.getAs[String]("x") == "118")
+    assert(out.getAs[String]("time_remaining") == "11:30.0")
+    // dirty rows: nulls, not failures
+    val dirty = Ingest.typedLayer(
+      Ingest.transform(Seq(("k", "{not json")).toDF("key", "value"))).collect()(0)
+    assert(dirty.isNullAt(dirty.fieldIndex("seconds_remaining")))
+    assert(dirty.isNullAt(dirty.fieldIndex("game_date")))
+  }
+
   test("ingest transform: malformed JSON → null struct fields (PERMISSIVE)") {
     val env = Seq(("k1", "{not json")).toDF("key", "value")
     val out = Ingest.transform(env).select("game_id", "play").collect()(0)
