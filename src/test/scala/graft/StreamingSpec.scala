@@ -67,6 +67,37 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(season).filter($"src_tag" === "delta2").count() == 0)
   }
 
+  test("event-time timeout fires across micro-batches (watermark advancement)") {
+    // user 1 goes silent after batch 1; user 2's later events advance the
+    // watermark in batches 2-3, which must evict and emit user 1's
+    // session via GroupStateTimeout.EventTimeTimeout — the path a
+    // single-batch drain never takes.
+    val dir = java.nio.file.Files.createTempDirectory("graft-mb").toString
+    def ev(id: Long, user: Long, minute: Long) = Streaming.Event(
+      id, java.sql.Timestamp.valueOf(s"2024-01-01 ${"%02d".format(minute / 60)}:${"%02d".format(minute % 60)}:00"),
+      user, "click", 1.0)
+    val batches = Seq(
+      Seq(ev(1, 1, 0), ev(2, 1, 5), ev(3, 2, 10)),          // A active
+      Seq(ev(4, 2, 120)),                                    // watermark → 90m
+      Seq(ev(5, 2, 240)))                                    // watermark → 210m
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.toDS().toDF().coalesce(1).write.parquet(s"$dir/in/b$i")
+      Thread.sleep(1100) // distinct modification times → stable file order
+    }
+    val streamed = spark.readStream
+      .schema(Seq(ev(0, 0, 0)).toDS().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in/*")
+      .as[Streaming.Event]
+    val got = Streaming.drainToBatch(
+      Streaming.statefulSessionize(streamed).toDF(), "mb_sessions")
+    // user 1's 2-event session (0..5min) emitted despite no closing event
+    val u1 = got.filter($"user_id" === 1).collect()
+    assert(u1.length == 1, got.collect().mkString(";"))
+    assert(u1(0).getAs[Int]("n_events") == 2)
+    assert(u1(0).getAs[Long]("end_us") - u1(0).getAs[Long]("start_us") == 5L * 60 * 1000000)
+  }
+
   test("upsert sink recovers a season stranded in .old by a crash") {
     val dir = java.nio.file.Files.createTempDirectory("graft-crash").toString
     val season = s"$dir/season"
