@@ -66,6 +66,21 @@ object Ingest {
       .withColumn("loser_score", PF.loserScore(col("loser"), col("team"), col("play")))
   }
 
+  /** Single-pass data-quality metrics via the Observation API: malformed
+    * JSON and unparseable plays are counted during whatever action the
+    * caller runs — no second scan of a 100 TB input. Read the counters
+    * from the returned Observation after the action completes.
+    */
+  def observedTransform(envelope: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("ingest_quality")
+    val out = transform(envelope).observe(obs,
+      count(lit(1)).as("rows_total"),
+      count(when(col("game_id").isNull, 1)).as("rows_malformed_json"),
+      count(when(col("game_id").isNotNull && col("team").isNull, 1))
+        .as("rows_unparseable_play"))
+    (out, obs)
+  }
+
   /** Typed normalization layer (SURVEY.md §1.2): the reference keeps
     * everything StringType end-to-end; this additive layer derives typed
     * twins — int coordinates/scores, a real DateType game date, and the

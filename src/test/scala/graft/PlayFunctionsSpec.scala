@@ -140,6 +140,22 @@ class PlayFunctionsSpec extends SparkTestBase {
     assert(dirty.isNullAt(dirty.fieldIndex("game_date")))
   }
 
+  test("observedTransform counts malformed/unparseable rows in one pass") {
+    val good = """{"game_id":"g1","year":"2025","month":"01","day":"15",
+      |"winner":"Boston","loser":"Miami","x":"1","y":"2","play":"PLAY"}"""
+      .stripMargin.replace("\n", "").replace("PLAY", play("Boston", "leads"))
+    val dirtyPlay = good.replace(play("Boston", "leads"), "no segments here")
+    val env = Seq(("k1", good), ("k2", "{not json"), ("k3", dirtyPlay))
+      .toDF("key", "value")
+    val (out, obs) = Ingest.observedTransform(env)
+    out.write.mode("overwrite")
+      .parquet(java.nio.file.Files.createTempDirectory("graft-obs").toString + "/out")
+    val m = obs.get
+    assert(m("rows_total") == 3L)
+    assert(m("rows_malformed_json") == 1L)
+    assert(m("rows_unparseable_play") == 1L)
+  }
+
   test("ingest transform: malformed JSON → null struct fields (PERMISSIVE)") {
     val env = Seq(("k1", "{not json")).toDF("key", "value")
     val out = Ingest.transform(env).select("game_id", "play").collect()(0)
