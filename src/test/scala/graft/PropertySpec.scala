@@ -111,6 +111,58 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("winnowing fingerprints are stable under small edits (the near-dup invariant)") {
+    import graft.functions.expressions.RabinKarpHashes.rollingHashes
+    import org.apache.spark.sql.functions._
+    val words = Vector("data", "spark", "merge", "query", "row", "join",
+      "batch", "table", "scan", "key")
+    val textGen = Gen.listOfN(60, Gen.choose(0, words.size - 1))
+      .map(_.map(words).mkString(" "))
+    def fps(texts: Seq[String]) = {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), rollingHashes("text", 8).as("h"))
+        .select(col("doc_id"), array_distinct(transform(
+          sequence(lit(1), size(col("h")) - 3),
+          i => array_min(slice(col("h"), i, lit(4))))).as("fp"))
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    }
+    for (seed <- 1L to 3L) {
+      val texts = sample(Gen.listOfN(10, textGen), seed)
+      val edited = texts.map(_ + " appended")
+      val a = fps(texts)
+      val b = fps(edited)
+      for (i <- texts.indices) {
+        val (fa, fb) = (a(i.toLong), b(i.toLong))
+        val overlap = fa.intersect(fb).size.toDouble / fa.size
+        // a suffix edit only disturbs fingerprints near the edit point
+        assert(overlap >= 0.8, s"seed=$seed doc=$i overlap=$overlap")
+      }
+      // and distinct documents rarely share fingerprint sets wholesale
+      val cross = a(0L).intersect(a(1L)).size.toDouble / a(0L).size
+      assert(cross < 1.0)
+    }
+  }
+
+  test("quantized cosine is symmetric and bounded") {
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.functions.col
+    val vecGen = Gen.listOfN(16, Gen.choose(-1000000, 1000000))
+      .map(_.map(_.toFloat / 1000000f).toArray)
+    for (seed <- 1L to 3L) {
+      val pairs = sample(Gen.listOfN(20, Gen.zip(vecGen, vecGen)), seed)
+      val df = pairs.toDF("a", "b")
+      val got = df.select(
+        cosineQuantized(quantize(col("a")), quantize(col("b"))).as("ab"),
+        cosineQuantized(quantize(col("b")), quantize(col("a"))).as("ba"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getDouble(0) == r.getDouble(1)) // exact symmetry
+        assert(r.getDouble(0) >= -1.0000001 && r.getDouble(0) <= 1.0000001)
+      }
+    }
+  }
+
   test("SQL-registered play functions match the Column API") {
     PlayFunctions.registerSql(spark)
     val play = "3rd Q, 7:15.0 remaining<br>Jayson Tatum made 3-pointer from 26 ft<br>Boston now leads 88-80"
