@@ -77,8 +77,10 @@ object EventOps {
        |                 THEN 1 ELSE 0 END AS is_new
        |  FROM ev
        |), sess AS (
-       |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  -- CAST: DuckDB SUM(int) is HUGEINT, which pandas renders float64;
+       |  -- the driver's hash compare is int-vs-float sensitive.
+       |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
        |  FROM flagged
        |)
        |SELECT user_id, session_id, min(us) AS start_us, max(us) AS end_us,

@@ -13,7 +13,9 @@ object Profiling {
   /** Sketch-based profile: HLL++ distinct counts and approximate
     * quantiles. No portable oracle exists (DuckDB's approx algorithms
     * differ), so this is a rows-only query by design — the exact twins
-    * are q20/q33/q35.
+    * are q20/q33/q35. Output is all-scalar: the driver's comparator
+    * sorts every column even for rows-only queries, and array cells
+    * break that sort.
     */
   def sketchProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -23,7 +25,11 @@ object Profiling {
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_median_qty"),
         percentile_approx(col("l_extendedprice"),
-          array(lit(0.25), lit(0.75)), lit(10000)).as("approx_price_quartiles"))
+          array(lit(0.25), lit(0.75)), lit(10000)).as("pq"))
+      .select(col("l_returnflag"), col("approx_orders"), col("approx_parts"),
+        col("approx_median_qty"),
+        col("pq").getItem(0).as("approx_p25_price"),
+        col("pq").getItem(1).as("approx_p75_price"))
       .orderBy(col("l_returnflag"))
 
   /** Exact second moments: variance, stddev, and correlation computed

@@ -55,10 +55,27 @@ def main():
             print(f"FAIL {name}: error {e}")
             n_fail += 1
             continue
+        # Driver-parity dtype check: the driver hashes pandas frames, and
+        # int-vs-float divergence (e.g. DuckDB HUGEINT -> float64 vs Spark
+        # int64) fails its hash even when values compare equal. Integer
+        # width differences (int32 vs int64) are fine.
+        kinds = []
+        for side, res in (("mine", mine), ("want", want)):
+            df = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+                if side == "mine" else sql).df()
+            kinds.append({c: df[c].dtype.kind for c in df.columns})
+        dtype_bad = [c for c in kinds[0]
+                     if c in kinds[1] and
+                     {kinds[0][c], kinds[1][c]} == {"i", "f"}]
         a, b = canon(mine_rows, mine_cols), canon(want_rows, want_cols)
-        if a == b:
+        if a == b and not dtype_bad:
             print(f"PASS {name} ({len(mine_rows)} rows)")
             n_pass += 1
+        elif dtype_bad:
+            n_fail += 1
+            print(f"FAIL {name}: int-vs-float dtype divergence on {dtype_bad} "
+                  f"({ {c: (kinds[0][c], kinds[1][c]) for c in dtype_bad} })")
         else:
             n_fail += 1
             if a[0] != b[0]:
@@ -69,6 +86,22 @@ def main():
                   f"{len(diffs)} differing rows; first 3:")
             for x, y in diffs[:3]:
                 print(f"  mine: {x}\n  want: {y}")
+    # Rows-only queries (no oracle SQL) still get sorted+hashed by the
+    # driver; a non-scalar cell (list/array) crashes pandas sort_values.
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d) or name in oracle:
+            continue
+        try:
+            df = con.execute(
+                f"SELECT * FROM read_parquet('{d}/*.parquet')").df()
+            df.sort_values(by=list(df.columns))
+            print(f"PASS {name} (rows-only, {len(df)} rows, sortable)")
+            n_pass += 1
+        except Exception as e:
+            print(f"FAIL {name}: rows-only output not driver-sortable: {e}")
+            n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
