@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EventOps, MultimodalOps, PlayParse, Profiling, Relational, Relational2, TextOps, VectorOps}
+import graft.queries.{EventOps, MultimodalOps, PipelineOps, PlayParse, Profiling, Relational, Relational2, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,8 @@ object SparkEntry {
       (EventOps.queries, EventOps.oracle),
       (MultimodalOps.queries, MultimodalOps.oracle),
       (Relational2.queries, Relational2.oracle),
-      (Profiling.queries, Profiling.oracle))
+      (Profiling.queries, Profiling.oracle),
+      (PipelineOps.queries, PipelineOps.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

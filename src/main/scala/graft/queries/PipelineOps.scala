@@ -1,0 +1,304 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions.quantize
+import graft.functions.expressions.LongDotProduct.longDot
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators beyond round 1's surface (north star:
+  * the ops a 100 TB LLM corpus build needs): deterministic stratified
+  * sampling, sequence chunking, benchmark decontamination, temporal
+  * interval joins, quality bucketing, and euclidean nearest neighbours.
+  *
+  * Everything is a native-expression narrow pipeline or a single
+  * key-partitioned shuffle; nothing collects to the driver. Determinism
+  * conventions follow BUILD_NOTES (md5-derived randomness, quantized
+  * integer vector math, unique sort tie-breaks) so every query here is
+  * DuckDB-oracle-checkable bit for bit.
+  */
+object PipelineOps {
+  import Exact._
+
+  private def toks: Column = split(col("text"), " ")
+
+  // ------------------------------------------------------------- sampling
+  /** Deterministic hash-stratified sampling — downsample dominant
+    * languages to rebalance a corpus. The per-row uniform is the first 8
+    * hex chars of md5(doc_id): fixed-width lowercase hex compares
+    * lexicographically exactly like the number it encodes, so "u < rate"
+    * is a plain string compare both engines share (no hex→int conversion
+    * needed). Seeded-by-key sampling is reproducible across runs,
+    * partitionings, and engines — unlike `DataFrame.sample`, whose
+    * outcome depends on row-to-partition assignment. Map-only: at 100 TB
+    * this is a full scan with zero shuffle, and the filter is
+    * codegen-friendly.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    // keep rates: en 25%, es 50%, de 75%, everything else 100%
+    val u8 = substring(md5(col("doc_id").cast("string")), 1, 8)
+    val threshold = when(col("lang") === "en", "40000000")
+      .when(col("lang") === "es", "80000000")
+      .when(col("lang") === "de", "c0000000")
+      .otherwise("zzzzzzzz") // any hex string sorts below this: keep all
+    Tables.documents(spark, dir)
+      .withColumn("u8", u8)
+      .filter(col("u8") < threshold)
+      .select(col("doc_id"), col("lang"), col("source"), col("u8"))
+      .orderBy(col("doc_id"))
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, lang, source,
+      |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS u8
+      |FROM documents
+      |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      |  CASE WHEN lang = 'en' THEN '40000000'
+      |       WHEN lang = 'es' THEN '80000000'
+      |       WHEN lang = 'de' THEN 'c0000000'
+      |       ELSE 'zzzzzzzz' END
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- chunking
+  /** Sequence chunking: split each document into consecutive 32-token
+    * chunks (the pre-tokenization step of sequence packing). Narrow
+    * per-row transform + generator — no shuffle; output rows ≈ tokens/32,
+    * so the operator's 100 TB cost is the scan itself.
+    */
+  val chunkTokens = 32
+
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), expr(s"(size(t) - 1) div $chunkTokens")),
+        i => struct(
+          array_join(slice(col("t"), i * chunkTokens + 1, lit(chunkTokens)), " ")
+            .as("chunk_text"),
+          size(slice(col("t"), i * chunkTokens + 1, lit(chunkTokens)))
+            .as("n_chunk_tokens")))).as(Seq("chunk_idx", "ch")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("ch.chunk_text").as("chunk_text"),
+        col("ch.n_chunk_tokens").as("n_chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val docChunksSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), ch AS (
+       |  SELECT doc_id, t,
+       |    unnest(range((len(t) + ${chunkTokens - 1}) // $chunkTokens)) AS chunk_idx
+       |  FROM tk
+       |)
+       |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       |  array_to_string(list_slice(t, chunk_idx * $chunkTokens + 1,
+       |                             chunk_idx * $chunkTokens + $chunkTokens), ' ') AS chunk_text,
+       |  len(list_slice(t, chunk_idx * $chunkTokens + 1,
+       |                 chunk_idx * $chunkTokens + $chunkTokens)) AS n_chunk_tokens
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ------------------------------------------------------- decontamination
+  /** Benchmark decontamination: find training documents sharing any
+    * 4-token shingle with a benchmark set (here: doc_id % 50 == 0 stands
+    * in for the eval suite; real pipelines use 8-13-gram overlap — 4
+    * fits the testdata's short synthetic docs while keeping the match
+    * non-trivial). The industry-standard n-gram overlap check
+    * before training. Plan shape: explode-to-shingles on both sides, then
+    * an equi-join on the shingle — the benchmark side is tiny and
+    * broadcast, so the train side never shuffles; at 100 TB this stays a
+    * map-side join over one corpus scan.
+    */
+  val contamN = 4
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    // filter BEFORE shingling: each side pays the explode only for its own
+    // subset (the benchmark side is ~2% of the corpus, not a re-scan of
+    // all of it). Tokens are materialized into a column first — an
+    // expression referenced inside a `transform` lambda is re-evaluated
+    // per element (loop-invariant split() isn't hoisted out of
+    // higher-order functions), which made the inline form 3x slower.
+    def shingled(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= contamN)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(0), size(col("t")) - contamN),
+        i => array_join(slice(col("t"), i + 1, lit(contamN)), " ")))).as("sh"))
+    val docs = Tables.documents(spark, dir)
+    val bench = shingled(docs.filter(col("doc_id") % 50 === 0))
+      .select(col("sh"), col("doc_id").as("bench_id"))
+    shingled(docs.filter(col("doc_id") % 50 =!= 0))
+      .join(broadcast(bench), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_shared_shingles"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t
+       |  FROM documents WHERE len(string_split(text, ' ')) >= $contamN
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [array_to_string(list_slice(t, i, i + ${contamN - 1}), ' ')
+       |     for i in range(1, len(t) - ${contamN - 2})])) AS sh
+       |  FROM tk
+       |), bench AS (
+       |  SELECT sh, doc_id AS bench_id FROM sh WHERE doc_id % 50 = 0
+       |)
+       |SELECT s.doc_id, COUNT(DISTINCT s.sh) AS n_shared_shingles,
+       |  COUNT(DISTINCT bench.bench_id) AS n_bench_docs
+       |FROM sh s JOIN bench ON s.sh = bench.sh
+       |WHERE s.doc_id % 50 <> 0
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  // --------------------------------------------------------- interval join
+  /** Temporal interval join: for each error event, count + value-sum of
+    * the same user's events in the preceding 10 minutes. Implemented with
+    * time bucketing — each error probes buckets (b-1, b) of a
+    * (user, bucket)-keyed equi-join, then the exact range filter — so the
+    * shuffle keys are bounded and the plan never degenerates into the
+    * unbounded range-join blowup; this is the scale-correct banded-join
+    * shape (the oracle states the same semantics as a plain range join).
+    */
+  val windowUs: Long = 600000000L // 10 minutes in microseconds
+
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val probes = errors
+      .withColumn("bucket", explode(array(
+        expr(s"us div $windowUs - 1"), expr(s"us div $windowUs"))))
+    val ctx = ev.select(col("user_id"),
+      expr(s"us div $windowUs").as("bucket"),
+      col("us").as("ctx_us"), col("value"))
+    // inner banded join + exact range filter, then restore zero-match
+    // errors with a left join against the full error set (an event whose
+    // buckets matched only out-of-range rows must still surface with 0)
+    val matched = probes.join(ctx, Seq("user_id", "bucket"))
+      .filter(col("ctx_us") >= col("us") - windowUs && col("ctx_us") < col("us"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_prior_10m"), sumD(col("value")).as("value_10m"))
+    errors.select(col("event_id"))
+      .join(matched, Seq("event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("n_prior_10m"), lit(0L)).as("n_prior_10m"),
+        coalesce(col("value_10m"), lit(0.0)).as("value_10m"))
+      .orderBy(col("event_id"))
+  }
+
+  val intervalJoinSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, event_type, value,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events
+       |)
+       |SELECT e.event_id,
+       |  COUNT(c.us) AS n_prior_10m,
+       |  coalesce(CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+       |    AS value_10m
+       |FROM ev e LEFT JOIN ev c
+       |  ON e.user_id = c.user_id
+       |  AND c.us >= e.us - $windowUs AND c.us < e.us
+       |WHERE e.event_type = 'error'
+       |GROUP BY e.event_id
+       |ORDER BY e.event_id""".stripMargin
+
+  // ------------------------------------------------------ quality buckets
+  /** Quality bucketing: percent_rank + decile (ntile) of each document by
+    * token count — the gating step before mixing corpora by quality tier.
+    * ntile needs a unique total order to be deterministic: ties broken by
+    * doc_id on both engines.
+    *
+    * Scale note: an unpartitioned window is a single-task total sort —
+    * fine as the correctness spec, wrong at 100 TB. There, bucket
+    * assignment comes from percentile thresholds (`approxQuantile` or the
+    * exact distributed sort's range bounds) applied map-side, which is a
+    * scan + broadcast instead of a global window.
+    */
+  def qualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("n_tokens"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toks).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        percent_rank().over(w).as("pr"),
+        ntile(10).over(w).as("decile"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityBucketsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+      |)
+      |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+      |  percent_rank() OVER (ORDER BY n_tokens, doc_id) AS pr,
+      |  CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id) AS INT) AS decile
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------- euclidean top-k
+  /** Exact euclidean (L2) top-5 neighbours for the probe vectors — the
+    * metric companion to q14's cosine. Quantized-integer distance:
+    * ||p-c||² = p·p − 2p·c + c·c over exact longs (three codegen'd
+    * LongDotProduct folds on the Spark side; the oracle computes the
+    * difference-square directly — identical in exact integer
+    * arithmetic). Ranking on the integer d2 is fully deterministic; the
+    * final sqrt/1e6 is one shared double expression.
+    */
+  def euclideanTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("qq", longDot("q", "q"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("qq").as("pp"))
+    val scored = emb
+      .select(col("vec_id").as("cand_id"), col("q").as("cq"), col("qq").as("cc"))
+      .join(broadcast(probes), col("cand_id") =!= col("probe_id"))
+      .withColumn("d2", col("pp") - lit(2) * longDot("pq", "cq") + col("cc"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("d2"), col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("cand_id"), col("rank"),
+        (sqrt(col("d2").cast("double")) / 1000000.0).as("dist"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  val euclideanTopKSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), pairs AS (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+      |    list_sum(list_transform(list_zip(p.qv, c.qv),
+      |                            z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+      |  FROM q p JOIN q c ON p.vec_id < 10 AND c.vec_id <> p.vec_id
+      |), ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+      |                               ORDER BY d2, cand_id) AS rank
+      |  FROM pairs
+      |)
+      |SELECT probe_id, cand_id, rank,
+      |  sqrt(CAST(d2 AS DOUBLE)) / 1000000.0 AS dist
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY probe_id, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_stratified_sample" -> (stratifiedSample _),
+    "q40_doc_chunks" -> (docChunks _),
+    "q41_decontaminate" -> (decontaminate _),
+    "q42_interval_join" -> (intervalJoin _),
+    "q43_quality_buckets" -> (qualityBuckets _),
+    "q44_euclidean_topk" -> (euclideanTopK _))
+
+  val oracle: Map[String, String] = Map(
+    "q39_stratified_sample" -> stratifiedSampleSql,
+    "q40_doc_chunks" -> docChunksSql,
+    "q41_decontaminate" -> decontaminateSql,
+    "q42_interval_join" -> intervalJoinSql,
+    "q43_quality_buckets" -> qualityBucketsSql,
+    "q44_euclidean_topk" -> euclideanTopKSql)
+}

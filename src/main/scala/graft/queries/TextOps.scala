@@ -136,13 +136,19 @@ object TextOps {
   val minhashN = 16
   val minhashBands = 8 // of 2 rows each
 
-  /** Token 3-gram shingles per doc (docs with <3 tokens can't shingle). */
+  /** Token 3-gram shingles per doc (docs with <3 tokens can't shingle).
+    * Tokens materialize into a column before the transform: expressions
+    * referenced inside a higher-order-function lambda re-evaluate per
+    * element (split() is not hoisted), so the inline form pays O(tokens²)
+    * per document — measured 3x slower on the 4-gram twin.
+    */
   private def shingleTable(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .filter(size(tokens) >= 3)
+      .select(col("doc_id"), tokens.as("t"))
+      .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
-        transform(sequence(lit(0), size(tokens) - 3),
-          i => array_join(slice(tokens, i + 1, lit(3)), " ")).as("shingles"))
+        transform(sequence(lit(0), size(col("t")) - 3),
+          i => array_join(slice(col("t"), i + 1, lit(3)), " ")).as("shingles"))
 
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingleTable(spark, dir)
@@ -222,6 +228,96 @@ object TextOps {
        |FROM flat a JOIN flat b
        |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        |  AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** MinHash-estimated Jaccard for the band-join candidates: the fraction
+    * of agreeing minhash components is an unbiased Jaccard estimate, and
+    * it prices at 16 equality checks per pair instead of an exact
+    * shingle-set intersection. This is the verify-stage knob for 1M+ doc
+    * corpora (BUILD_NOTES): estimate first, pay the exact set math only
+    * for pairs whose estimate clears threshold. Same deterministic md5
+    * hash family as q12, so the oracle reproduces signatures exactly.
+    */
+  def minhashEstimatedJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingleTable(spark, dir)
+    val sigs = (0 until minhashN).map { j =>
+      array_min(transform(col("shingles"), s => md5(concat(lit(s"$j:"), s))))
+        .as(s"sig_$j")
+    }
+    // persisted for the same ProjectCollapse/broadcast reason as
+    // minhashPairs: three consumers (two band-join sides + the per-pair
+    // signature lookup) must not each recompute the signature pipeline
+    val withSig = docs.select(col("doc_id") +: sigs: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = (0 until minhashBands).map { b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat_ws("|", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
+          .as("band_hash"))
+    }
+    val bandKeys = withSig
+      .select(col("doc_id"), explode(array(bands: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_hash").as("band_hash"))
+    val pairs = bandKeys.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(bandKeys.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val sa = withSig.select(col("doc_id").as("doc_a") +:
+      (0 until minhashN).map(j => col(s"sig_$j").as(s"a_$j")): _*)
+    val sb = withSig.select(col("doc_id").as("doc_b") +:
+      (0 until minhashN).map(j => col(s"sig_$j").as(s"b_$j")): _*)
+    val agree = (0 until minhashN).map { j =>
+      when(col(s"a_$j") === col(s"b_$j"), 1).otherwise(0)
+    }.reduce(_ + _)
+    pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (agree.cast("double") / minhashN.toDouble).as("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val minhashEstimatedJaccardSql: String = {
+    val sigs = (0 until minhashN).map { j =>
+      s"list_aggregate(list_transform(shingles, s -> md5('$j:' || s)), 'min') AS sig_$j"
+    }.mkString(",\n    ")
+    val bands = (0 until minhashBands).map { b =>
+      s"({'band_idx': $b, 'band_hash': md5(sig_${2 * b} || '|' || sig_${2 * b + 1})})"
+    }.mkString(",\n    ")
+    val agree = (0 until minhashN).map { j =>
+      s"(CASE WHEN sa.sig_$j = sb.sig_$j THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+       |), sh AS (
+       |  SELECT doc_id,
+       |    [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] AS shingles
+       |  FROM toks
+       |), sigs AS (
+       |  SELECT doc_id, shingles,
+       |    $sigs
+       |  FROM sh
+       |), banded AS (
+       |  SELECT doc_id, unnest([
+       |    $bands
+       |  ]) AS band
+       |  FROM sigs
+       |), flat AS (
+       |  SELECT doc_id, band.band_idx AS band_idx, band.band_hash AS band_hash
+       |  FROM banded
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM flat a JOIN flat b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |    AND a.doc_id < b.doc_id
+       |)
+       |SELECT pairs.doc_a, pairs.doc_b,
+       |  CAST(($agree) AS DOUBLE) / $minhashN.0 AS est_jaccard
+       |FROM pairs
+       |JOIN sigs sa ON pairs.doc_a = sa.doc_id
+       |JOIN sigs sb ON pairs.doc_b = sb.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
@@ -366,7 +462,8 @@ object TextOps {
     "q10_fingerprint" -> (fingerprint _),
     "q11_exact_dedup" -> (exactDedup _),
     "q12_minhash_pairs" -> (minhashPairs _),
-    "q13_simhash" -> (simhash _))
+    "q13_simhash" -> (simhash _),
+    "q45_minhash_est" -> (minhashEstimatedJaccard _))
 
   val oracle: Map[String, String] = Map(
     "q36_winnowing_fp" -> winnowingFingerprintsSql,
@@ -376,5 +473,6 @@ object TextOps {
     "q10_fingerprint" -> fingerprintSql,
     "q11_exact_dedup" -> exactDedupSql,
     "q12_minhash_pairs" -> minhashPairsSql,
-    "q13_simhash" -> simhashSql)
+    "q13_simhash" -> simhashSql,
+    "q45_minhash_est" -> minhashEstimatedJaccardSql)
 }

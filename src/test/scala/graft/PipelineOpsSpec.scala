@@ -1,0 +1,140 @@
+package graft
+
+import graft.queries.PipelineOps
+import org.apache.spark.sql.functions._
+
+/** Invariants for the training-data-pipeline operators (PipelineOps). */
+class PipelineOpsSpec extends SparkTestBase {
+
+  test("docChunks reassembles to the original text") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val rebuilt = PipelineOps.docChunks(spark, sf)
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text"))))
+          .getField("chunk_text")).as("rebuilt"))
+    val bad = docs.join(rebuilt, Seq("doc_id"))
+      .filter(col("text") =!= col("rebuilt"))
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("docChunks chunk sizes: full chunks except possibly the last") {
+    val chunks = PipelineOps.docChunks(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val bad = chunks
+      .withColumn("last_idx", max(col("chunk_idx")).over(w))
+      .filter((col("chunk_idx") < col("last_idx") &&
+        col("n_chunk_tokens") =!= PipelineOps.chunkTokens) ||
+        col("n_chunk_tokens") > PipelineOps.chunkTokens ||
+        col("n_chunk_tokens") < 1)
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("stratifiedSample keeps every non-downsampled-language doc and ~25% of en") {
+    val docs = Tables.documents(spark, sf)
+    val sampled = PipelineOps.stratifiedSample(spark, sf)
+    val others = Seq("en", "es", "de")
+    val totalOther = docs.filter(!col("lang").isin(others: _*)).count()
+    val keptOther = sampled.filter(!col("lang").isin(others: _*)).count()
+    assert(keptOther === totalOther)
+    val totalEn = docs.filter(col("lang") === "en").count().toDouble
+    val keptEn = sampled.filter(col("lang") === "en").count().toDouble
+    // md5-uniform: expect 0.25 +- a generous binomial tolerance
+    assert(keptEn / totalEn > 0.15 && keptEn / totalEn < 0.35)
+  }
+
+  test("stratifiedSample is deterministic across runs") {
+    val a = PipelineOps.stratifiedSample(spark, sf).collect().toSeq
+    val b = PipelineOps.stratifiedSample(spark, sf).collect().toSeq
+    assert(a === b)
+  }
+
+  test("decontaminate flags only non-benchmark docs, with real overlap") {
+    val res = PipelineOps.decontaminate(spark, sf)
+    assert(res.filter(col("doc_id") % 50 === 0).count() === 0L)
+    assert(res.filter(col("n_shared_shingles") < 1 || col("n_bench_docs") < 1)
+      .count() === 0L)
+  }
+
+  test("intervalJoin bucketed plan equals the naive range join") {
+    import graft.queries.Exact.sumD
+    val ev = Tables.events(spark, sf).withColumn("us", unix_micros(col("ts")))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id").as("u"), col("us").as("eus"))
+    val naive = errors.join(ev.select(col("user_id").as("u"),
+        col("us").as("cus"), col("value")),
+        Seq("u"), "left")
+      .withColumn("in_range",
+        col("cus") >= col("eus") - PipelineOps.windowUs && col("cus") < col("eus"))
+      .groupBy(col("event_id"))
+      .agg(count(when(col("in_range"), 1)).as("n_prior_10m"),
+        coalesce(sumD(when(col("in_range"), col("value"))), lit(0.0)).as("value_10m"))
+    val bucketed = PipelineOps.intervalJoin(spark, sf)
+    assert(bucketed.count() === naive.count())
+    val joined = bucketed.join(naive.withColumnsRenamed(
+      Map("n_prior_10m" -> "n2", "value_10m" -> "v2")), Seq("event_id"))
+    assert(joined.filter(col("n_prior_10m") =!= col("n2") ||
+      col("value_10m") =!= col("v2")).count() === 0L)
+  }
+
+  test("qualityBuckets: deciles are balanced and monotone in score") {
+    val res = PipelineOps.qualityBuckets(spark, sf)
+    val n = res.count()
+    val sizes = res.groupBy(col("decile")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet === (1 to 10).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // decile boundaries respect the (n_tokens, doc_id) order
+    val cross = res.as("a").join(res.as("b"),
+        col("a.decile") < col("b.decile") &&
+        col("a.n_tokens") > col("b.n_tokens"))
+      .count()
+    assert(cross === 0L)
+    assert(n === Tables.documents(spark, sf).count())
+  }
+
+  test("euclideanTopK: rank-1 neighbour agrees with exact double arithmetic") {
+    val res = PipelineOps.euclideanTopK(spark, sf)
+    assert(res.filter(col("rank") === 1).count() === 10L)
+    // distances are non-decreasing in rank per probe
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("rank"))
+    val bad = res.withColumn("prev", lag(col("dist"), 1).over(w))
+      .filter(col("prev").isNotNull && col("dist") < col("prev"))
+      .count()
+    assert(bad === 0L)
+    // cross-check one probe's top-1 against a full-precision double scan
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val probe = emb.find(_._1 == 0L).get._2
+    val best = emb.filter(_._1 != 0L).map { case (id, v) =>
+      val d = math.sqrt(v.zip(probe).map { case (a, b) =>
+        (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble) }.sum)
+      (id, d)
+    }.minBy { case (id, d) => (d, id) }
+    val got = res.filter(col("probe_id") === 0 && col("rank") === 1)
+      .select(col("cand_id"), col("dist")).head()
+    assert(got.getLong(0) === best._1)
+    assert(math.abs(got.getDouble(1) - best._2) < 1e-4)
+  }
+
+  test("minhash estimated jaccard brackets the exact jaccard loosely") {
+    import graft.queries.TextOps
+    val est = TextOps.minhashEstimatedJaccard(spark, sf)
+      .withColumnRenamed("est_jaccard", "est")
+    val exact = TextOps.minhashPairs(spark, sf)
+    // same candidate set by construction
+    assert(est.count() === exact.count())
+    val joined = est.join(exact, Seq("doc_a", "doc_b"))
+    // estimator error bound: 16 components -> loose tolerance; near-dups
+    // (jaccard ~1) must estimate high, disjoint pairs must estimate low
+    val bad = joined.filter(
+      (col("jaccard") > 0.9 && col("est") < 0.5) ||
+        (col("jaccard") < 0.1 && col("est") > 0.5))
+      .count()
+    assert(bad === 0L)
+  }
+}
