@@ -132,6 +132,30 @@ object Streaming {
       }
   }
 
+  /** Stream-stream interval self-join: each error event joined to the
+    * same user's events in the preceding `windowMinutes` of event time —
+    * the streaming twin of PipelineOps.intervalJoin's matched set. Both
+    * sides carry watermarks and the join condition bounds event time on
+    * both ends, so Spark can size the state store and evict rows once
+    * the watermark passes (an unbounded-time stream join would hold
+    * state forever — the condition IS the state bound).
+    */
+  def errorContextJoin(events: DataFrame, windowMinutes: Int = 10,
+      watermark: String = "30 minutes"): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", watermark)
+    val ctx = events
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("value"))
+      .withWatermark("c_ts", watermark)
+    errors.join(ctx,
+      col("e_user") === col("c_user") &&
+        col("c_ts") >= col("e_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("c_ts") < col("e_ts"))
+      .select(col("event_id"), col("e_user").as("user_id"),
+        col("c_ts"), col("value"))
+  }
+
   /** Streaming upsert sink: the reference's merge job (season ∪ delta →
     * one row per key) as a foreachBatch sink, i.e. continuous ingestion
     * straight into the maintained dataset instead of a separate batch

@@ -1,11 +1,14 @@
 package graft
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, MinHashLSH}
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.functions._
 
-/** spark.ml MinHashLSH agreement with the engine's deterministic MinHash
-  * (q12): both work on 3-token shingles; the seeded ml pipeline must
-  * recover the high-Jaccard pairs the exact band join surfaces.
+/** spark.ml LSH agreement with the engine's exact formulations:
+  * MinHashLSH vs the deterministic MinHash band join (q12), and
+  * BucketedRandomProjectionLSH (euclidean) vs the quantized-exact L2
+  * top-k (q44). The seeded approximate pipelines must recover what the
+  * exact queries surface.
   */
 class MlLshSpec extends SparkTestBase {
   import spark.implicits._
@@ -37,5 +40,34 @@ class MlLshSpec extends SparkTestBase {
     val found = exact.join(pairs, Seq("doc_a", "doc_b"), "left_semi").count()
     assert(exactN == 0 || found >= (exactN * 0.8).toLong,
       s"ml LSH recovered $found of $exactN exact pairs")
+  }
+
+  test("BucketedRandomProjectionLSH recovers the exact euclidean neighbours") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), array_to_vector(col("embedding")).as("fv"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("fv").setOutputCol("hashes")
+      .setBucketLength(2.0).setNumHashTables(4).setSeed(42L)
+    val model = lsh.fit(emb)
+    val hashed = model.transform(emb).cache()
+    // per-probe top-5 via approxNearestNeighbors on each of the 10 probes
+    val probes = emb.filter(col("vec_id") < 10).collect()
+    val exact = graft.queries.PipelineOps.euclideanTopK(spark, sf)
+    var found = 0L
+    probes.foreach { row =>
+      val pid = row.getLong(0)
+      val key = row.getAs[org.apache.spark.ml.linalg.Vector]("fv")
+      val ann = model.approxNearestNeighbors(hashed, key, 6) // self + 5
+        .filter(col("vec_id") =!= pid)
+        .select(col("vec_id")).as[Long].collect().toSet
+      val want = exact.filter(col("probe_id") === pid)
+        .select(col("cand_id")).as[Long].collect().toSet
+      found += want.count(ann.contains)
+    }
+    val total = exact.count()
+    assert(found >= (total * 0.6).toLong,
+      s"BRP-LSH recovered $found of $total exact euclidean neighbours")
+    hashed.unpersist()
+    ()
   }
 }

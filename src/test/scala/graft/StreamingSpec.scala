@@ -144,4 +144,19 @@ class StreamingSpec extends SparkTestBase {
         got("n_events") === batch("n_events"))
     assert(match_.count() == gotN)
   }
+
+  test("stream-stream interval join matches the batch interval join's matched set") {
+    val got = Streaming.drainToBatch(
+      Streaming.errorContextJoin(streamEvents), "ssjoin_t")
+      .groupBy("event_id").count()
+      .withColumnRenamed("count", "n_stream")
+    // batch twin: q42's per-error prior-event counts (inner matches only)
+    val batch = graft.queries.PipelineOps.intervalJoin(spark, sf)
+      .filter(col("n_prior_10m") > 0)
+    // a single-file source drains in one micro-batch, so no row is held
+    // back by the watermark: the joined sets must agree exactly
+    assert(got.count() == batch.count())
+    val joined = got.join(batch, Seq("event_id"))
+    assert(joined.filter(col("n_stream") =!= col("n_prior_10m")).count() == 0)
+  }
 }
