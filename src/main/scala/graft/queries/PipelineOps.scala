@@ -286,13 +286,74 @@ object PipelineOps {
       |FROM ranked WHERE rank <= 5
       |ORDER BY probe_id, rank""".stripMargin
 
+  // ---------------------------------------------------- curation pipeline
+  /** The composed corpus-curation pipeline — quality gate → exact near-dup
+    * removal (normalized fingerprint, keep min doc_id) → stratified
+    * downsampling → per-(lang, source) chunk accounting. One narrow scan
+    * feeds one dedup shuffle and one final aggregation; this is the
+    * whole-pipeline shape a 100 TB curation run has, where each stage's
+    * selectivity multiplies. Deterministic end to end (md5 fingerprints,
+    * md5 sampling, min-id survivor rule), so the full composition is
+    * oracle-checked — not just its pieces.
+    */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(toks).as("n_tokens"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"),
+        substring(md5(col("doc_id").cast("string")), 1, 8).as("u8"))
+      .filter(col("n_tokens").between(20, 90))
+    val survivor = Window.partitionBy(col("fp"))
+      .orderBy(col("doc_id"))
+    val threshold = when(col("lang") === "en", "40000000")
+      .when(col("lang") === "es", "80000000")
+      .when(col("lang") === "de", "c0000000")
+      .otherwise("zzzzzzzz")
+    base
+      .withColumn("rk", row_number().over(survivor))
+      .filter(col("rk") === 1)
+      .filter(col("u8") < threshold)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(expr(s"(n_tokens + ${chunkTokens - 1}) div $chunkTokens"))
+          .as("total_chunks"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val curationPipelineSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, source,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+       |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS u8
+       |  FROM documents
+       |  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 90
+       |), dedup AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+       |  FROM base
+       |), sampled AS (
+       |  SELECT * FROM dedup WHERE rk = 1
+       |  AND u8 < CASE WHEN lang = 'en' THEN '40000000'
+       |                WHEN lang = 'es' THEN '80000000'
+       |                WHEN lang = 'de' THEN 'c0000000'
+       |                ELSE 'zzzzzzzz' END
+       |)
+       |SELECT lang, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM((n_tokens + ${chunkTokens - 1}) // $chunkTokens) AS BIGINT)
+       |    AS total_chunks
+       |FROM sampled GROUP BY lang, source
+       |ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_stratified_sample" -> (stratifiedSample _),
     "q40_doc_chunks" -> (docChunks _),
     "q41_decontaminate" -> (decontaminate _),
     "q42_interval_join" -> (intervalJoin _),
     "q43_quality_buckets" -> (qualityBuckets _),
-    "q44_euclidean_topk" -> (euclideanTopK _))
+    "q44_euclidean_topk" -> (euclideanTopK _),
+    "q46_curation_pipeline" -> (curationPipeline _))
 
   val oracle: Map[String, String] = Map(
     "q39_stratified_sample" -> stratifiedSampleSql,
@@ -300,5 +361,6 @@ object PipelineOps {
     "q41_decontaminate" -> decontaminateSql,
     "q42_interval_join" -> intervalJoinSql,
     "q43_quality_buckets" -> qualityBucketsSql,
-    "q44_euclidean_topk" -> euclideanTopKSql)
+    "q44_euclidean_topk" -> euclideanTopKSql,
+    "q46_curation_pipeline" -> curationPipelineSql)
 }

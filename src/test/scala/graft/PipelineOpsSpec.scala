@@ -121,6 +121,31 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(math.abs(got.getDouble(1) - best._2) < 1e-4)
   }
 
+  test("curationPipeline composes its stages consistently") {
+    val res = PipelineOps.curationPipeline(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    // total docs surviving <= docs in the token-length quality band
+    val inBand = docs.filter(
+      size(split(col("text"), " ")).between(20, 90)).count()
+    val kept = res.agg(sum(col("n_docs"))).head().getLong(0)
+    assert(kept > 0 && kept <= inBand)
+    // chunk accounting: chunks = ceil(tokens/32) summed per group means
+    // chunks <= tokens/32 + docs and chunks >= tokens/32
+    val bad = res.filter(
+      col("total_chunks") * PipelineOps.chunkTokens <
+        col("total_tokens") ||
+        col("total_chunks") > (col("total_tokens") / PipelineOps.chunkTokens)
+          + col("n_docs"))
+      .count()
+    assert(bad === 0L)
+    // downsampled languages keep at most their sampling share of the band
+    val enBand = docs.filter(col("lang") === "en" &&
+      size(split(col("text"), " ")).between(20, 90)).count()
+    val enKept = res.filter(col("lang") === "en")
+      .agg(sum(col("n_docs"))).head().getLong(0)
+    assert(enKept <= (enBand * 0.4).toLong + 1)
+  }
+
   test("minhash estimated jaccard brackets the exact jaccard loosely") {
     import graft.queries.TextOps
     val est = TextOps.minhashEstimatedJaccard(spark, sf)
