@@ -53,6 +53,32 @@ object ScaleOps {
       .drop("__salt")
   }
 
+  /** LSH candidate generation with a per-bucket cardinality cap. A band
+    * bucket holding n docs emits C(n,2) pairs, so one super-frequent
+    * bucket (a stopword shingle, boilerplate header, empty-ish docs)
+    * turns the band join quadratic — the classic LSH skew failure at
+    * corpus scale. Buckets over `maxBucketSize` are dropped entirely:
+    * an over-frequent signature is uninformative for near-dup detection
+    * (its members agree on something ubiquitous, not on content), and
+    * the pairs it would emit are exactly the ones that swamp the
+    * verify stage. Output is the candidate (a, b) pair set (a < b,
+    * distinct) from surviving buckets.
+    */
+  def cappedBandJoin(bandKeys: DataFrame, idCol: String,
+      bucketCols: Seq[String], maxBucketSize: Int): DataFrame = {
+    val bc = bucketCols.map(col)
+    val ok = bandKeys.join(
+      bandKeys.groupBy(bc: _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucketSize)
+        .select(bc: _*),
+      bucketCols)
+    ok.select(bc :+ col(idCol).as("a"): _*)
+      .join(ok.select(bc :+ col(idCol).as("b"): _*), bucketCols)
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
   /** Bucketed table write: pre-shuffles once at write time so every
     * later join/aggregate on `bucketCols` is exchange-free. The 100 TB
     * pattern for dimension/fact co-location.

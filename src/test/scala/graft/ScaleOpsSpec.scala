@@ -74,4 +74,41 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(joined.count() ==
       li.join(o, col("l_orderkey") === col("o_orderkey")).count())
   }
+
+  test("cappedBandJoin drops super-frequent buckets, keeps the rest exactly") {
+    import spark.implicits._
+    // bucket "hot" holds 50 ids (C(50,2)=1225 junk pairs), two small
+    // buckets hold 3 and 2
+    val hot = (1L to 50L).map(i => (i, "hot"))
+    val small = Seq((101L, "s1"), (102L, "s1"), (103L, "s1"),
+      (201L, "s2"), (202L, "s2"))
+    val bandKeys = (hot ++ small).toDF("doc_id", "bucket")
+    val capped = ScaleOps.cappedBandJoin(bandKeys, "doc_id", Seq("bucket"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Set((101L, 102L), (101L, 103L), (102L, 103L), (201L, 202L))
+    assert(capped === want)
+    // with a cap above every bucket size, nothing is dropped
+    val uncapped = ScaleOps.cappedBandJoin(bandKeys, "doc_id", Seq("bucket"), 50)
+    assert(uncapped.count() === (50L * 49 / 2 + 4))
+  }
+
+  test("cappedBandJoin with a generous cap reproduces the minhash candidate set") {
+    // real band keys from the q12 pipeline shape
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), size(col("t")) - 3),
+          i => array_join(slice(col("t"), i + 1, lit(3)), " ")).as("shingles"))
+    val sig0 = array_min(transform(col("shingles"), s => md5(concat(lit("0:"), s))))
+    val sig1 = array_min(transform(col("shingles"), s => md5(concat(lit("1:"), s))))
+    val bandKeys = docs.select(col("doc_id"),
+      md5(concat_ws("|", sig0, sig1)).as("bucket"))
+    val plain = bandKeys.select(col("bucket"), col("doc_id").as("a"))
+      .join(bandKeys.select(col("bucket"), col("doc_id").as("b")), Seq("bucket"))
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+    val capped = ScaleOps.cappedBandJoin(bandKeys, "doc_id", Seq("bucket"), 1000)
+    assert(capped.count() === plain.count())
+    assert(capped.exceptAll(plain).count() === 0L)
+  }
 }
