@@ -378,7 +378,9 @@ object TextOps {
 
   def winnowingFingerprints(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.expressions.RabinKarpHashes.rollingHashes
-    Tables.documents(spark, dir)
+    // rebalance: the rolling-hash + window-min compute dominates the scan;
+    // a skinny source would otherwise run it on one task
+    graft.ops.ScaleOps.rebalance(Tables.documents(spark, dir))
       .filter(length(col("text")) >= winnowK + winnowW - 1)
       .select(col("doc_id"), rollingHashes("text", winnowK).as("h"))
       .select(col("doc_id"),
@@ -417,7 +419,10 @@ object TextOps {
     */
   def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"), explode(tokens).as("tok"))
+    // rebalance before the explode: tokenization fan-out is the heavy map
+    // stage feeding the (doc, token) shuffle
+    val toks = graft.ops.ScaleOps.rebalance(docs)
+      .select(col("doc_id"), explode(tokens).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
