@@ -93,28 +93,43 @@ object Relational2 {
     * (custkey, orderdate) so the as-of match is unique — DuckDB's ASOF
     * JOIN picks an arbitrary row among equal keys otherwise.
     *
-    * Plan shape: equi-join on the user key + range predicate, then a
-    * per-event max — Catalyst runs it as a hash join with filter. At
-    * 100 TB the same semantics come from repartition-by-key + sorted
-    * mapPartitions merge; the relational form is the correctness spec.
+    * Plan shape: the merge form — union both sides, one sort per user
+    * key, last-observation-carried-forward window. Intermediate size is
+    * O(events + orders); the equi-join + range-filter alternative
+    * materializes O(events × orders-per-user) rows before its aggregate
+    * (10M+ at sf0.1, unbounded at 100 TB for active keys), so the union
+    * + window IS the scale-correct as-of and results are verified
+    * identical. Sort key (t, kind, okey) with orders as kind=0 makes an
+    * order dated exactly at ts eligible (<=) and picks the max orderkey
+    * among same-date orders deterministically.
     */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("ts"))
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+      .withColumn("kind", lit(1))
+      .withColumn("okey", lit(null).cast("long"))
+      .withColumn("odate", lit(null).cast("long"))
     val o = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"), col("o_orderdate"))
-      .agg(max(col("o_orderkey")).as("o_orderkey"))
-    val joined = ev.join(o,
-      ev("user_id") === o("o_custkey") && o("o_orderdate") <= ev("ts"))
-    // latest-prior pick as max(struct(date, key)): a hash aggregate with
-    // map-side partial combine — the row_number window alternative sorts
-    // the full joined set per event (10M+ intermediate rows at sf0.1),
-    // this collapses it during the shuffle. Lexicographic struct max is
-    // deterministic because (custkey, date) is unique after the dedup.
-    joined.groupBy(col("event_id"), col("user_id"))
-      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
-      .select(col("event_id"), col("user_id"),
-        col("m.o_orderkey").as("asof_orderkey"),
-        unix_micros(col("m.o_orderdate").cast("timestamp")).as("asof_orderdate_us"))
+      .agg(max(col("o_orderkey")).as("okey"))
+      .select(col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"), col("okey"))
+      .withColumn("kind", lit(0))
+      .withColumn("event_id", lit(null).cast("long"))
+      .withColumn("odate", col("t"))
+    val cols = Seq("user_id", "t", "kind", "event_id", "okey", "odate")
+    val all = ev.select(cols.map(col): _*).unionByName(o.select(cols.map(col): _*))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"), col("okey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    all
+      .withColumn("asof_orderkey",
+        last(when(col("kind") === 0, col("okey")), ignoreNulls = true).over(w))
+      .withColumn("asof_orderdate_us",
+        last(when(col("kind") === 0, col("odate")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("asof_orderkey").isNotNull)
+      .select(col("event_id"), col("user_id"), col("asof_orderkey"),
+        col("asof_orderdate_us"))
       .orderBy(col("event_id"))
   }
 
