@@ -37,6 +37,54 @@ object MultimodalOps {
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
+  /** Full media pipeline: decode → resize (max side 256) → frame-sample
+    * (every 4th) → per-type accounting. Exercises every stub stage of
+    * the multimodal chain through `mapPartitions` (no shuffles until the
+    * final aggregation); the oracle replays the deterministic stub
+    * arithmetic, including the IEEE double resize scale, which both
+    * engines compute bit-identically (correctly-rounded divide/multiply
+    * then truncation).
+    */
+  def frameSampleStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sampled = Multimodal.decodeMeta(Multimodal.documentBlobs(spark, dir))
+      .mapPartitions { it =>
+        it.map { d =>
+          val m = Multimodal.MediaMeta(d.n_bytes, d.format, d.width,
+            d.height, d.n_frames)
+          val r = Multimodal.FakeDecoder.resize(m, 256)
+          val frames = Multimodal.FakeDecoder.sampleFrames(r, 4)
+          (d.media_type, r.width, r.height, frames.size)
+        }
+      }.toDF("media_type", "rw", "rh", "n_sampled")
+    sampled.groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_sampled")).as("total_sampled_frames"),
+        max(col("rw")).as("max_resized_w"),
+        max(col("rh")).as("max_resized_h"))
+      .orderBy(col("media_type"))
+  }
+
+  val frameSampleStatsSql: String =
+    """WITH m AS (
+      |  SELECT (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+      |    CAST(64 + (length(text) % 577) AS INT) AS w,
+      |    CAST(64 + ((length(text) * 31 + ascii(substring(text, 1, 1))) % 513) AS INT) AS h,
+      |    CASE WHEN (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] = 'video'
+      |         THEN CAST(length(text) % 24 + 1 AS INT) ELSE 1 END AS n_frames
+      |  FROM documents
+      |), r AS (
+      |  SELECT media_type,
+      |    GREATEST(1, CAST(trunc(w * LEAST(1.0, 256.0 / GREATEST(w, h))) AS INT)) AS rw,
+      |    GREATEST(1, CAST(trunc(h * LEAST(1.0, 256.0 / GREATEST(w, h))) AS INT)) AS rh,
+      |    (n_frames + 3) // 4 AS n_sampled
+      |  FROM m
+      |)
+      |SELECT media_type, COUNT(*) AS n_media,
+      |  CAST(SUM(n_sampled) AS BIGINT) AS total_sampled_frames,
+      |  MAX(rw) AS max_resized_w, MAX(rh) AS max_resized_h
+      |FROM r GROUP BY media_type ORDER BY media_type""".stripMargin
+
   /** Embedding near-duplicate detection, LSH-bucketed (scale path):
     * collection = embeddings ∪ planted perturbed copies (+7 in quantized
     * space — preserves every pairwise component comparison, so planted
@@ -106,9 +154,11 @@ object MultimodalOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_multimodal_meta" -> (multimodalMeta _),
-    "q22_embedding_neardup" -> (embeddingNearDup _))
+    "q22_embedding_neardup" -> (embeddingNearDup _),
+    "q47_frame_sample" -> (frameSampleStats _))
 
   val oracle: Map[String, String] = Map(
     "q21_multimodal_meta" -> multimodalMetaSql,
-    "q22_embedding_neardup" -> embeddingNearDupSql)
+    "q22_embedding_neardup" -> embeddingNearDupSql,
+    "q47_frame_sample" -> frameSampleStatsSql)
 }
