@@ -163,6 +163,58 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("chunking: count formula, reassembly, and fill for arbitrary token counts") {
+    import graft.queries.PipelineOps.chunkTokens
+    val docGen = Gen.choose(1, 500).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(5))))
+    for (seed <- 1L to 3L) {
+      val docs = sample(Gen.listOfN(30, docGen), seed).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      val df = docs.toDF("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop").toString
+      df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val chunks = graft.queries.PipelineOps.docChunks(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      val byDoc = chunks.groupBy(_._1)
+      docs.foreach { case (id, text) =>
+        val n = text.split(" ").length
+        val cs = byDoc(id).sortBy(_._2)
+        assert(cs.length == (n + chunkTokens - 1) / chunkTokens)
+        assert(cs.map(_._3).mkString(" ") == text) // reassembly
+        cs.init.foreach(c => assert(c._4 == chunkTokens)) // full chunks
+        assert(cs.last._4 == n - chunkTokens * (cs.length - 1))
+      }
+    }
+  }
+
+  test("hex-threshold sampling: string compare equals numeric compare") {
+    val hexGen = Gen.listOfN(8, Gen.oneOf("0123456789abcdef".toSeq)).map(_.mkString)
+    for (seed <- 1L to 5L) {
+      val pairs = sample(Gen.listOfN(200, Gen.zip(hexGen, hexGen)), seed)
+      pairs.foreach { case (a, b) =>
+        assert((a < b) == (java.lang.Long.parseLong(a, 16) <
+          java.lang.Long.parseLong(b, 16)),
+          s"hex-string order must equal numeric order: $a vs $b")
+      }
+    }
+  }
+
+  test("cappedBandJoin equals the model: all pairs minus over-cap buckets") {
+    val rowGen = Gen.zip(Gen.choose(1L, 60L), Gen.choose(0, 7).map(b => s"b$b"))
+    for (seed <- 1L to 3L) {
+      val rows = sample(Gen.listOfN(120, rowGen), seed).distinct
+      val cap = 12
+      val want = rows.groupBy(_._2).filter(_._2.size <= cap).values.flatMap { g =>
+        val ids = g.map(_._1).distinct
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }.toSet
+      val got = graft.ops.ScaleOps.cappedBandJoin(
+        rows.toDF("doc_id", "bucket"), "doc_id", Seq("bucket"), cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+    }
+  }
+
   test("SQL-registered play functions match the Column API") {
     PlayFunctions.registerSql(spark)
     val play = "3rd Q, 7:15.0 remaining<br>Jayson Tatum made 3-pointer from 26 ft<br>Boston now leads 88-80"
