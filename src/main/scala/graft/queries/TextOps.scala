@@ -321,6 +321,64 @@ object TextOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Production-scale MinHash near-dup pairs — the fast path. Same
+    * pipeline shape as q12 but engineered for corpus scale, where three
+    * things dominate measured cost at 1M docs (BUILD_NOTES):
+    *
+    *  - xxhash64 long signatures instead of md5 hex strings: the hash is
+    *    cheaper, and a 16-long-column table builds its DataFrame cache
+    *    7.5× faster than 16 high-cardinality string columns (132 s → 17 s
+    *    at 1M docs — columnar cache compression of wide string sets is
+    *    the hidden cost, not the hashing);
+    *  - capped band buckets (ScaleOps.cappedBandJoin): one ubiquitous
+    *    signature can't go quadratic;
+    *  - estimate-first verify (q45's estimator): exact shingle-set
+    *    jaccard only for pairs whose signature agreement clears the
+    *    threshold — 2.6× the verify throughput at equal recall.
+    *
+    * Emits exact-verified pairs (jaccard >= 0.5). No DuckDB twin —
+    * xxhash64 has no portable oracle (rows-only check); agreement with
+    * the md5 family's results is spec-checked instead.
+    */
+  def minhashPairsFast(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingleTable(spark, dir)
+    val sigs = (0 until minhashN).map { j =>
+      array_min(transform(col("shingles"), s => xxhash64(lit(j), s)))
+        .as(s"sig_$j")
+    }
+    val withSig = docs.select(col("doc_id") +: sigs: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = (0 until minhashBands).map { b =>
+      struct(lit(b).as("band_idx"),
+        xxhash64(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")).as("band_hash"))
+    }
+    val bandKeys = withSig
+      .select(col("doc_id"), explode(array(bands: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_hash").as("band_hash"))
+    val pairs = graft.ops.ScaleOps.cappedBandJoin(
+      bandKeys, "doc_id", Seq("band_idx", "band_hash"), maxBucketSize = 1000)
+      .withColumnRenamed("a", "doc_a").withColumnRenamed("b", "doc_b")
+    val sa = withSig.select(col("doc_id").as("doc_a") +:
+      (0 until minhashN).map(j => col(s"sig_$j").as(s"a_$j")): _*)
+    val sb = withSig.select(col("doc_id").as("doc_b") +:
+      (0 until minhashN).map(j => col(s"sig_$j").as(s"b_$j")): _*)
+    val agree = (0 until minhashN).map { j =>
+      when(col(s"a_$j") === col(s"b_$j"), 1).otherwise(0)
+    }.reduce(_ + _)
+    val survivors = pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .filter((agree.cast("double") / minhashN.toDouble) >= 0.35)
+      .select(col("doc_a"), col("doc_b"))
+    survivors
+      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(array_distinct(col("sh_a")), array_distinct(col("sh_b")))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // -------------------------------------------------------------- simhash
   /** 32-bit SimHash over whitespace tokens. Portable bit extraction: bit i
     * of a token's hash = bit (3 - i%4) of hex digit i/4 of md5(token), so
@@ -468,7 +526,8 @@ object TextOps {
     "q11_exact_dedup" -> (exactDedup _),
     "q12_minhash_pairs" -> (minhashPairs _),
     "q13_simhash" -> (simhash _),
-    "q45_minhash_est" -> (minhashEstimatedJaccard _))
+    "q45_minhash_est" -> (minhashEstimatedJaccard _),
+    "q48_minhash_fast" -> (minhashPairsFast _))
 
   val oracle: Map[String, String] = Map(
     "q36_winnowing_fp" -> winnowingFingerprintsSql,
