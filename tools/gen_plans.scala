@@ -1,0 +1,31 @@
+import java.io.PrintWriter
+val sf = "/root/testdata/sf0.001"
+val picks = Seq(
+  ("q03_revenue_by_nation", "Star join: fact scanned once, every dimension broadcast; aggregate has a map-side partial."),
+  ("q12_minhash_pairs", "LSH band join: persisted narrow band keys, equi-join on (band_idx, band_hash) - no O(N^2) pairs."),
+  ("q26_asof_join", "As-of via union + one per-key sort + LOCF window: no multiplicative join intermediate."),
+  ("q42_interval_join", "Banded interval join: tiny error side broadcast into a (user, bucket) equi-join, exact range filter after."),
+  ("q44_euclidean_topk", "Probe search: 10-row probe set broadcast (BNL is intentional), collection scanned once, per-probe top-k window."),
+  ("q46_curation_pipeline", "Composed curation: one scan -> narrow quality/fingerprint/sample stages -> single dedup shuffle -> final aggregate."))
+val out = new PrintWriter("/tmp/PLANS.md")
+out.println("# PLANS - formatted physical plans for flagship queries")
+out.println()
+out.println("Generated with `.explain(\"formatted\")` at sf0.001. What to look for in")
+out.println("each: scans prune columns (`ReadSchema`) and push filters")
+out.println("(`PushedFilters`), small sides broadcast, and `WholeStageCodegen` spans")
+out.println("cover the narrow pipelines. Regenerate: tools/gen_plans.scala.")
+picks.foreach { case (name, why) =>
+  val df = graft.SparkEntry.queries(name)(spark, sf)
+  val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  out.println()
+  out.println(s"## $name")
+  out.println()
+  out.println(why)
+  out.println()
+  out.println("```")
+  // keep the operator tree; drop the verbose per-node detail section
+  out.println(plan.split("\n\n")(0))
+  out.println("```")
+}
+out.close()
+println("WROTE /tmp/PLANS.md")
