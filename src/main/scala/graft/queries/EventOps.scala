@@ -44,6 +44,36 @@ object EventOps {
        |GROUP BY 1, 2
        |ORDER BY hour, event_type""".stripMargin
 
+  /** Sliding 1-hour windows advancing every 15 minutes — each event lands
+    * in 4 overlapping windows (the streaming twin passes a slide to
+    * Streaming.windowedRollup). The oracle derives the same 4 window
+    * starts per event arithmetically: Spark's window() aligns windows to
+    * the epoch, so start_k = (us div slide − k) · slide for k = 0..3.
+    * Output keyed by epoch-micros window start for engine parity.
+    */
+  def slidingRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumD(col("value")).as("total_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("window_start_us"), col("event_type"))
+
+  val slidingRollupSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events
+       |), slid AS (
+       |  SELECT event_type, value,
+       |    ((us // 900000000) - unnest([0, 1, 2, 3])) * 900000000 AS window_start_us
+       |  FROM ev
+       |)
+       |SELECT window_start_us, event_type, COUNT(*) AS n,
+       |  ${sumDSql("value")} AS total_value
+       |FROM slid
+       |GROUP BY window_start_us, event_type
+       |ORDER BY window_start_us, event_type""".stripMargin
+
   /** Gaps-and-islands sessionization (30-minute inactivity gap): the
     * deterministic batch twin of session_window/flatMapGroupsWithState.
     * Timestamps surface as epoch micros (long) so both engines agree on
@@ -110,11 +140,13 @@ object EventOps {
     "q17_json_extract" -> (jsonExtract _),
     "q18_hourly_rollup" -> (hourlyRollup _),
     "q19_sessionize" -> (sessionize _),
-    "q20_type_stats" -> (typeStats _))
+    "q20_type_stats" -> (typeStats _),
+    "q49_sliding_rollup" -> (slidingRollup _))
 
   val oracle: Map[String, String] = Map(
     "q17_json_extract" -> jsonExtractSql,
     "q18_hourly_rollup" -> hourlyRollupSql,
     "q19_sessionize" -> sessionizeSql,
-    "q20_type_stats" -> typeStatsSql)
+    "q20_type_stats" -> typeStatsSql,
+    "q49_sliding_rollup" -> slidingRollupSql)
 }

@@ -58,16 +58,22 @@ object Streaming {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
-  /** Watermarked tumbling-window rollup — the streaming twin of
-    * EventOps.hourlyRollup (same expressions, append-mode safe).
+  /** Watermarked tumbling or sliding window rollup — the streaming twin
+    * of EventOps.hourlyRollup (slide == window) and q49's sliding rollup
+    * (slide < window; each event lands in window/slide overlapping
+    * windows). Same expressions, append-mode safe.
     */
-  def windowedRollup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+  def windowedRollup(events: DataFrame, watermark: String = "1 hour",
+      windowDur: String = "1 hour", slide: String = ""): DataFrame = {
+    val win = if (slide.isEmpty) window(col("ts"), windowDur)
+      else window(col("ts"), windowDur, slide)
     events.withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .groupBy(win, col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"),
         col("total_value"))
+  }
 
   /** Event-time session windows via the built-in session_window (30-minute
     * gap) — state-store backed, watermark-bounded.

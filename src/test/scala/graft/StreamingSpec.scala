@@ -25,6 +25,17 @@ class StreamingSpec extends SparkTestBase {
     assert(got.count() >= want.count() - slack && got.count() > 0)
   }
 
+  test("sliding-window rollup: streaming emits a correct prefix of the batch result") {
+    val got = Streaming.drainToBatch(
+      Streaming.windowedRollup(streamEvents, slide = "15 minutes"), "slide_t")
+      .select(unix_micros(col("hour")).as("window_start_us"),
+        col("event_type"), col("n"), col("total_value"))
+    val want = graft.queries.EventOps.slidingRollup(spark, sf)
+    assert(got.exceptAll(want).count() == 0)
+    val slack = want.select("event_type").distinct().count() * 6
+    assert(got.count() >= want.count() - slack && got.count() > 0)
+  }
+
   test("streaming dedup within watermark: one row per key") {
     // duplicate the stream by unioning it with itself via two reads
     val dup = streamEvents.union(streamEvents)
