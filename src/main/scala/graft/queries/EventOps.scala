@@ -118,6 +118,41 @@ object EventOps {
        |FROM sess GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  /** Ranking-function family over per-user activity: rank / dense_rank /
+    * cume_dist share a ties-allowed ordering (integer key, so tie groups
+    * are engine-identical), lead uses the unique tie-broken ordering.
+    * Covers the §2.7 window flavors q04/q14's row_number doesn't.
+    */
+  def userRanks(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val tied = Window.partitionBy(col("event_type"))
+      .orderBy(col("n_events").desc)
+    val unique = Window.partitionBy(col("event_type"))
+      .orderBy(col("n_events").desc, col("user_id"))
+    base.select(col("event_type"), col("user_id"), col("n_events"),
+      rank().over(tied).as("rnk"),
+      dense_rank().over(tied).as("drnk"),
+      cume_dist().over(tied).as("cd"),
+      lead(col("n_events"), 1).over(unique).as("next_n"))
+      .orderBy(col("event_type"), col("user_id"))
+  }
+
+  val userRanksSql: String =
+    """WITH base AS (
+      |  SELECT event_type, user_id, COUNT(*) AS n_events
+      |  FROM events GROUP BY event_type, user_id
+      |)
+      |SELECT event_type, user_id, n_events,
+      |  CAST(rank() OVER (PARTITION BY event_type ORDER BY n_events DESC) AS INT) AS rnk,
+      |  CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY n_events DESC) AS INT) AS drnk,
+      |  cume_dist() OVER (PARTITION BY event_type ORDER BY n_events DESC) AS cd,
+      |  lead(n_events, 1) OVER (PARTITION BY event_type
+      |                          ORDER BY n_events DESC, user_id) AS next_n
+      |FROM base
+      |ORDER BY event_type, user_id""".stripMargin
+
   /** Per-type profile: exact distinct users, value distribution. */
   def typeStats(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -141,12 +176,14 @@ object EventOps {
     "q18_hourly_rollup" -> (hourlyRollup _),
     "q19_sessionize" -> (sessionize _),
     "q20_type_stats" -> (typeStats _),
-    "q49_sliding_rollup" -> (slidingRollup _))
+    "q49_sliding_rollup" -> (slidingRollup _),
+    "q50_user_ranks" -> (userRanks _))
 
   val oracle: Map[String, String] = Map(
     "q17_json_extract" -> jsonExtractSql,
     "q18_hourly_rollup" -> hourlyRollupSql,
     "q19_sessionize" -> sessionizeSql,
     "q20_type_stats" -> typeStatsSql,
-    "q49_sliding_rollup" -> slidingRollupSql)
+    "q49_sliding_rollup" -> slidingRollupSql,
+    "q50_user_ranks" -> userRanksSql)
 }
