@@ -279,6 +279,54 @@ object Relational2 {
        |JOIN p pb ON pairs.doc_b = pb.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Ordered list aggregation (the listagg/string_agg shape): collect_set
+    * is order-nondeterministic, so a deterministic sort + slice happens
+    * before the join into a string — the only way list aggregation can be
+    * oracle-checked.
+    */
+  def sourceLists(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        concat_ws(",", slice(array_sort(collect_set(col("source"))), 1, 5))
+          .as("first_sources"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+
+  val sourceListsSql: String =
+    """SELECT lang,
+      |  array_to_string(list_sort(list(DISTINCT source))[1:5], ',') AS first_sources,
+      |  COUNT(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Arbitrary GROUPING SETS through the SQL surface (rollup/cube cover
+    * only the lattice shapes): status-only, priority-only, and grand
+    * total — no (status, priority) pairs. Also exercises spark.sql as a
+    * first-class entry point.
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders,
+        |  grouping(o_orderstatus) AS g_status,
+        |  grouping(o_orderpriority) AS g_priority
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders,
+      |  CAST(grouping(o_orderstatus) AS TINYINT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS TINYINT) AS g_priority
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_status_cube" -> (statusPriorityCube _),
     "q38_edit_distance" -> (editDistancePairs _),
@@ -289,7 +337,9 @@ object Relational2 {
     "q26_asof_join" -> (asofJoin _),
     "q27_pivot_events" -> (pivotEvents _),
     "q28_simhash_hamming" -> (simhashHammingPairs _),
-    "q29_running_revenue" -> (runningRevenue _))
+    "q29_running_revenue" -> (runningRevenue _),
+    "q51_source_lists" -> (sourceLists _),
+    "q52_grouping_sets" -> (groupingSets _))
 
   val oracle: Map[String, String] = Map(
     "q37_status_cube" -> statusPriorityCubeSql,
@@ -301,5 +351,7 @@ object Relational2 {
     "q26_asof_join" -> asofJoinSql,
     "q27_pivot_events" -> pivotEventsSql,
     "q28_simhash_hamming" -> simhashHammingPairsSql,
-    "q29_running_revenue" -> runningRevenueSql)
+    "q29_running_revenue" -> runningRevenueSql,
+    "q51_source_lists" -> sourceListsSql,
+    "q52_grouping_sets" -> groupingSetsSql)
 }
