@@ -118,6 +118,30 @@ object EventOps {
        |FROM sess GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  /** F13 complete: props parsed as a real MapType (not just path access)
+    * then exploded to (key, value) rows — per-key cardinality and value
+    * range. The map shape is what survives schema drift: new JSON keys
+    * appear as new rows, not as breaking schema changes.
+    */
+  def propsMap(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(explode(from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))).as(Seq("key", "val")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        min(col("val").cast("long")).as("min_val"),
+        max(col("val").cast("long")).as("max_val"))
+      .orderBy(col("key"))
+
+  val propsMapSql: String =
+    """SELECT key, COUNT(*) AS n,
+      |  min(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS min_val,
+      |  max(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS max_val
+      |FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
+      |GROUP BY key ORDER BY key""".stripMargin
+
   /** Ranking-function family over per-user activity: rank / dense_rank /
     * cume_dist share a ties-allowed ordering (integer key, so tie groups
     * are engine-identical), lead uses the unique tie-broken ordering.
@@ -177,7 +201,8 @@ object EventOps {
     "q19_sessionize" -> (sessionize _),
     "q20_type_stats" -> (typeStats _),
     "q49_sliding_rollup" -> (slidingRollup _),
-    "q50_user_ranks" -> (userRanks _))
+    "q50_user_ranks" -> (userRanks _),
+    "q53_props_map" -> (propsMap _))
 
   val oracle: Map[String, String] = Map(
     "q17_json_extract" -> jsonExtractSql,
@@ -185,5 +210,6 @@ object EventOps {
     "q19_sessionize" -> sessionizeSql,
     "q20_type_stats" -> typeStatsSql,
     "q49_sliding_rollup" -> slidingRollupSql,
-    "q50_user_ranks" -> userRanksSql)
+    "q50_user_ranks" -> userRanksSql,
+    "q53_props_map" -> propsMapSql)
 }
