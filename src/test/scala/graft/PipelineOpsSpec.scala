@@ -167,6 +167,49 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(bad === 0L)
   }
 
+  test("sketch profile approximations stay within documented error of exact") {
+    val approx = graft.queries.Profiling.sketchProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("orders"),
+        countDistinct(col("l_partkey")).as("parts"),
+        percentile(col("l_quantity"), lit(0.5)).as("median_qty"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    exact.foreach { case (flag, e) =>
+      val a = approx(flag)
+      // HLL++ default rsd 5%, parts built at 1%; allow 3x headroom
+      assert(math.abs(a.getLong(1) - e.getLong(1)).toDouble / e.getLong(1) < 0.15)
+      assert(math.abs(a.getLong(2) - e.getLong(2)).toDouble / e.getLong(2) < 0.03)
+      // percentile_approx with accuracy 10000 on ~20k rows/group: near-
+      // exact (returns the input's integral type; exact percentile is
+      // interpolated double)
+      assert(math.abs(a.getAs[Number](3).doubleValue -
+        e.getAs[Number](3).doubleValue) <= 1.0)
+    }
+  }
+
+  test("curated corpus publishes partitioned by lang, compacts, reads back identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    val out = s"$dir/corpus"
+    val curated = PipelineOps.stratifiedSample(spark, sf)
+    curated.write.partitionBy("lang").parquet(out)
+    val back = spark.read.parquet(out)
+      .select(curated.columns.map(col): _*)
+    assert(back.exceptAll(curated).count() === 0L)
+    assert(curated.exceptAll(back).count() === 0L)
+    // partition pruning reaches the scan
+    val pruned = spark.read.parquet(out).filter(col("lang") === "en")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"),
+      s"expected lang partition filter in:\n$scan")
+    // maintenance: compaction preserves every row (layout flattens)
+    graft.ops.ScaleOps.compact(spark, out, targetBytes = 1L << 20)
+    val compacted = spark.read.parquet(out).select(curated.columns.map(col): _*)
+    assert(compacted.exceptAll(curated).count() === 0L)
+    assert(curated.exceptAll(compacted).count() === 0L)
+  }
+
   test("minhash estimated jaccard brackets the exact jaccard loosely") {
     import graft.queries.TextOps
     val est = TextOps.minhashEstimatedJaccard(spark, sf)
