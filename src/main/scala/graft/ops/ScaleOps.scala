@@ -82,8 +82,10 @@ object ScaleOps {
   def cappedBandJoin(bandKeys: DataFrame, idCol: String,
       bucketCols: Seq[String], maxBucketSize: Int): DataFrame = {
     val bc = bucketCols.map(col)
+    // cap on DISTINCT ids per the cardinality contract: duplicate
+    // (id, bucket) rows must not push an under-cap bucket over the limit
     val ok = bandKeys.join(
-      bandKeys.groupBy(bc: _*).agg(count(lit(1)).as("__n"))
+      bandKeys.groupBy(bc: _*).agg(countDistinct(col(idCol)).as("__n"))
         .filter(col("__n") <= maxBucketSize)
         .select(bc: _*),
       bucketCols)

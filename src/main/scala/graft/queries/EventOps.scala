@@ -135,10 +135,14 @@ object EventOps {
         max(col("val").cast("long")).as("max_val"))
       .orderBy(col("key"))
 
+  // TRY_CAST + quoted path segment: Spark's cast("long") yields null on
+  // non-numeric values and from_json treats keys as flat strings, so the
+  // oracle must not hard-error on a drifted string value nor parse a key
+  // containing '.' as a nested path.
   val propsMapSql: String =
     """SELECT key, COUNT(*) AS n,
-      |  min(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS min_val,
-      |  max(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS max_val
+      |  min(TRY_CAST(json_extract_string(props, '$."' || key || '"') AS BIGINT)) AS min_val,
+      |  max(TRY_CAST(json_extract_string(props, '$."' || key || '"') AS BIGINT)) AS max_val
       |FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
       |GROUP BY key ORDER BY key""".stripMargin
 

@@ -35,30 +35,38 @@ object PipelineOps {
     * this is a full scan with zero shuffle, and the filter is
     * codegen-friendly.
     */
-  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    // keep rates: en 25%, es 50%, de 75%, everything else 100%
-    val u8 = substring(md5(col("doc_id").cast("string")), 1, 8)
-    val threshold = when(col("lang") === "en", "40000000")
-      .when(col("lang") === "es", "80000000")
-      .when(col("lang") === "de", "c0000000")
-      .otherwise("zzzzzzzz") // any hex string sorts below this: keep all
+  // Keep rates — en 25%, es 50%, de 75%, everything else 100% — defined
+  // ONCE as hex thresholds and rendered into both engines' expressions:
+  // q39 and q46 share them, so a rate change cannot desynchronize the
+  // Spark queries from their oracles or q39 from the composed pipeline.
+  private val keepRates: Seq[(String, String)] =
+    Seq("en" -> "40000000", "es" -> "80000000", "de" -> "c0000000")
+
+  private def u8Col: Column = substring(md5(col("doc_id").cast("string")), 1, 8)
+  private val u8Sql: String = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+
+  private def thresholdCol: Column =
+    keepRates.foldRight(lit("zzzzzzzz"): Column) { case ((l, t), acc) =>
+      when(col("lang") === l, t).otherwise(acc) // 'zzzzzzzz' > any hex: keep all
+    }
+  private val thresholdSql: String =
+    keepRates.map { case (l, t) => s"WHEN lang = '$l' THEN '$t'" }
+      .mkString("CASE ", "\n       ", "\n       ELSE 'zzzzzzzz' END")
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("u8", u8)
-      .filter(col("u8") < threshold)
+      .withColumn("u8", u8Col)
+      .filter(col("u8") < thresholdCol)
       .select(col("doc_id"), col("lang"), col("source"), col("u8"))
       .orderBy(col("doc_id"))
-  }
 
   val stratifiedSampleSql: String =
-    """SELECT doc_id, lang, source,
-      |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS u8
-      |FROM documents
-      |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
-      |  CASE WHEN lang = 'en' THEN '40000000'
-      |       WHEN lang = 'es' THEN '80000000'
-      |       WHEN lang = 'de' THEN 'c0000000'
-      |       ELSE 'zzzzzzzz' END
-      |ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id, lang, source,
+       |  $u8Sql AS u8
+       |FROM documents
+       |WHERE $u8Sql <
+       |  $thresholdSql
+       |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------- chunking
   /** Sequence chunking: split each document into consecutive 32-token
@@ -301,18 +309,14 @@ object PipelineOps {
       .select(col("doc_id"), col("lang"), col("source"),
         size(toks).as("n_tokens"),
         md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"),
-        substring(md5(col("doc_id").cast("string")), 1, 8).as("u8"))
+        u8Col.as("u8"))
       .filter(col("n_tokens").between(20, 90))
     val survivor = Window.partitionBy(col("fp"))
       .orderBy(col("doc_id"))
-    val threshold = when(col("lang") === "en", "40000000")
-      .when(col("lang") === "es", "80000000")
-      .when(col("lang") === "de", "c0000000")
-      .otherwise("zzzzzzzz")
     base
       .withColumn("rk", row_number().over(survivor))
       .filter(col("rk") === 1)
-      .filter(col("u8") < threshold)
+      .filter(col("u8") < thresholdCol)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
@@ -326,7 +330,7 @@ object PipelineOps {
        |  SELECT doc_id, lang, source,
        |    len(string_split(text, ' ')) AS n_tokens,
        |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
-       |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS u8
+       |    $u8Sql AS u8
        |  FROM documents
        |  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 90
        |), dedup AS (
@@ -334,10 +338,7 @@ object PipelineOps {
        |  FROM base
        |), sampled AS (
        |  SELECT * FROM dedup WHERE rk = 1
-       |  AND u8 < CASE WHEN lang = 'en' THEN '40000000'
-       |                WHEN lang = 'es' THEN '80000000'
-       |                WHEN lang = 'de' THEN 'c0000000'
-       |                ELSE 'zzzzzzzz' END
+       |  AND u8 < $thresholdSql
        |)
        |SELECT lang, source, COUNT(*) AS n_docs,
        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,

@@ -305,16 +305,21 @@ object Relational2 {
     * first-class entry point.
     */
   def groupingSets(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("orders_gs")
+    // dir-unique view name: a fixed name would race under concurrent
+    // invocations for different dirs on one session (every other query
+    // here is catalog-side-effect-free)
+    val view = "orders_gs_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    Tables.orders(spark, dir).createOrReplaceTempView(view)
     spark.sql(
-      """SELECT o_orderstatus, o_orderpriority,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-        |  COUNT(*) AS n_orders,
-        |  grouping(o_orderstatus) AS g_status,
-        |  grouping(o_orderpriority) AS g_priority
-        |FROM orders_gs
-        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin)
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_orders,
+         |  grouping(o_orderstatus) AS g_status,
+         |  grouping(o_orderpriority) AS g_priority
+         |FROM $view
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin)
   }
 
   val groupingSetsSql: String =

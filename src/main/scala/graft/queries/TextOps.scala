@@ -150,18 +150,70 @@ object TextOps {
         transform(sequence(lit(0), size(col("t")) - 3),
           i => array_join(slice(col("t"), i + 1, lit(3)), " ")).as("shingles"))
 
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = shingleTable(spark, dir)
+  // ---- shared minhash scaffolding (used by q12 / q45 / q48: one place
+  // to change the signature construction, banding, agreement estimate,
+  // and exact-jaccard verify for every hash family) ----
+
+  /** (doc_id, sig_0..sig_N-1) from a per-(component, shingle) hash. */
+  private def signatureTable(docs: DataFrame,
+      sigOf: (Int, Column) => Column): DataFrame = {
     val sigs = (0 until minhashN).map { j =>
-      array_min(transform(col("shingles"), s => md5(concat(lit(s"$j:"), s))))
-        .as(s"sig_$j")
+      array_min(transform(col("shingles"), s => sigOf(j, s))).as(s"sig_$j")
     }
-    val withSig = docs.select(col("doc_id") +: sigs: _*)
+    docs.select(col("doc_id") +: sigs: _*)
+  }
+
+  private def md5Sig(j: Int, s: Column): Column = md5(concat(lit(s"$j:"), s))
+
+  /** Narrow (doc_id, band_idx, band_hash) table from a signature table. */
+  private def bandKeysOf(withSig: DataFrame,
+      bandHash: (Column, Column) => Column): DataFrame = {
     val bands = (0 until minhashBands).map { b =>
       struct(lit(b).as("band_idx"),
-        md5(concat_ws("|", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
-          .as("band_hash"))
+        bandHash(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")).as("band_hash"))
     }
+    withSig.select(col("doc_id"), explode(array(bands: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_hash").as("band_hash"))
+  }
+
+  /** Distinct candidate (doc_a, doc_b) pairs from a band-key self-join. */
+  private def bandPairs(bandKeys: DataFrame): DataFrame =
+    bandKeys.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(bandKeys.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+
+  /** Attach both sides' signature columns (a_j / b_j) to candidate pairs. */
+  private def pairSigs(withSig: DataFrame, pairs: DataFrame): DataFrame = {
+    val sa = withSig.select(col("doc_id").as("doc_a") +:
+      (0 until minhashN).map(j => col(s"sig_$j").as(s"a_$j")): _*)
+    val sb = withSig.select(col("doc_id").as("doc_b") +:
+      (0 until minhashN).map(j => col(s"sig_$j").as(s"b_$j")): _*)
+    pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+  }
+
+  /** Fraction of agreeing components — the unbiased Jaccard estimator
+    * (evaluate over a [[pairSigs]] frame). */
+  private def sigAgreeFraction: Column =
+    (0 until minhashN).map { j =>
+      when(col(s"a_$j") === col(s"b_$j"), 1).otherwise(0)
+    }.reduce(_ + _).cast("double") / minhashN.toDouble
+
+  /** Exact shingle-set Jaccard for candidate pairs: two joins against the
+    * shingle table (candidate count << corpus size by LSH design). */
+  private def exactJaccard(docs: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(array_distinct(col("sh_a")), array_distinct(col("sh_b")))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingleTable(spark, dir)
     // Persist the narrow (doc_id, band_idx, band_hash) table: both sides
     // of the self-join read the materialized band keys instead of
     // recomputing the 16-minhash signature pipeline twice (ProjectCollapse
@@ -172,25 +224,10 @@ object TextOps {
     // keys entries by canonicalized plan, so repeated invocations reuse
     // one entry per distinct input dir, and MEMORY_AND_DISK evicts under
     // pressure.
-    val bandKeys = withSig
-      .select(col("doc_id"), explode(array(bands: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
-        col("band.band_hash").as("band_hash"))
+    val bandKeys = bandKeysOf(signatureTable(docs, md5Sig),
+      (a, b) => md5(concat_ws("|", a, b)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = bandKeys.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
-      .join(bandKeys.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b")),
-        Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
-    // Jaccard only for surviving candidates: two small joins against the
-    // shingle table (candidate count << corpus size by LSH design).
-    pairs
-      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(array_distinct(col("sh_a")), array_distinct(col("sh_b")))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+    exactJaccard(docs, bandPairs(bandKeys))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -240,41 +277,14 @@ object TextOps {
     * hash family as q12, so the oracle reproduces signatures exactly.
     */
   def minhashEstimatedJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = shingleTable(spark, dir)
-    val sigs = (0 until minhashN).map { j =>
-      array_min(transform(col("shingles"), s => md5(concat(lit(s"$j:"), s))))
-        .as(s"sig_$j")
-    }
     // persisted for the same ProjectCollapse/broadcast reason as
     // minhashPairs: three consumers (two band-join sides + the per-pair
     // signature lookup) must not each recompute the signature pipeline
-    val withSig = docs.select(col("doc_id") +: sigs: _*)
+    val withSig = signatureTable(shingleTable(spark, dir), md5Sig)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = (0 until minhashBands).map { b =>
-      struct(lit(b).as("band_idx"),
-        md5(concat_ws("|", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")))
-          .as("band_hash"))
-    }
-    val bandKeys = withSig
-      .select(col("doc_id"), explode(array(bands: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
-        col("band.band_hash").as("band_hash"))
-    val pairs = bandKeys.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
-      .join(bandKeys.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b")),
-        Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
-    val sa = withSig.select(col("doc_id").as("doc_a") +:
-      (0 until minhashN).map(j => col(s"sig_$j").as(s"a_$j")): _*)
-    val sb = withSig.select(col("doc_id").as("doc_b") +:
-      (0 until minhashN).map(j => col(s"sig_$j").as(s"b_$j")): _*)
-    val agree = (0 until minhashN).map { j =>
-      when(col(s"a_$j") === col(s"b_$j"), 1).otherwise(0)
-    }.reduce(_ + _)
-    pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (agree.cast("double") / minhashN.toDouble).as("est_jaccard"))
+    val pairs = bandPairs(bandKeysOf(withSig, (a, b) => md5(concat_ws("|", a, b))))
+    pairSigs(withSig, pairs)
+      .select(col("doc_a"), col("doc_b"), sigAgreeFraction.as("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -342,39 +352,16 @@ object TextOps {
     */
   def minhashPairsFast(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingleTable(spark, dir)
-    val sigs = (0 until minhashN).map { j =>
-      array_min(transform(col("shingles"), s => xxhash64(lit(j), s)))
-        .as(s"sig_$j")
-    }
-    val withSig = docs.select(col("doc_id") +: sigs: _*)
+    val withSig = signatureTable(docs, (j, s) => xxhash64(lit(j), s))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = (0 until minhashBands).map { b =>
-      struct(lit(b).as("band_idx"),
-        xxhash64(col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}")).as("band_hash"))
-    }
-    val bandKeys = withSig
-      .select(col("doc_id"), explode(array(bands: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
-        col("band.band_hash").as("band_hash"))
+    val bandKeys = bandKeysOf(withSig, (a, b) => xxhash64(a, b))
     val pairs = graft.ops.ScaleOps.cappedBandJoin(
       bandKeys, "doc_id", Seq("band_idx", "band_hash"), maxBucketSize = 1000)
       .withColumnRenamed("a", "doc_a").withColumnRenamed("b", "doc_b")
-    val sa = withSig.select(col("doc_id").as("doc_a") +:
-      (0 until minhashN).map(j => col(s"sig_$j").as(s"a_$j")): _*)
-    val sb = withSig.select(col("doc_id").as("doc_b") +:
-      (0 until minhashN).map(j => col(s"sig_$j").as(s"b_$j")): _*)
-    val agree = (0 until minhashN).map { j =>
-      when(col(s"a_$j") === col(s"b_$j"), 1).otherwise(0)
-    }.reduce(_ + _)
-    val survivors = pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
-      .filter((agree.cast("double") / minhashN.toDouble) >= 0.35)
+    val survivors = pairSigs(withSig, pairs)
+      .filter(sigAgreeFraction >= 0.35)
       .select(col("doc_a"), col("doc_b"))
-    survivors
-      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(array_distinct(col("sh_a")), array_distinct(col("sh_b")))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+    exactJaccard(docs, survivors)
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }

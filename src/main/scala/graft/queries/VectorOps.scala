@@ -98,14 +98,30 @@ object VectorOps {
   /** IVF index cache: build-once / search-many is the point of IVF — the
     * index build (KMeans fit + cell assignment) amortizes over probe
     * volume, so repeated q16 invocations against the same data reuse the
-    * index instead of re-fitting. Keyed per (session, dir); entries hold
-    * persisted DataFrames, released when the session stops.
+    * index instead of re-fitting. Keyed per (session, dir). Entries for
+    * stopped sessions are dropped (and their persisted cells released)
+    * on every access, so cycling sessions in one JVM cannot accumulate
+    * dead indexes; callers that rewrite the data under `dir` must call
+    * [[invalidateIvf]] — the cache has no way to observe file changes.
     */
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
       graft.similarity.Similarity.IvfIndex]
 
+  /** Drop the cached index for (session, dir) after an embeddings
+    * rewrite; no-op if absent. */
+  def invalidateIvf(spark: SparkSession, dir: String): Unit =
+    ivfCache.remove((spark, dir)).foreach { idx =>
+      scala.util.Try(idx.cells.unpersist())
+    }
+
+  private def evictStopped(): Unit =
+    ivfCache.keys.filter(_._1.sparkContext.isStopped).foreach { k =>
+      ivfCache.remove(k).foreach(idx => scala.util.Try(idx.cells.unpersist()))
+    }
+
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    evictStopped()
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val index = ivfCache.getOrElseUpdate((spark, dir),
       graft.similarity.Similarity.buildIvfIndex(emb, k = 10))

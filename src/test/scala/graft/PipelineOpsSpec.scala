@@ -149,22 +149,21 @@ class PipelineOpsSpec extends SparkTestBase {
   test("fast minhash path recovers the md5 family's verified near-dups") {
     import graft.queries.TextOps
     val fast = TextOps.minhashPairsFast(spark, sf)
-      .select(col("doc_a"), col("doc_b"))
     val exact = TextOps.minhashPairs(spark, sf)
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
     val exactN = exact.count()
-    val found = exact.join(fast, Seq("doc_a", "doc_b"), "left_semi").count()
+    val found = exact.join(fast.select(col("doc_a"), col("doc_b")),
+      Seq("doc_a", "doc_b"), "left_semi").count()
     // different hash families -> different candidate sets, but both are
     // 16-minhash/8-band LSH and both exact-verify: high-jaccard pairs
     // land in a shared band with overwhelming probability
     assert(exactN == 0 || found >= (exactN * 0.8).toLong,
       s"fast path recovered $found of $exactN md5-family pairs")
     // precision is exact by construction: every emitted pair really has
-    // jaccard >= 0.5
-    val bad = TextOps.minhashPairsFast(spark, sf)
-      .filter(col("jaccard") < 0.5).count()
-    assert(bad === 0L)
+    // jaccard >= 0.5 (reuse the frame - the pipeline is the suite's most
+    // expensive, don't run it twice)
+    assert(fast.filter(col("jaccard") < 0.5).count() === 0L)
   }
 
   test("sketch profile approximations stay within documented error of exact") {

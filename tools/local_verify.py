@@ -43,28 +43,27 @@ def main():
         oracle = json.load(f)
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        # Single execution per side: the pandas frame provides both the
+        # value rows and the dtypes (running each oracle twice doubled the
+        # gate's DuckDB work for no extra information).
         try:
-            mine = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            mine_cols = [d[0] for d in mine.description]
-            mine_rows = mine.fetchall()
-            want = con.execute(sql)
-            want_cols = [d[0] for d in want.description]
-            want_rows = want.fetchall()
+            mine_df = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+            want_df = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             n_fail += 1
             continue
+        mine_cols = list(mine_df.columns)
+        mine_rows = list(mine_df.itertuples(index=False, name=None))
+        want_cols = list(want_df.columns)
+        want_rows = list(want_df.itertuples(index=False, name=None))
         # Driver-parity dtype check: the driver hashes pandas frames, and
         # int-vs-float divergence (e.g. DuckDB HUGEINT -> float64 vs Spark
         # int64) fails its hash even when values compare equal. Integer
         # width differences (int32 vs int64) are fine.
-        kinds = []
-        for side, res in (("mine", mine), ("want", want)):
-            df = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
-                if side == "mine" else sql).df()
-            kinds.append({c: df[c].dtype.kind for c in df.columns})
+        kinds = [{c: mine_df[c].dtype.kind for c in mine_df.columns},
+                 {c: want_df[c].dtype.kind for c in want_df.columns}]
         dtype_bad = [c for c in kinds[0]
                      if c in kinds[1] and
                      {kinds[0][c], kinds[1][c]} == {"i", "f"}]
