@@ -68,6 +68,70 @@ object PipelineOps {
        |  $thresholdSql
        |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic train/val/test split — the same hash-uniform u8 drives
+    * an 80/10/10 assignment (0.8·16⁸ ≈ cccccccc, 0.9·16⁸ ≈ e6666666).
+    * Split membership is a pure function of the doc key: stable across
+    * runs, engines, partitionings, and dataset growth (a new doc never
+    * moves an old doc's split). Map-only + one small aggregate.
+    */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    val split = when(u8Col < "cccccccc", "train")
+      .when(u8Col < "e6666666", "val")
+      .otherwise("test")
+    Tables.documents(spark, dir)
+      .select(split.as("split"), col("lang"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val datasetSplitSql: String =
+    s"""SELECT CASE WHEN $u8Sql < 'cccccccc' THEN 'train'
+       |            WHEN $u8Sql < 'e6666666' THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  lang, COUNT(*) AS n_docs
+       |FROM documents
+       |GROUP BY 1, 2
+       |ORDER BY split, lang""".stripMargin
+
+  /** Token-budget sequence packing (approximate): per language, documents
+    * in doc_id order accumulate into packs of ~2048 tokens — pack_id is
+    * the preceding cumulative token count integer-divided by the budget,
+    * so assignment needs only one windowed sum (the greedy bin-packing
+    * loop a 100 TB run cannot afford is approximated by the running
+    * quotient; packs can overflow by at most one document).
+    */
+  val packBudget = 2048
+
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), size(toks).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div $packBudget"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+      .orderBy(col("lang"), col("pack_id"))
+  }
+
+  val sequencePackSql: String =
+    s"""WITH t AS (
+       |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  -- CAST: DuckDB windowed SUM(int) is HUGEINT -> pandas float64
+       |  SELECT lang, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM t
+       |)
+       |SELECT lang, CAST((cum - n_tokens) // $packBudget AS BIGINT) AS pack_id,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+       |FROM c
+       |GROUP BY lang, pack_id
+       |ORDER BY lang, pack_id""".stripMargin
+
   // ------------------------------------------------------------- chunking
   /** Sequence chunking: split each document into consecutive 32-token
     * chunks (the pre-tokenization step of sequence packing). Narrow
@@ -354,7 +418,9 @@ object PipelineOps {
     "q42_interval_join" -> (intervalJoin _),
     "q43_quality_buckets" -> (qualityBuckets _),
     "q44_euclidean_topk" -> (euclideanTopK _),
-    "q46_curation_pipeline" -> (curationPipeline _))
+    "q46_curation_pipeline" -> (curationPipeline _),
+    "q54_dataset_split" -> (datasetSplit _),
+    "q55_sequence_pack" -> (sequencePack _))
 
   val oracle: Map[String, String] = Map(
     "q39_stratified_sample" -> stratifiedSampleSql,
@@ -363,5 +429,7 @@ object PipelineOps {
     "q42_interval_join" -> intervalJoinSql,
     "q43_quality_buckets" -> qualityBucketsSql,
     "q44_euclidean_topk" -> euclideanTopKSql,
-    "q46_curation_pipeline" -> curationPipelineSql)
+    "q46_curation_pipeline" -> curationPipelineSql,
+    "q54_dataset_split" -> datasetSplitSql,
+    "q55_sequence_pack" -> sequencePackSql)
 }

@@ -166,6 +166,44 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(fast.filter(col("jaccard") < 0.5).count() === 0L)
   }
 
+  test("datasetSplit partitions the corpus with ~80/10/10 shares") {
+    val res = PipelineOps.datasetSplit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val total = res.map(_._2).sum
+    assert(total === Tables.documents(spark, sf).count())
+    val byShare = res.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val train = byShare("train").toDouble / total
+    assert(train > 0.7 && train < 0.9, s"train share $train")
+    assert(byShare.keySet === Set("train", "val", "test"))
+  }
+
+  test("sequencePack: packs are contiguous per lang and conserve tokens") {
+    val res = PipelineOps.sequencePack(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), size(split(col("text"), " ")).as("n"))
+    // token conservation per lang
+    val got = res.groupBy(col("lang")).agg(sum(col("pack_tokens")).as("t"))
+    val want = docs.groupBy(col("lang")).agg(sum(col("n")).as("t2"))
+    assert(got.join(want, Seq("lang")).filter(col("t") =!= col("t2")).count() === 0L)
+    // pack ids are 0..max contiguous per lang
+    val ids = res.select(col("lang"), col("pack_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    ids.values.foreach { ps =>
+      val sorted = ps.map(_._2).sorted
+      assert(sorted.head === 0L)
+      assert(sorted.zipWithIndex.forall { case (p, i) => p == i })
+    }
+    // every pack except a lang's last holds at least the budget minus one
+    // max-size document (the approximate-packing guarantee)
+    val maxDoc = docs.agg(max(col("n"))).head().getInt(0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val bad = res.withColumn("last", max(col("pack_id")).over(w))
+      .filter(col("pack_id") < col("last") &&
+        col("pack_tokens") < PipelineOps.packBudget - maxDoc)
+      .count()
+    assert(bad === 0L)
+  }
+
   test("sketch profile approximations stay within documented error of exact") {
     val approx = graft.queries.Profiling.sketchProfile(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
