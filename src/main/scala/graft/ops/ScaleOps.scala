@@ -62,10 +62,61 @@ object ScaleOps {
     * (measured 2× on the winnowing fingerprint pipeline at sf0.1,
     * shuffle included). No-op when the source is already wide, so it is
     * safe to leave in place for cluster deployments with many files.
+    *
+    * Width detection avoids materializing an RDD lineage per call: when
+    * the plan is a narrow chain over file scans, the planned width is
+    * computed from the relations' (already in-memory) file listings with
+    * Spark's own split arithmetic; `knownPartitions` lets callers that
+    * track their source width skip even that; only otherwise does it fall
+    * back to `queryExecution.toRdd` (the pre-AQE planned width — what the
+    * repartition decision is about anyway).
     */
-  def rebalance(df: DataFrame): DataFrame = {
+  def rebalance(df: DataFrame, knownPartitions: Int = -1): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+    val have =
+      if (knownPartitions >= 0) knownPartitions
+      else plannedScanWidth(df).getOrElse(df.queryExecution.toRdd.getNumPartitions)
+    if (have < want) df.repartition(want) else df
+  }
+
+  /** Planned scan width for a narrow (no exchange possible) plan over
+    * file relations, from file-index metadata only. None when any node
+    * could change partitioning — caller falls back to physical planning.
+    */
+  private[graft] def plannedScanWidth(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.{FilePartition, HadoopFsRelation, LogicalRelation}
+    val spark = df.sparkSession
+    def width(plan: LogicalPlan): Option[Int] = plan match {
+      case Project(_, c) => width(c)
+      case Filter(_, c) => width(c)
+      case SubqueryAlias(_, c) => width(c)
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+        val parts = fs.location.listFiles(Nil, Nil)
+        val maxSplit = FilePartition.maxSplitBytes(spark, parts)
+        val open = spark.sessionState.conf.filesOpenCostInBytes
+        val splits = parts.iterator.flatMap(_.files).flatMap { f =>
+          val len = f.getLen
+          Seq.fill((len / maxSplit).toInt)(maxSplit) ++
+            (if (len % maxSplit > 0) Seq(len % maxSplit) else Nil)
+        }.toSeq.sortBy(-_)
+        // Mirrors FilePartition.getFilePartitions: close the current bin
+        // when the next split would push its data size past maxSplit;
+        // each packed split costs its size plus openCostInBytes.
+        var n = 0
+        var cur = 0L
+        var nonEmpty = false
+        splits.foreach { s =>
+          if (nonEmpty && cur + s > maxSplit) { n += 1; cur = 0L; nonEmpty = false }
+          cur += s + open
+          nonEmpty = true
+        }
+        if (nonEmpty) n += 1
+        Some(math.max(n, 1))
+      case _ => None
+    }
+    width(df.queryExecution.optimizedPlan)
   }
 
   /** LSH candidate generation with a per-bucket cardinality cap. A band

@@ -131,20 +131,33 @@ object EventOps {
           org.apache.spark.sql.types.StringType))).as(Seq("key", "val")))
       .groupBy(col("key"))
       .agg(count(lit(1)).as("n"),
-        min(col("val").cast("long")).as("min_val"),
-        max(col("val").cast("long")).as("max_val"))
+        min(expr("try_cast(val AS LONG)")).as("min_val"),
+        max(expr("try_cast(val AS LONG)")).as("max_val"))
       .orderBy(col("key"))
 
-  // TRY_CAST + quoted path segment: Spark's cast("long") yields null on
-  // non-numeric values and from_json treats keys as flat strings, so the
-  // oracle must not hard-error on a drifted string value nor parse a key
-  // containing '.' as a nested path.
+  // Drift-parity notes (both sides must degrade identically on data this
+  // query's doc comment anticipates):
+  //  - numeric drift: Spark try_cast(STRING AS LONG) nulls anything that
+  //    is not an (optionally signed, whitespace-padded) integer, while
+  //    DuckDB TRY_CAST('3.5' AS BIGINT) ROUNDS — so the oracle gates
+  //    TRY_CAST behind the same integer regex Spark accepts (overflow
+  //    nulls on both engines).
+  //  - key drift: json_keys + the '$."<key>"' path handles keys
+  //    containing '.' but NOT keys containing a double-quote (the path
+  //    quoting would break). ASSUMPTION (like the ASCII one in
+  //    MultimodalOps): props keys never contain '"' — true of the
+  //    fixtures and of sane telemetry schemas.
   val propsMapSql: String =
-    """SELECT key, COUNT(*) AS n,
-      |  min(TRY_CAST(json_extract_string(props, '$."' || key || '"') AS BIGINT)) AS min_val,
-      |  max(TRY_CAST(json_extract_string(props, '$."' || key || '"') AS BIGINT)) AS max_val
-      |FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
-      |GROUP BY key ORDER BY key""".stripMargin
+    """WITH kv AS (
+      |  SELECT key, json_extract_string(props, '$."' || key || '"') AS val
+      |  FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
+      |)
+      |SELECT key, COUNT(*) AS n,
+      |  min(CASE WHEN regexp_matches(val, '^\s*[+-]?[0-9]+\s*$')
+      |           THEN TRY_CAST(val AS BIGINT) END) AS min_val,
+      |  max(CASE WHEN regexp_matches(val, '^\s*[+-]?[0-9]+\s*$')
+      |           THEN TRY_CAST(val AS BIGINT) END) AS max_val
+      |FROM kv GROUP BY key ORDER BY key""".stripMargin
 
   /** Ranking-function family over per-user activity: rank / dense_rank /
     * cume_dist share a ties-allowed ordering (integer key, so tie groups

@@ -311,7 +311,11 @@ object Relational2 {
     val view = "orders_gs_" + java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     Tables.orders(spark, dir).createOrReplaceTempView(view)
-    spark.sql(
+    // Dataset construction analyzes eagerly, so the view reference is
+    // resolved to the underlying scan before we drop it — no catalog
+    // entry outlives this call (the only other catalog side effect in
+    // the query surface was this view leaking for the session lifetime).
+    try spark.sql(
       s"""SELECT o_orderstatus, o_orderpriority,
          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
          |  COUNT(*) AS n_orders,
@@ -320,6 +324,7 @@ object Relational2 {
          |FROM $view
          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin)
+    finally spark.catalog.dropTempView(view)
   }
 
   val groupingSetsSql: String =

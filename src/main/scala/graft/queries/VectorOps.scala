@@ -98,33 +98,82 @@ object VectorOps {
   /** IVF index cache: build-once / search-many is the point of IVF — the
     * index build (KMeans fit + cell assignment) amortizes over probe
     * volume, so repeated q16 invocations against the same data reuse the
-    * index instead of re-fitting. Keyed per (session, dir). Entries for
-    * stopped sessions are dropped (and their persisted cells released)
-    * on every access, so cycling sessions in one JVM cannot accumulate
-    * dead indexes; callers that rewrite the data under `dir` must call
-    * [[invalidateIvf]] — the cache has no way to observe file changes.
+    * index instead of re-fitting. Keyed per (session, dir); each entry
+    * also records a content fingerprint (file names + lengths + mtimes of
+    * the embeddings parquet), so a rewrite under `dir` is observed on the
+    * next access and the stale index is rebuilt automatically —
+    * [[invalidateIvf]] remains for callers that want eager release.
+    * Entries for stopped sessions are dropped (and their persisted cells
+    * released) on every access, and the cache is LRU-bounded at
+    * [[IvfCacheMax]] live entries, so a long-lived session touching many
+    * dirs cannot accumulate persisted cell DataFrames without bound.
     */
+  private final case class IvfEntry(fingerprint: String,
+      index: graft.similarity.Similarity.IvfIndex,
+      lastUsed: java.util.concurrent.atomic.AtomicLong)
+
+  val IvfCacheMax = 8
+
   private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
-      graft.similarity.Similarity.IvfIndex]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), IvfEntry]
+  private val ivfTick = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Listing-based fingerprint of the embeddings parquet under `dir`:
+    * any file added, removed, resized, or re-written (mtime) changes it.
+    * One metadata listing per q16 call — negligible next to the scan the
+    * search itself performs, and the price of rewrite safety.
+    */
+  private def embFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val s = it.next()
+      parts += s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}"
+    }
+    parts.sorted.mkString("|")
+  }
 
   /** Drop the cached index for (session, dir) after an embeddings
-    * rewrite; no-op if absent. */
+    * rewrite; no-op if absent. (Rewrites are also caught automatically
+    * via the fingerprint — this just releases the old cells eagerly.) */
   def invalidateIvf(spark: SparkSession, dir: String): Unit =
-    ivfCache.remove((spark, dir)).foreach { idx =>
-      scala.util.Try(idx.cells.unpersist())
+    ivfCache.remove((spark, dir)).foreach { e =>
+      scala.util.Try(e.index.cells.unpersist())
     }
 
   private def evictStopped(): Unit =
     ivfCache.keys.filter(_._1.sparkContext.isStopped).foreach { k =>
-      ivfCache.remove(k).foreach(idx => scala.util.Try(idx.cells.unpersist()))
+      ivfCache.remove(k).foreach(e => scala.util.Try(e.index.cells.unpersist()))
+    }
+
+  private def evictLruOver(cap: Int): Unit =
+    while (ivfCache.size > cap) {
+      val lru = ivfCache.toSeq.minBy(_._2.lastUsed.get())._1
+      ivfCache.remove(lru).foreach(e => scala.util.Try(e.index.cells.unpersist()))
     }
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     evictStopped()
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val index = ivfCache.getOrElseUpdate((spark, dir),
-      graft.similarity.Similarity.buildIvfIndex(emb, k = 10))
+    val fp = embFingerprint(spark, dir)
+    val key = (spark, dir)
+    val cached = ivfCache.get(key).filter(_.fingerprint == fp)
+    val entry = cached.getOrElse {
+      ivfCache.remove(key).foreach(e => scala.util.Try(e.index.cells.unpersist()))
+      val fresh = IvfEntry(fp,
+        graft.similarity.Similarity.buildIvfIndex(emb, k = 10),
+        new java.util.concurrent.atomic.AtomicLong(0L))
+      ivfCache.putIfAbsent(key, fresh) match {
+        case Some(raced) => // lost an insert race: release our build
+          scala.util.Try(fresh.index.cells.unpersist()); raced
+        case None => fresh
+      }
+    }
+    entry.lastUsed.set(ivfTick.incrementAndGet())
+    evictLruOver(IvfCacheMax)
+    val index = entry.index
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding"))
     // self-match excluded BEFORE ranking so all topK slots hold real

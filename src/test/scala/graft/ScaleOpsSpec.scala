@@ -111,4 +111,26 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(capped.count() === plain.count())
     assert(capped.exceptAll(plain).count() === 0L)
   }
+
+  test("plannedScanWidth matches Spark's planned scan partitioning") {
+    // narrow plans over file scans: metadata-only estimate == actual width
+    for (df <- Seq(
+        Tables.documents(spark, sf),
+        Tables.lineitem(spark, sf).filter(col("l_quantity") > 10)
+          .select("l_orderkey", "l_quantity"),
+        Tables.events(spark, sf).select("event_id", "ts"))) {
+      val est = ScaleOps.plannedScanWidth(df)
+      assert(est.isDefined)
+      assert(est.get === df.rdd.getNumPartitions)
+    }
+    // wide plan: no estimate (falls back to physical planning inside rebalance)
+    val agg = Tables.orders(spark, sf).groupBy("o_orderstatus").count()
+    assert(ScaleOps.plannedScanWidth(agg).isEmpty)
+    // rebalance still widens a skinny scan and leaves a wide frame alone
+    val want = spark.sparkContext.defaultParallelism
+    assert(ScaleOps.rebalance(Tables.documents(spark, sf))
+      .rdd.getNumPartitions === want)
+    assert(ScaleOps.rebalance(agg, knownPartitions = want * 2)
+      .queryExecution.logical === agg.queryExecution.logical)
+  }
 }
