@@ -93,7 +93,20 @@ object ScaleOps {
       case SubqueryAlias(_, c) => width(c)
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
         val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+        // The split arithmetic below models only the simple case: an
+        // unpartitioned, unbucketed relation whose every file splits at
+        // maxSplitBytes. A partitioned tree (listFiles(Nil, Nil) ignores
+        // the plan's partition filters), a bucketed relation (one task
+        // per bucket), or a non-splittable format (one task per file)
+        // each make the estimate overstate the planned width — and an
+        // overstated width silently skips a needed rebalance. Fall back
+        // to physical planning for those shapes instead of guessing.
+        if (fs.partitionSchema.nonEmpty || fs.bucketSpec.isDefined) return None
         val parts = fs.location.listFiles(Nil, Nil)
+        val splittable = parts.iterator.flatMap(_.files).forall { f =>
+          fs.fileFormat.isSplitable(spark, fs.options, f.getPath)
+        }
+        if (!splittable) return None
         val maxSplit = FilePartition.maxSplitBytes(spark, parts)
         val open = spark.sessionState.conf.filesOpenCostInBytes
         val splits = parts.iterator.flatMap(_.files).flatMap { f =>

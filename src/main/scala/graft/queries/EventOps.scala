@@ -141,7 +141,9 @@ object EventOps {
   //    is not an (optionally signed, whitespace-padded) integer, while
   //    DuckDB TRY_CAST('3.5' AS BIGINT) ROUNDS — so the oracle gates
   //    TRY_CAST behind the same integer regex Spark accepts (overflow
-  //    nulls on both engines).
+  //    nulls on both engines). Spark's trimAll strips ALL chars <= 0x20
+  //    (so "12" casts to 12), hence [\x00-\x20] in the gate rather
+  //    than \s — the two differ on control-char-padded numerics.
   //  - key drift: json_keys + the '$."<key>"' path handles keys
   //    containing '.' but NOT keys containing a double-quote (the path
   //    quoting would break). ASSUMPTION (like the ASCII one in
@@ -151,13 +153,21 @@ object EventOps {
     """WITH kv AS (
       |  SELECT key, json_extract_string(props, '$."' || key || '"') AS val
       |  FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
+      |), gated AS (
+      |  -- mirror Spark's trimAll: accept and strip ALL chars <= 0x20,
+      |  -- not just \s, before the cast (DuckDB's own cast trim is
+      |  -- narrower and would null control-char-padded integers)
+      |  SELECT key,
+      |    CASE WHEN regexp_matches(val, '^[\x00-\x20]*[+-]?[0-9]+[\x00-\x20]*$')
+      |         THEN TRY_CAST(regexp_replace(val,
+      |                '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g') AS BIGINT)
+      |    END AS num
+      |  FROM kv
       |)
       |SELECT key, COUNT(*) AS n,
-      |  min(CASE WHEN regexp_matches(val, '^\s*[+-]?[0-9]+\s*$')
-      |           THEN TRY_CAST(val AS BIGINT) END) AS min_val,
-      |  max(CASE WHEN regexp_matches(val, '^\s*[+-]?[0-9]+\s*$')
-      |           THEN TRY_CAST(val AS BIGINT) END) AS max_val
-      |FROM kv GROUP BY key ORDER BY key""".stripMargin
+      |  min(num) AS min_val,
+      |  max(num) AS max_val
+      |FROM gated GROUP BY key ORDER BY key""".stripMargin
 
   /** Ranking-function family over per-user activity: rank / dense_rank /
     * cume_dist share a ties-allowed ordering (integer key, so tie groups

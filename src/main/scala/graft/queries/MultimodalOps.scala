@@ -106,12 +106,12 @@ object MultimodalOps {
     // persist: the quantize+norm pipeline feeds both sides of the
     // self-join; without materialization a broadcast-join election would
     // recompute it per side (exchange reuse only matches shuffle plans).
-    // CacheManager dedupes by canonicalized plan — bounded storage.
-    val withBucket = all
-      .withColumn("bucket", bucket)
-      .withColumn("norm", sqrt(longDot("q", "q").cast("double")))
-      .repartition(col("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // LRU-bounded via PersistRegistry, one entry per distinct dir.
+    val withBucket = graft.ops.PersistRegistry.cached("q22:" + dir,
+      all
+        .withColumn("bucket", bucket)
+        .withColumn("norm", sqrt(longDot("q", "q").cast("double")))
+        .repartition(col("bucket")))
     val a = withBucket.select(col("bucket"), col("vec_id").as("id_a"),
       col("q").as("qa"), col("norm").as("na"))
     val b = withBucket.select(col("bucket"), col("vec_id").as("id_b"),

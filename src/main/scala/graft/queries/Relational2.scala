@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -169,22 +169,51 @@ object Relational2 {
   }
 
   /** SimHash near-dup pairs by Hamming distance (<= 2 of 32 bits) — the
-    * bit-level companion to q12's MinHash. Self-join over the (small)
-    * signature table; at corpus scale the band trick from q12 applies to
-    * simhash chunks identically.
+    * bit-level companion to q12's MinHash.
+    *
+    * Banded chunk join (the Manku/Google simhash partitioning), never
+    * all-pairs: split each 32-bit signature into 4 byte chunks. Hamming
+    * distance <= 2 touches at most 2 chunks, so at least 2 chunks match
+    * exactly — in particular some PAIR of chunks matches, so each doc is
+    * keyed by its C(4,2)=6 chunk-pair values (16 bits each) and candidates
+    * come from an equi-join on (pair_idx, pair_value). Exact-Hamming
+    * verify then filters the candidates. Intermediate size is bounded by
+    * bucket collisions (65k values per pair key), not N² — the same
+    * scaffold as q12's MinHash bands. A 100 TB corpus would use a 64-bit
+    * simhash with 16-bit chunks (the same 6 pair keys over 4.3e9 bucket
+    * values); the 32-bit width here matches q13's portable signature.
     */
+  val simhashMaxHamming = 2
+  private val simhashChunkPairs: Seq[(Int, Int)] =
+    for { i <- 0 until 4; j <- (i + 1) until 4 } yield (i, j)
+
   def simhashHammingPairs(spark: SparkSession, dir: String): DataFrame = {
-    // persist: self-join reads stored signatures once; CacheManager
-    // dedupes by canonicalized plan so repeats reuse one bounded entry
-    val sig = TextOps.simhash(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("h_a"))
-    val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("h_b"))
-    a.crossJoin(b)
+    // persist: the band self-join reads stored signatures once instead of
+    // recomputing the simhash aggregation on both sides (broadcast
+    // election skips ReuseExchange); bounded per distinct dir via
+    // CacheManager plan-dedup
+    val sig = graft.ops.PersistRegistry.cached("q28:" + dir,
+      TextOps.simhash(spark, dir))
+    def chunk(i: Int): Column =
+      shiftright(col("simhash"), 8 * i).bitwiseAND(lit(255L))
+    val pairKeys = simhashChunkPairs.zipWithIndex.map { case ((i, j), p) =>
+      struct(lit(p).as("pair_idx"),
+        (chunk(i) * lit(256L) + chunk(j)).as("pair_value"))
+    }
+    val keyed = sig.select(col("doc_id"), col("simhash"),
+      explode(array(pairKeys: _*)).as("pk"))
+      .select(col("doc_id"), col("simhash"),
+        col("pk.pair_idx").as("pair_idx"), col("pk.pair_value").as("pair_value"))
+    val a = keyed.select(col("pair_idx"), col("pair_value"),
+      col("doc_id").as("doc_a"), col("simhash").as("h_a"))
+    val b = keyed.select(col("pair_idx"), col("pair_value"),
+      col("doc_id").as("doc_b"), col("simhash").as("h_b"))
+    a.join(b, Seq("pair_idx", "pair_value"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
-      .filter(col("hamming") <= 2)
+      .filter(col("hamming") <= simhashMaxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct() // a pair can share several chunk-pair keys
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -304,12 +333,14 @@ object Relational2 {
     * total — no (status, priority) pairs. Also exercises spark.sql as a
     * first-class entry point.
     */
+  private val gsViewCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def groupingSets(spark: SparkSession, dir: String): DataFrame = {
-    // dir-unique view name: a fixed name would race under concurrent
-    // invocations for different dirs on one session (every other query
-    // here is catalog-side-effect-free)
-    val view = "orders_gs_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    // Invocation-unique view name: a dir-keyed name still races when two
+    // concurrent calls share (session, dir) — one can drop the view
+    // between the other's createOrReplaceTempView and spark.sql. A
+    // monotonic counter makes each call create and drop only its own view.
+    val view = "orders_gs_" + gsViewCounter.incrementAndGet()
     Tables.orders(spark, dir).createOrReplaceTempView(view)
     // Dataset construction analyzes eagerly, so the view reference is
     // resolved to the underlying scan before we drop it — no catalog

@@ -220,13 +220,12 @@ object TextOps {
     // would otherwise inline the md5 transforms into every band row on
     // both join sides — ~5x slower here, arbitrarily worse at scale; a
     // shuffle barrier alone doesn't survive Spark electing a broadcast
-    // join, which skips exchange reuse). Storage is bounded: CacheManager
-    // keys entries by canonicalized plan, so repeated invocations reuse
-    // one entry per distinct input dir, and MEMORY_AND_DISK evicts under
-    // pressure.
-    val bandKeys = bandKeysOf(signatureTable(docs, md5Sig),
-      (a, b) => md5(concat_ws("|", a, b)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // join, which skips exchange reuse). Storage is bounded by the
+    // PersistRegistry LRU: one entry per distinct input dir, evicted
+    // least-recently-used past the cap.
+    val bandKeys = graft.ops.PersistRegistry.cached("q12:" + dir,
+      bandKeysOf(signatureTable(docs, md5Sig),
+        (a, b) => md5(concat_ws("|", a, b))))
     exactJaccard(docs, bandPairs(bandKeys))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -280,8 +279,8 @@ object TextOps {
     // persisted for the same ProjectCollapse/broadcast reason as
     // minhashPairs: three consumers (two band-join sides + the per-pair
     // signature lookup) must not each recompute the signature pipeline
-    val withSig = signatureTable(shingleTable(spark, dir), md5Sig)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSig = graft.ops.PersistRegistry.cached("q45:" + dir,
+      signatureTable(shingleTable(spark, dir), md5Sig))
     val pairs = bandPairs(bandKeysOf(withSig, (a, b) => md5(concat_ws("|", a, b))))
     pairSigs(withSig, pairs)
       .select(col("doc_a"), col("doc_b"), sigAgreeFraction.as("est_jaccard"))
@@ -352,8 +351,8 @@ object TextOps {
     */
   def minhashPairsFast(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingleTable(spark, dir)
-    val withSig = signatureTable(docs, (j, s) => xxhash64(lit(j), s))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSig = graft.ops.PersistRegistry.cached("q48:" + dir,
+      signatureTable(docs, (j, s) => xxhash64(lit(j), s)))
     val bandKeys = bandKeysOf(withSig, (a, b) => xxhash64(a, b))
     val pairs = graft.ops.ScaleOps.cappedBandJoin(
       bandKeys, "doc_id", Seq("band_idx", "band_hash"), maxBucketSize = 1000)

@@ -150,8 +150,13 @@ object VectorOps {
 
   private def evictLruOver(cap: Int): Unit =
     while (ivfCache.size > cap) {
-      val lru = ivfCache.toSeq.minBy(_._2.lastUsed.get())._1
-      ivfCache.remove(lru).foreach(e => scala.util.Try(e.index.cells.unpersist()))
+      // minByOption: a concurrent invalidate can drain the map between the
+      // size check and the snapshot — an empty snapshot just ends the loop
+      ivfCache.toSeq.minByOption(_._2.lastUsed.get()) match {
+        case Some((lru, _)) =>
+          ivfCache.remove(lru).foreach(e => scala.util.Try(e.index.cells.unpersist()))
+        case None => return
+      }
     }
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -161,7 +166,14 @@ object VectorOps {
     val key = (spark, dir)
     val cached = ivfCache.get(key).filter(_.fingerprint == fp)
     val entry = cached.getOrElse {
-      ivfCache.remove(key).foreach(e => scala.util.Try(e.index.cells.unpersist()))
+      // Conditional remove: only evict the exact stale entry we observed.
+      // An unconditional remove could delete a fresh entry another thread
+      // just inserted (unpersisting its cells mid-use and forcing a
+      // duplicate build); remove(key, stale) is a no-op in that race.
+      ivfCache.get(key).filter(_.fingerprint != fp).foreach { stale =>
+        if (ivfCache.remove(key, stale))
+          scala.util.Try(stale.index.cells.unpersist())
+      }
       val fresh = IvfEntry(fp,
         graft.similarity.Similarity.buildIvfIndex(emb, k = 10),
         new java.util.concurrent.atomic.AtomicLong(0L))

@@ -133,4 +133,53 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(ScaleOps.rebalance(agg, knownPartitions = want * 2)
       .queryExecution.logical === agg.queryExecution.logical)
   }
+
+  test("plannedScanWidth declines partitioned trees (falls back to planning)") {
+    // the split arithmetic ignores partition filters, so a partitioned
+    // layout must return None rather than overstate the width
+    val dir = java.nio.file.Files.createTempDirectory("graft-psw").toString + "/t"
+    Tables.orders(spark, sf)
+      .withColumn("m", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.partitionBy("m").parquet(dir)
+    val part = spark.read.parquet(dir).filter(col("m") === "1997-01")
+    assert(ScaleOps.plannedScanWidth(part).isEmpty)
+    // rebalance still works through the physical-planning fallback
+    assert(ScaleOps.rebalance(part).rdd.getNumPartitions >= 1)
+  }
+
+  test("q28 banded simhash join: no cartesian product, equals brute force") {
+    val banded = graft.queries.Relational2.simhashHammingPairs(spark, sf)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // brute-force reference (the pre-round-4 formulation)
+    val sig = graft.queries.TextOps.simhash(spark, sf)
+    val brute = sig.select(col("doc_id").as("doc_a"), col("simhash").as("h_a"))
+      .crossJoin(sig.select(col("doc_id").as("doc_b"), col("simhash").as("h_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= graft.queries.Relational2.simhashMaxHamming)
+      .select("doc_a", "doc_b", "hamming")
+    assert(banded.exceptAll(brute).count() == 0)
+    assert(brute.exceptAll(banded).count() == 0)
+  }
+
+  test("PersistRegistry bounds live entries and LRU-evicts") {
+    import spark.implicits._
+    val before = graft.ops.PersistRegistry.liveCount(spark)
+    val tags = (0 until graft.ops.PersistRegistry.MaxEntries + 4)
+      .map(i => s"test-reg:$i")
+    tags.foreach { t =>
+      graft.ops.PersistRegistry.cached(t, Seq((t, 1)).toDF("tag", "v")).count()
+    }
+    assert(graft.ops.PersistRegistry.liveCount(spark)
+      <= graft.ops.PersistRegistry.MaxEntries)
+    // re-registering an evicted tag works (recompute + re-persist)
+    val back = graft.ops.PersistRegistry.cached(tags.head,
+      Seq((tags.head, 1)).toDF("tag", "v"))
+    assert(back.count() == 1)
+    graft.ops.PersistRegistry.invalidatePrefix(spark, "test-reg:")
+    assert(graft.ops.PersistRegistry.liveCount(spark) <= before + 0 +
+      graft.ops.PersistRegistry.MaxEntries) // non-test entries untouched
+  }
 }
