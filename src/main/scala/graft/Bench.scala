@@ -17,23 +17,52 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Steady-state timing: one untimed warm run per query (JVM/JIT,
-    // codegen compilation, parquet footer caches), then the timed run.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
-    val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        // Error marker, NOT a near-zero time: a broken query must never
+        // read as a fast one (it would *improve* the total).
+        errors(name) = (e.getClass.getSimpleName + ": " +
+          String.valueOf(e.getMessage)).replace('\n', ' ').take(200)
+        -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Steady-state timing: one untimed warm run per query (JVM/JIT,
+    // codegen compilation, parquet footer caches), then two timed
+    // iterations reporting the min — a single contended iteration (GC
+    // pause, machine noise) no longer poisons the round's number.
+    names.foreach(runOnce)
+    errors.clear()
+    val results = names.map { n =>
+      val a = runOnce(n)
+      val b = if (a < 0) a else { val x = runOnce(n); if (x < 0) x else math.min(a, x) }
+      n -> b
+    }
+    // Contention self-identification: 1-minute loadavg at measurement
+    // time. A 32-core box reading far above the Spark run's own footprint
+    // means the numbers are suspect (see round-3 BENCH noise adjudication).
+    val loadavg = scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim.split(" ").take(3)
+        .mkString(" ")).getOrElse("unknown")
+    def js(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => js(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => js(k) + ":" + js(v) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""n_errors":${errors.size},"errors":$errJson,""" +
+      s""""loadavg":${js(loadavg)},"iterations":2,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

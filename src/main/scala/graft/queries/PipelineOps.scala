@@ -310,6 +310,71 @@ object PipelineOps {
       |  CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id) AS INT) AS decile
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Scale-safe quality deciles (q56): identical output to q43 with NO
+    * unpartitioned window anywhere in the plan. q43 is the correctness
+    * spec (percent_rank/ntile are one global single-task sort); this is
+    * the plan a 100 TB corpus runs.
+    *
+    * Decomposition: a document's global rank under (n_tokens, doc_id)
+    * equals (count of docs with smaller n_tokens) + (its doc_id
+    * row_number within its own n_tokens value). The first term comes from
+    * per-value counts — one aggregation to ~|distinct values| rows — made
+    * cumulative by a two-level prefix sum whose windows are both
+    * PARTITIONED (within 1024-value coarse blocks, plus a broadcast
+    * theta-join over the tiny per-block totals). The second term is a
+    * window partitioned by n_tokens over a narrow (doc_id, n_tokens)
+    * projection — D-way parallel, never a global sort. percent_rank and
+    * ntile are then closed-form integer arithmetic on (rank, N): both
+    * engines share one double division for pr, and the ntile bucket
+    * boundaries use ntile's exact remainder rule, so results are
+    * bit-identical to q43's window formulation (the oracle IS q43's SQL).
+    */
+  private val decileCoarseBlock = 1024
+
+  def qualityBucketsAtScale(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toks).as("n_tokens"))
+    // per-value counts: the only full-data aggregation (narrow rows)
+    val vc = base.groupBy(col("n_tokens")).agg(count(lit(1)).as("cnt"))
+      .withColumn("coarse", expr(s"n_tokens div $decileCoarseBlock"))
+    // prefix sum level 1: cumulative within each coarse block (partitioned)
+    val wFine = Window.partitionBy(col("coarse")).orderBy(col("n_tokens"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fine = vc.withColumn("cum_in_coarse", sum(col("cnt")).over(wFine))
+    // prefix sum level 2: totals of preceding coarse blocks, via a
+    // broadcast theta-join over the per-block totals (|blocks| rows)
+    val ct = vc.groupBy(col("coarse")).agg(sum(col("cnt")).as("ccnt"))
+    val ctB = ct.select(col("coarse").as("bcoarse"), col("ccnt").as("bccnt"))
+    val coarseBefore = ct.join(broadcast(ctB), col("bcoarse") < col("coarse"), "left")
+      .groupBy(col("coarse"))
+      .agg(coalesce(sum(col("bccnt")), lit(0L)).as("coarse_before"))
+    val cumBefore = fine.join(broadcast(coarseBefore), Seq("coarse"))
+      .select(col("n_tokens"),
+        (col("coarse_before") + col("cum_in_coarse") - col("cnt")).as("cum_before"))
+    val nTotal = base.agg(count(lit(1)).as("n_total"))
+    // per-doc rank: partitioned window over the narrow projection
+    val wVal = Window.partitionBy(col("n_tokens")).orderBy(col("doc_id"))
+    base
+      .withColumn("rk_in_val", row_number().over(wVal))
+      .join(broadcast(cumBefore), Seq("n_tokens"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("rank", col("cum_before") + col("rk_in_val"))
+      // percent_rank == (rank-1)/(N-1): exact because the order is unique
+      .withColumn("pr", (col("rank") - 1).cast("double") /
+        (col("n_total") - 1).cast("double"))
+      // ntile's remainder rule: first (N mod 10) buckets get one extra row
+      .withColumn("nt_q", expr("n_total div 10"))
+      .withColumn("nt_rem", col("n_total") % 10)
+      .withColumn("nt_cut", (col("nt_q") + 1) * col("nt_rem"))
+      .withColumn("decile",
+        when(col("rank") <= col("nt_cut"),
+          expr("(rank - 1) div (nt_q + 1) + 1"))
+          .otherwise(expr("nt_rem + (rank - nt_cut - 1) div nt_q + 1"))
+          .cast("int"))
+      .select(col("doc_id"), col("n_tokens"), col("pr"), col("decile"))
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------------- euclidean top-k
   /** Exact euclidean (L2) top-5 neighbours for the probe vectors — the
     * metric companion to q14's cosine. Quantized-integer distance:
@@ -329,12 +394,15 @@ object PipelineOps {
       .select(col("vec_id").as("cand_id"), col("q").as("cq"), col("qq").as("cc"))
       .join(broadcast(probes), col("cand_id") =!= col("probe_id"))
       .withColumn("d2", col("pp") - lit(2) * longDot("pq", "cq") + col("cc"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("d2"), col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("probe_id"), col("cand_id"), col("rank"),
-        (sqrt(col("d2").cast("double")) / 1000000.0).as("dist"))
+    // distributed top-k reduction (see TopK): d2 → Double is exact here
+    // (quantized squared distances stay far below 2^53), so the
+    // (d2, cand_id) ascending order is bit-identical to the window form
+    val tk = graft.functions.TopK.topK(5)
+    val agged = scored.groupBy(col("probe_id"))
+      .agg(tk(col("d2").cast("double"), col("cand_id")).as("tk"))
+    graft.functions.TopK.explodeRanked(agged, "tk", Seq("probe_id"))
+      .select(col("probe_id"), col("id").as("cand_id"), col("rank"),
+        (sqrt(col("score")) / 1000000.0).as("dist"))
       .orderBy(col("probe_id"), col("rank"))
   }
 
@@ -420,9 +488,13 @@ object PipelineOps {
     "q44_euclidean_topk" -> (euclideanTopK _),
     "q46_curation_pipeline" -> (curationPipeline _),
     "q54_dataset_split" -> (datasetSplit _),
-    "q55_sequence_pack" -> (sequencePack _))
+    "q55_sequence_pack" -> (sequencePack _),
+    "q56_quality_deciles_scale" -> (qualityBucketsAtScale _))
 
   val oracle: Map[String, String] = Map(
+    // q56 computes the same result as q43 through a scale-safe plan, so
+    // its oracle is q43's declarative window formulation verbatim
+    "q56_quality_deciles_scale" -> qualityBucketsSql,
     "q39_stratified_sample" -> stratifiedSampleSql,
     "q40_doc_chunks" -> docChunksSql,
     "q41_decontaminate" -> decontaminateSql,

@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
 object VectorOps {
   /** Brute-force cosine top-5 neighbours for probe vectors (vec_id < 10),
     * quantized-exact so both engines rank identically.
+    *
+    * Reduction is the distributed top-k aggregate ([[graft.functions
+    * .TopK]]): map-side partial top-5 per (partition, probe), then a
+    * k-way merge — the shuffle moves ≤5 rows per (partition, probe)
+    * instead of every scored candidate, so reduction width scales with
+    * the cluster, not with the probe count.
     */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     // Precompute each vector's norm once — the pairwise expression is then
@@ -36,11 +42,12 @@ object VectorOps {
     val scored = cands.join(broadcast(probes), col("cand_id") =!= col("probe_id"))
       .withColumn("cos", longDot("pq", "cq").cast("double") /
         (col("pnorm") * col("cnorm")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("probe_id"), col("cand_id"), col("rank"), col("cos"))
+    val tk = graft.functions.TopK.topK(5)
+    val agged = scored.groupBy(col("probe_id"))
+      .agg(tk(-col("cos"), col("cand_id")).as("tk"))
+    graft.functions.TopK.explodeRanked(agged, "tk", Seq("probe_id"))
+      .select(col("probe_id"), col("id").as("cand_id"), col("rank"),
+        (-col("score")).as("cos"))
       .orderBy(col("probe_id"), col("rank"))
   }
 

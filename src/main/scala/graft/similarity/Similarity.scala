@@ -61,28 +61,37 @@ object Similarity {
     */
   def annSearch(index: IvfIndex, probes: DataFrame, nprobe: Int = 3,
       topK: Int = 5, excludeSelf: Boolean = false): DataFrame = {
+    import graft.functions.TopK
     val p = probes
       .select(col("probe_id"), quantize(col("embedding")).as("pq"))
       .withColumn("pnorm", sqrt(longDot("pq", "pq").cast("double")))
-    val cellRank = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cell_cos").desc, col("cell"))
-    val probeCells = p.join(broadcast(index.centroids), lit(true))
+    // nprobe cell selection via the distributed top-k aggregate (ascending
+    // (-cell_cos, cell) == the old cell_cos DESC, cell window order); the
+    // probe payload (pq, pnorm) is re-attached by an equi-join afterwards
+    // rather than carried through the aggregation.
+    val tkCells = TopK.topK(nprobe)
+    val cellSel = p.join(broadcast(index.centroids), lit(true))
       .withColumn("cell_cos", longDot("pq", "cq").cast("double") /
         (col("pnorm") * col("cnorm")))
-      .withColumn("crank", row_number().over(cellRank))
-      .filter(col("crank") <= nprobe)
-      .select(col("probe_id"), col("pq"), col("pnorm"), col("cell"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
+      .groupBy(col("probe_id"))
+      .agg(tkCells(-col("cell_cos"), col("cell").cast("long")).as("tkc"))
+    val probeCells = TopK.explodeRanked(cellSel, "tkc", Seq("probe_id"))
+      .select(col("probe_id"), col("id").cast("int").as("cell"))
+      .join(p, Seq("probe_id"))
     val cands = index.cells
       .select(col("cell"), col("vec_id").as("cand_id"), col("q").as("cq2"),
         col("norm").as("cnorm2"))
       .join(broadcast(probeCells), Seq("cell"))
-    (if (excludeSelf) cands.filter(col("cand_id") =!= col("probe_id")) else cands)
-      .withColumn("cos", longDot("pq", "cq2").cast("double") /
-        (col("pnorm") * col("cnorm2")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("probe_id"), col("cand_id"), col("rank"), col("cos"))
+    // final reduction: map-side partial top-k per probe (see TopK docs)
+    val tk = TopK.topK(topK)
+    val agged =
+      (if (excludeSelf) cands.filter(col("cand_id") =!= col("probe_id")) else cands)
+        .withColumn("cos", longDot("pq", "cq2").cast("double") /
+          (col("pnorm") * col("cnorm2")))
+        .groupBy(col("probe_id"))
+        .agg(tk(-col("cos"), col("cand_id")).as("tk"))
+    TopK.explodeRanked(agged, "tk", Seq("probe_id"))
+      .select(col("probe_id"), col("id").as("cand_id"), col("rank"),
+        (-col("score")).as("cos"))
   }
 }

@@ -263,4 +263,28 @@ class PipelineOpsSpec extends SparkTestBase {
       .count()
     assert(bad === 0L)
   }
+
+  test("q56 scale deciles: equals q43 exactly, no unpartitioned window") {
+    import graft.queries.PipelineOps
+    val exact = PipelineOps.qualityBuckets(spark, sf)
+    val scale = PipelineOps.qualityBucketsAtScale(spark, sf)
+    assert(scale.exceptAll(exact).count() === 0L)
+    assert(exact.exceptAll(scale).count() === 0L)
+    // every Window node in the plan must be key-partitioned — the global
+    // single-task sort q43 uses is exactly what q56 exists to avoid
+    // (logical plan: the physical WindowExec hides inside the AQE wrapper)
+    val windows = scale.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty) // the per-value row_number survives
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned window in q56 plan:\n$w")
+    }
+    // and q43's own plan shows the single-task shape q56 removes
+    val q43Windows = exact.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(q43Windows.exists(_.partitionSpec.isEmpty))
+  }
 }

@@ -112,4 +112,31 @@ class VectorAndMultimodalSpec extends SparkTestBase {
     assert(r.width == 320 && r.height == 240)
     assert(Multimodal.FakeDecoder.sampleFrames(m, 6) == Seq(0, 6, 12, 18))
   }
+
+  test("TopK aggregator equals sort-take under any partitioning") {
+    // ties in score exercise the id tie-break; 13 partitions exercise the
+    // partial-buffer merge path
+    val data = (1L to 1000L).map(i => (i % 7, (i * 2654435761L % 97).toDouble, i))
+    val df = data.toDF("g", "score", "id").repartition(13)
+    val tk = graft.functions.TopK.topK(5)
+    val got = graft.functions.TopK.explodeRanked(
+        df.groupBy($"g").agg(tk($"score", $"id").as("tk")), "tk", Seq("g"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val want = data.groupBy(_._1).flatMap { case (g, rows) =>
+      rows.map(t => (t._2, t._3)).sorted.take(5).zipWithIndex
+        .map { case ((s, id), i) => (g, i + 1, s, id) }
+    }.toSet
+    assert(got === want)
+  }
+
+  test("q14 top-k reduction is a partial aggregate, not a per-probe window") {
+    val df = graft.queries.VectorOps.cosineTopK(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // partial (map-side) + final ObjectHashAggregate pair; no Window node
+    // funnelling every scored row through one task per probe
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
