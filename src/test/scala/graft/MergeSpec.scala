@@ -70,4 +70,61 @@ class MergeSpec extends SparkTestBase {
     assert(back.count() == 4)
     assert(back.select("quarter").distinct().count() == 3)
   }
+
+  test("MergeTable: pruned merge equals full merge, untouched dirs untouched") {
+    import graft.merge.MergeTable
+    val path = Files.createTempDirectory("graft-mt").toString + "/t"
+    val base = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+    MergeTable.write(base, path, Seq("k"), nBuckets = 16)
+    def listing: Map[String, Set[(String, Long)]] =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith(MergeTable.BucketCol + "="))
+        .map(d => d.getName ->
+          d.listFiles().map(f => (f.getName, f.lastModified())).toSet)
+        .toMap
+    val before = listing
+    val delta = Seq((5L, "NEW5"), (6L, "NEW6"), (2000L, "NEW2000"))
+      .toDF("k", "v")
+    val affectedDirs = delta
+      .select(pmod(xxhash64(col("k")), lit(16L)).cast("int").as("b"))
+      .distinct().collect().map(r => s"${MergeTable.BucketCol}=${r.getInt(0)}")
+      .toSet
+    MergeTable.merge(delta, path, Seq("k"), nBuckets = 16)
+    val after = listing
+    // partition pruning is observable on disk: unaffected bucket dirs
+    // keep their exact files
+    before.foreach { case (d, files) =>
+      if (!affectedDirs(d)) assert(after(d) === files, s"dir $d rewritten")
+      else assert(after(d) !== files, s"dir $d NOT rewritten")
+    }
+    // merged content equals the unpruned reference merge
+    val got = MergeTable.read(spark, path)
+    val want = Merge.mergeDeterministic(base, delta, Seq("k"))
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+    // replaying the same delta is a no-op (checkpoint-recovery idempotence)
+    MergeTable.merge(delta, path, Seq("k"), nBuckets = 16)
+    val replay = MergeTable.read(spark, path)
+    assert(replay.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(replay).count() === 0L)
+  }
+
+  test("MergeTable recovers a bucket dir stranded in .old by a crash") {
+    import graft.merge.MergeTable
+    val path = Files.createTempDirectory("graft-mtc").toString + "/t"
+    val base = (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v")
+    MergeTable.write(base, path, Seq("k"), nBuckets = 4)
+    // simulate dying between the two per-dir renames: one bucket exists
+    // ONLY as .old
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith(MergeTable.BucketCol + "="))
+    val victim = dirs.head
+    assert(victim.renameTo(
+      new java.io.File(victim.getParent, victim.getName + ".old")))
+    val got = MergeTable.read(spark, path)
+    val want = base
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+    assert(!new java.io.File(victim.getParent, victim.getName + ".old").exists())
+  }
 }

@@ -109,6 +109,28 @@ class StreamingSpec extends SparkTestBase {
     assert(u1(0).getAs[Long]("end_us") - u1(0).getAs[Long]("start_us") == 5L * 60 * 1000000)
   }
 
+  test("upsert sink partitioned backend: merge, delta-wins, replay no-op") {
+    import graft.merge.MergeTable
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsertp").toString
+    val season = s"$dir/season"
+    MergeTable.write(
+      batchEvents.filter($"event_id" < 100).withColumn("src_tag", lit("seed")),
+      season, Seq("event_id"), nBuckets = 8)
+    val delta = streamEvents.withColumn("src_tag", lit("delta"))
+    Streaming.upsertSink(delta, season, s"$dir/ckpt",
+      keys = Seq("event_id"), nBuckets = 8)
+    val merged = MergeTable.read(spark, season)
+    assert(merged.count() == batchEvents.count())
+    assert(merged.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+    assert(merged.filter($"event_id" < 100 && $"src_tag" === "delta").count() == 100)
+    // re-running the same drained stream is a no-op (checkpoint + idempotence)
+    Streaming.upsertSink(
+      Streaming.fileEventSource(spark, sf).withColumn("src_tag", lit("delta2")),
+      season, s"$dir/ckpt", keys = Seq("event_id"), nBuckets = 8)
+    assert(MergeTable.read(spark, season)
+      .filter($"src_tag" === "delta2").count() == 0)
+  }
+
   test("upsert sink recovers a season stranded in .old by a crash") {
     val dir = java.nio.file.Files.createTempDirectory("graft-crash").toString
     val season = s"$dir/season"
