@@ -4,7 +4,6 @@ import graft.Tables
 import graft.functions.VectorFunctions._
 import graft.functions.expressions.LongDotProduct.longDot
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search + vector aggregation over the `embeddings` table
