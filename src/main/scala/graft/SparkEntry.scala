@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EventOps, MultimodalOps, PipelineOps, PlayParse, Profiling, Relational, Relational2, TextOps, VectorOps}
+import graft.queries.{ClusterOps, EventOps, MultimodalOps, PipelineOps, PlayParse, PrivacyOps, Profiling, Relational, Relational2, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,9 @@ object SparkEntry {
       (MultimodalOps.queries, MultimodalOps.oracle),
       (Relational2.queries, Relational2.oracle),
       (Profiling.queries, Profiling.oracle),
-      (PipelineOps.queries, PipelineOps.oracle))
+      (PipelineOps.queries, PipelineOps.oracle),
+      (ClusterOps.queries, ClusterOps.oracle),
+      (PrivacyOps.queries, PrivacyOps.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

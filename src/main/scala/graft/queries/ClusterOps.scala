@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.ConnectedComponents
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Duplicate clustering — the step after candidate-pair generation that
+  * every production dedup actually ships: near-dup PAIRS (q12) say "a≈b",
+  * but removal needs CLUSTERS, because near-duplication is transitive in
+  * practice (a≈b, b≈c ⇒ keep one of {a,b,c}). Pairs → connected
+  * components → one canonical doc per component (min doc_id), every other
+  * member dropped.
+  *
+  * Plan shape: the pair pipeline is q12's banded LSH equi-join (never
+  * O(N²)); clustering is [[graft.ops.ConnectedComponents]] — O(log n)
+  * alternating-star rounds of keyed shuffles; the final membership/size
+  * attachment is one window partitioned by cluster (bounded by cluster
+  * size, never a global sort). Nothing here collects edges to the driver.
+  *
+  * The oracle recomputes the same clusters declaratively: the shared
+  * [[TextOps.pairsCte]] feeds a recursive transitive closure
+  * (`WITH RECURSIVE`), labeling each doc with min(reachable doc_id) — so
+  * the hash-compare proves the distributed star-contraction loop computes
+  * exactly the graph-theoretic components.
+  */
+object ClusterOps {
+
+  /** Near-dup pairs with exact Jaccard >= this form the dedup edges. */
+  val clusterJaccard = 0.5
+
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = TextOps.neardupPairs(spark, dir)
+      .filter(col("jaccard") >= clusterJaccard)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = ConnectedComponents.label(edges)
+      .select(col("node").as("doc_id"), col("label").as("root"))
+    val members = Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+    members
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE ${TextOps.pairsCte},
+       |edges AS (
+       |  SELECT doc_a AS ea, doc_b AS eb FROM pairs WHERE jaccard >= $clusterJaccard
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs WHERE jaccard >= $clusterJaccard
+       |),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea
+       |),
+       |labels AS (
+       |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+       |)
+       |SELECT doc_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  doc_id = cluster_id AS is_canonical
+       |FROM labels
+       |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_dup_clusters" -> (dupClusters _))
+
+  val oracle: Map[String, String] = Map(
+    "q58_dup_clusters" -> dupClustersSql)
+}

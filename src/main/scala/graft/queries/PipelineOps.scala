@@ -479,6 +479,84 @@ object PipelineOps {
        |FROM sampled GROUP BY lang, source
        |ORDER BY lang, source""".stripMargin
 
+  // --------------------------------------------------------- source mixing
+  /** Corpus mixing weights: equalize sources by token budget. Each
+    * source's sampling rate is cap/tokens where cap is the smallest
+    * source's token count — the "downsample the head, keep the tail"
+    * mixing step before training. The rate becomes a deterministic
+    * per-doc keep decision through the same md5-hex-uniform machinery as
+    * q39 (`u8 < threshold`), so the sampled counts are reproducible
+    * across engines and partitionings. The double rate → 8-hex threshold
+    * conversion is floor(rate·16⁸) rendered as zero-padded hex — one
+    * shared float multiply + floor, exact on both engines.
+    *
+    * Plan shape: two narrow passes over documents (one aggregation to
+    * per-source totals, one filtered aggregation for the sample
+    * accounting) with the tiny rate table broadcast — no wide shuffle at
+    * any scale.
+    */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), size(toks).as("n_tokens"),
+        u8Col.as("u8"))
+    val per = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("src_tokens"))
+    val cap = per.agg(min(col("src_tokens")).as("cap_tokens"))
+    val rates = per.crossJoin(broadcast(cap))
+      .withColumn("rate",
+        col("cap_tokens").cast("double") / col("src_tokens").cast("double"))
+      // rate >= 1 (the cap source itself, incl. ties) keeps everything:
+      // 'zzzzzzzz' sorts above any hex digit. Otherwise floor(rate·16⁸)
+      // zero-padded to 8 lowercase hex compares like the fraction it
+      // encodes (same convention as keepRates).
+      .withColumn("thr", when(col("rate") >= 1.0, lit("zzzzzzzz"))
+        .otherwise(lpad(lower(hex(
+          floor(col("rate") * lit(4294967296.0)).cast("long"))), 8, "0")))
+    val sampled = base
+      .join(broadcast(rates.select(col("source"), col("thr"))), Seq("source"))
+      .filter(col("u8") < col("thr"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled_docs"),
+        sum(col("n_tokens")).as("sampled_tokens"))
+    rates.join(broadcast(sampled), Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("src_tokens"), col("rate"),
+        coalesce(col("n_sampled_docs"), lit(0L)).as("n_sampled_docs"),
+        coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val mixWeightsSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+       |    $u8Sql AS u8
+       |  FROM documents
+       |), per AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+       |  FROM base GROUP BY source
+       |), rated AS (
+       |  SELECT per.*, CAST((SELECT min(src_tokens) FROM per) AS DOUBLE)
+       |    / CAST(src_tokens AS DOUBLE) AS rate
+       |  FROM per
+       |), rates AS (
+       |  SELECT rated.*,
+       |    CASE WHEN rate >= 1.0 THEN 'zzzzzzzz'
+       |         ELSE printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT))
+       |    END AS thr
+       |  FROM rated
+       |), sampled AS (
+       |  SELECT b.source, COUNT(*) AS n_sampled_docs,
+       |    CAST(SUM(b.n_tokens) AS BIGINT) AS sampled_tokens
+       |  FROM base b JOIN rates r ON b.source = r.source
+       |  WHERE b.u8 < r.thr
+       |  GROUP BY b.source
+       |)
+       |SELECT r.source, r.n_docs, r.src_tokens, r.rate,
+       |  coalesce(s.n_sampled_docs, 0) AS n_sampled_docs,
+       |  coalesce(s.sampled_tokens, 0) AS sampled_tokens
+       |FROM rates r LEFT JOIN sampled s ON r.source = s.source
+       |ORDER BY r.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_stratified_sample" -> (stratifiedSample _),
     "q40_doc_chunks" -> (docChunks _),
@@ -489,7 +567,8 @@ object PipelineOps {
     "q46_curation_pipeline" -> (curationPipeline _),
     "q54_dataset_split" -> (datasetSplit _),
     "q55_sequence_pack" -> (sequencePack _),
-    "q56_quality_deciles_scale" -> (qualityBucketsAtScale _))
+    "q56_quality_deciles_scale" -> (qualityBucketsAtScale _),
+    "q61_mix_weights" -> (mixWeights _))
 
   val oracle: Map[String, String] = Map(
     // q56 computes the same result as q43 through a scale-safe plan, so
@@ -503,5 +582,6 @@ object PipelineOps {
     "q44_euclidean_topk" -> euclideanTopKSql,
     "q46_curation_pipeline" -> curationPipelineSql,
     "q54_dataset_split" -> datasetSplitSql,
-    "q55_sequence_pack" -> sequencePackSql)
+    "q55_sequence_pack" -> sequencePackSql,
+    "q61_mix_weights" -> mixWeightsSql)
 }

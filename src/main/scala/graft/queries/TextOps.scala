@@ -212,7 +212,10 @@ object TextOps {
         (size(array_intersect(array_distinct(col("sh_a")), array_distinct(col("sh_b")))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
 
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Unsorted (doc_a, doc_b, jaccard) candidate pairs — the composable
+    * form: q58's duplicate clustering consumes this without paying q12's
+    * presentation sort. */
+  def neardupPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingleTable(spark, dir)
     // Persist the narrow (doc_id, band_idx, band_hash) table: both sides
     // of the self-join read the materialized band keys instead of
@@ -227,17 +230,22 @@ object TextOps {
       bandKeysOf(signatureTable(docs, md5Sig),
         (a, b) => md5(concat_ws("|", a, b))))
     exactJaccard(docs, bandPairs(bandKeys))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val minhashPairsSql: String = {
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    neardupPairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The full DuckDB CTE chain ending in a `pairs(doc_a, doc_b, jaccard)`
+    * relation — shared by q12's oracle and q58's (which builds a recursive
+    * closure on top), so the two can never desynchronize. */
+  private[queries] val pairsCte: String = {
     val sigs = (0 until minhashN).map { j =>
       s"list_aggregate(list_transform(shingles, s -> md5('$j:' || s)), 'min') AS sig_$j"
     }.mkString(",\n    ")
     val bands = (0 until minhashBands).map { b =>
       s"({'band_idx': $b, 'band_hash': md5(sig_${2 * b} || '|' || sig_${2 * b + 1})})"
     }.mkString(",\n    ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS t
        |  FROM documents WHERE len(string_split(text, ' ')) >= 3
        |), sh AS (
@@ -257,15 +265,20 @@ object TextOps {
        |  SELECT doc_id, shingles, band.band_idx AS band_idx,
        |         band.band_hash AS band_hash
        |  FROM banded
-       |)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS DOUBLE) /
-       |    CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE) AS jaccard
-       |FROM flat a JOIN flat b
-       |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       |  AND a.doc_id < b.doc_id
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS DOUBLE) /
+       |      CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE) AS jaccard
+       |  FROM flat a JOIN flat b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |    AND a.doc_id < b.doc_id
+       |)""".stripMargin
   }
+
+  val minhashPairsSql: String =
+    s"""WITH $pairsCte
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** MinHash-estimated Jaccard for the band-join candidates: the fraction
     * of agreeing minhash components is an unbiased Jaccard estimate, and
@@ -503,6 +516,88 @@ object TextOps {
       |FROM ranked WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  // ------------------------------------------------------- heavy hitters
+  /** Corpus-wide top-25 token bigrams — the vocabulary/heavy-hitter scan a
+    * tokenizer build or contamination audit starts from. ORDER BY + LIMIT
+    * plans as TakeOrderedAndProject: each task keeps its local top-25 and
+    * the driver merges per-task heaps, so no global sort and no single
+    * wide reducer exists at any scale. Ties broken on the bigram text.
+    */
+  val topBigramsK = 25
+
+  def topBigrams(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScaleOps.rebalance(Tables.documents(spark, dir))
+      .select(tokens.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("t")) - 2),
+        i => array_join(slice(col("t"), i + 1, lit(2)), " "))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(topBigramsK)
+
+  val topBigramsSql: String =
+    s"""WITH tk AS (
+       |  SELECT string_split(text, ' ') AS t
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 2
+       |), bg AS (
+       |  SELECT unnest([array_to_string(t[i:i+1], ' ')
+       |                 for i in range(1, len(t))]) AS bigram
+       |  FROM tk
+       |)
+       |SELECT bigram, COUNT(*) AS n
+       |FROM bg GROUP BY bigram
+       |ORDER BY n DESC, bigram
+       |LIMIT $topBigramsK""".stripMargin
+
+  // ---------------------------------------------------------- repetition
+  /** Intra-document repetition (Gopher-style quality rule): the fraction
+    * of duplicate n-gram occurrences within each document. Map-only —
+    * shingle, count, count-distinct per row, no shuffle; the flag
+    * threshold is the corpus-curation gate. One shared double division
+    * keeps both engines bit-identical. n=2 with a 5% gate flags ~20% of
+    * the synthetic fixtures (longer n-grams never repeat in them — a
+    * real corpus would run the {2,3,4}-gram family).
+    */
+  val repN = 2
+  val repThreshold = 0.05
+
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens.as("t"))
+      .filter(size(col("t")) >= repN)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), size(col("t")) - repN),
+          i => array_join(slice(col("t"), i + 1, lit(repN)), " ")).as("gs"))
+      .select(col("doc_id"), size(col("gs")).as("n_grams"),
+        size(array_distinct(col("gs"))).as("n_distinct"))
+      .withColumn("dup_ratio",
+        (col("n_grams") - col("n_distinct")).cast("double") /
+          col("n_grams").cast("double"))
+      .withColumn("flag_repetitive", col("dup_ratio") > repThreshold)
+      .orderBy(col("doc_id"))
+
+  val repetitionStatsSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t
+       |  FROM documents WHERE len(string_split(text, ' ')) >= $repN
+       |), gs AS (
+       |  SELECT doc_id,
+       |    [array_to_string(t[i:i+${repN - 1}], ' ')
+       |     for i in range(1, len(t) - ${repN - 2})] AS gs
+       |  FROM tk
+       |), counted AS (
+       |  SELECT doc_id, len(gs) AS n_grams, len(list_distinct(gs)) AS n_distinct
+       |  FROM gs
+       |)
+       |-- CAST to INT: Spark's size() is 32-bit, DuckDB len() is BIGINT
+       |SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+       |  CAST(n_distinct AS INT) AS n_distinct,
+       |  CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_ratio,
+       |  (CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)) > $repThreshold
+       |    AS flag_repetitive
+       |FROM counted ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_winnowing_fp" -> (winnowingFingerprints _),
     "q31_tfidf_keywords" -> (tfidfKeywords _),
@@ -513,7 +608,9 @@ object TextOps {
     "q12_minhash_pairs" -> (minhashPairs _),
     "q13_simhash" -> (simhash _),
     "q45_minhash_est" -> (minhashEstimatedJaccard _),
-    "q48_minhash_fast" -> (minhashPairsFast _))
+    "q48_minhash_fast" -> (minhashPairsFast _),
+    "q60_top_bigrams" -> (topBigrams _),
+    "q62_repetition" -> (repetitionStats _))
 
   val oracle: Map[String, String] = Map(
     "q36_winnowing_fp" -> winnowingFingerprintsSql,
@@ -524,5 +621,7 @@ object TextOps {
     "q11_exact_dedup" -> exactDedupSql,
     "q12_minhash_pairs" -> minhashPairsSql,
     "q13_simhash" -> simhashSql,
-    "q45_minhash_est" -> minhashEstimatedJaccardSql)
+    "q45_minhash_est" -> minhashEstimatedJaccardSql,
+    "q60_top_bigrams" -> topBigramsSql,
+    "q62_repetition" -> repetitionStatsSql)
 }

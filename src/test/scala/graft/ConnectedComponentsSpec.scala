@@ -1,0 +1,86 @@
+package graft
+
+import graft.ops.ConnectedComponents
+import graft.queries.ClusterOps
+import org.apache.spark.sql.functions._
+
+/** Connected components (large-star/small-star): labels must equal a
+  * driver-side union-find on the same edges, including the adversarial
+  * shapes — long chains (worst case for naive min-propagation, which
+  * needs O(diameter) rounds; the star alternation needs O(log n)) and
+  * random graphs. The q58 clustering plan must stay free of cartesian
+  * products.
+  */
+class ConnectedComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Reference labeling: classic union-find over collected edges. */
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n.toInt)(_.toLong)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r.toInt) != r) r = parent(r.toInt)
+      var c = x
+      while (parent(c.toInt) != r) { val nx = parent(c.toInt); parent(c.toInt) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb).toInt) = math.min(ra, rb)
+    }
+    (0 until n).map(i => i.toLong -> find(i.toLong)).toMap
+  }
+
+  private def check(n: Int, edges: Seq[(Long, Long)]): Unit = {
+    val expected = unionFind(n, edges)
+    val got = ConnectedComponents.label(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // label() emits only non-isolated, non-root nodes; roots and
+    // singletons label themselves
+    (0 until n).map(_.toLong).foreach { v =>
+      assert(got.getOrElse(v, v) == expected(v), s"node $v")
+    }
+  }
+
+  test("chain graph contracts to one component (log-round worst case)") {
+    check(64, (0L until 63L).map(i => (i, i + 1)))
+  }
+
+  test("two stars plus a bridge merge into one component") {
+    val s1 = (1L to 10L).map(i => (0L, i))
+    val s2 = (12L to 20L).map(i => (11L, i))
+    check(21, s1 ++ s2 :+ (10L, 12L))
+  }
+
+  test("disjoint components keep distinct minimum labels") {
+    check(12, Seq((0L, 1L), (1L, 2L), (4L, 5L), (7L, 8L), (8L, 9L), (9L, 7L)))
+  }
+
+  test("random graph matches union-find") {
+    val rnd = new scala.util.Random(42)
+    val n = 200
+    val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    check(n, edges)
+  }
+
+  test("duplicate and reversed edges are harmless") {
+    check(6, Seq((0L, 1L), (1L, 0L), (0L, 1L), (3L, 2L), (2L, 3L)))
+  }
+
+  test("q58 clusters: canonical docs are component minima; plan has no cartesian product") {
+    val df = ClusterOps.dupClusters(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "q58 must stay equi-join based")
+    val rows = df.collect()
+    // every cluster_id is a member of its own cluster and is its minimum
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).min == cid)
+      // cluster_size is consistent
+      assert(members.forall(_.getLong(2) == members.length))
+      // exactly one canonical member per cluster: the minimum
+      assert(members.count(_.getBoolean(3)) == 1)
+    }
+  }
+}
