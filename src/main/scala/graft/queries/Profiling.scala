@@ -153,13 +153,78 @@ object Profiling {
       |  quantile_cont(l_extendedprice, 0.75) AS p75_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------- column profiling
+  /** Whole-table column profile (q65): per column, row/null/distinct
+    * counts and min/max rendered to strings — the data-quality snapshot a
+    * pipeline records per dataset version (the ANALYZE/profile surface).
+    * One pass over the table: a single wide aggregation computes all
+    * columns' stats (the multi-distinct plan expands rows ×columns —
+    * Spark's standard exact form; at 100 TB swap the distinct counts for
+    * approx_count_distinct and the plan collapses to one partial agg),
+    * then one row explodes to a (column, stats) long format. Min/max
+    * rendering pins engine-portable forms: decimals via DECIMAL(18,2),
+    * timestamps via an explicit shared pattern.
+    */
+  private val profileCols: Seq[(String, String)] = Seq(
+    // (column, render kind)
+    "o_orderkey" -> "plain",
+    "o_custkey" -> "plain",
+    "o_orderstatus" -> "plain",
+    "o_totalprice" -> "dec2",
+    "o_orderdate" -> "ts",
+    "o_orderpriority" -> "plain")
+
+  private def renderCol(kind: String)(c: Column): Column = kind match {
+    case "dec2" => c.cast("decimal(18,2)").cast("string")
+    case "ts" => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case _ => c.cast("string")
+  }
+
+  private def renderSql(kind: String)(e: String): String = kind match {
+    case "dec2" => s"CAST(CAST($e AS DECIMAL(18,2)) AS VARCHAR)"
+    case "ts" => s"strftime($e, '%Y-%m-%d %H:%M:%S')"
+    case _ => s"CAST($e AS VARCHAR)"
+  }
+
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = profileCols.flatMap { case (c, kind) =>
+      Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        renderCol(kind)(min(col(c))).as(s"mn_$c"),
+        renderCol(kind)(max(col(c))).as(s"mx_$c"))
+    }
+    val one = Tables.orders(spark, dir)
+      .agg(count(lit(1)).as("n"), aggs: _*)
+    val rows = profileCols.map { case (c, _) =>
+      struct(lit(c).as("col_name"), col("n").as("n_rows"),
+        (col("n") - col(s"nn_$c")).as("n_null"),
+        col(s"nd_$c").as("n_distinct"),
+        col(s"mn_$c").as("min_value"), col(s"mx_$c").as("max_value"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy(col("col_name"))
+  }
+
+  val columnProfileSql: String =
+    profileCols.map { case (c, kind) =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS n_distinct,
+         |  ${renderSql(kind)(s"MIN($c)")} AS min_value,
+         |  ${renderSql(kind)(s"MAX($c)")} AS max_value
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_column_profile" -> (columnProfile _),
     "q32_sketch_profile" -> (sketchProfile _),
     "q33_stats_moments" -> (statsMoments _),
     "q34_snapshot_diff" -> (snapshotDiff _),
     "q35_quantiles" -> (quantiles _))
 
   val oracle: Map[String, String] = Map(
+    "q65_column_profile" -> columnProfileSql,
     "q33_stats_moments" -> statsMomentsSql,
     "q34_snapshot_diff" -> snapshotDiffSql,
     "q35_quantiles" -> quantilesSql)

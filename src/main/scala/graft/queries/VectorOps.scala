@@ -70,6 +70,116 @@ object VectorOps {
       |FROM ranked WHERE rank <= 5
       |ORDER BY probe_id, rank""".stripMargin
 
+  /** Metadata-filtered top-k (q63): cosine top-5 restricted to candidates
+    * sharing the probe's label — the "filtered vector search" every
+    * retrieval system needs (category/tenant/language constraints).
+    * Same broadcast-probe scan + distributed top-k reduction as q14 with
+    * the label equality folded into the join condition, so the filter
+    * prunes candidates BEFORE any scoring work. At 100 TB this shape
+    * (filter-then-brute-force) beats post-filtering an ANN index whenever
+    * the predicate is selective — the standard pre-filter/post-filter
+    * tradeoff, here on the exact path.
+    */
+  def filteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
+      .withColumn("norm", sqrt(longDot("q", "q").cast("double")))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("label"),
+        col("q").as("pq"), col("norm").as("pnorm"))
+    val cands = emb.select(col("vec_id").as("cand_id"), col("label").as("clabel"),
+      col("q").as("cq"), col("norm").as("cnorm"))
+    val scored = cands.join(broadcast(probes),
+      col("cand_id") =!= col("probe_id") && col("clabel") === col("label"))
+      .withColumn("cos", longDot("pq", "cq").cast("double") /
+        (col("pnorm") * col("cnorm")))
+    val tk = graft.functions.TopK.topK(5)
+    val agged = scored.groupBy(col("probe_id"), col("label"))
+      .agg(tk(-col("cos"), col("cand_id")).as("tk"))
+    graft.functions.TopK.explodeRanked(agged, "tk", Seq("probe_id", "label"))
+      .select(col("probe_id"), col("label"), col("id").as("cand_id"),
+        col("rank"), (-col("score")).as("cos"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  val filteredTopKSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), pairs AS (
+      |  SELECT p.vec_id AS probe_id, p.label AS label, c.vec_id AS cand_id,
+      |    CAST(list_sum(list_transform(list_zip(p.qv, c.qv), z -> z[1] * z[2])) AS DOUBLE) /
+      |      (sqrt(CAST(list_sum(list_transform(p.qv, x -> x * x)) AS DOUBLE)) *
+      |       sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE))) AS cos
+      |  FROM q p JOIN q c
+      |    ON p.vec_id < 10 AND c.vec_id <> p.vec_id AND c.label = p.label
+      |), ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+      |                               ORDER BY cos DESC, cand_id) AS rank
+      |  FROM pairs
+      |)
+      |SELECT probe_id, label, cand_id, rank, cos
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY probe_id, rank""".stripMargin
+
+  // --------------------------------------------- random projection (q64)
+  /** Sign-random-projection dimensionality reduction: 64-dim float
+    * embeddings → 16-dim via a ±1 projection matrix (the
+    * Johnson–Lindenstrauss / SimHash-family transform — the cheap
+    * compression step before clustering or coarse search). The matrix is
+    * derived once from md5("j:i") parity at plan-build time and embedded
+    * as literals in BOTH engines' expressions, so the projection is
+    * deterministic and portable with zero per-row hashing. Quantized
+    * integer dot products keep every sum exact; map-only — the 100 TB
+    * cost is the scan.
+    */
+  val projDims = 16
+  val srcDims = 64
+
+  private lazy val signMatrix: Array[Array[Long]] =
+    Array.tabulate(projDims, srcDims) { (j, i) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1L else -1L
+    }
+
+  def randomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val dims = (0 until projDims).map { j =>
+      val signs = typedLit(signMatrix(j).toSeq)
+      struct(lit(j).as("dim"),
+        aggregate(zip_with(col("q"), signs, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("proj_q"))
+    }
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .select(col("vec_id"), explode(array(dims: _*)).as("d"))
+      .select(col("vec_id"), col("d.dim").as("dim"),
+        col("d.proj_q").as("proj_q"),
+        (col("d.proj_q").cast("double") / 1000000.0).as("proj"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
+  val randomProjectionSql: String = {
+    val structs = (0 until projDims).map { j =>
+      val lits = signMatrix(j).mkString("[", ",", "]")
+      s"{'dim': $j, 'p': list_sum(list_transform(list_zip(qv, $lits), z -> z[1] * z[2]))}"
+    }.mkString(",\n    ")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |), proj AS (
+       |  SELECT vec_id, unnest([
+       |    $structs
+       |  ]) AS s
+       |  FROM q
+       |)
+       |SELECT vec_id, s.dim AS dim, CAST(s.p AS BIGINT) AS proj_q,
+       |  CAST(s.p AS DOUBLE) / 1000000.0 AS proj
+       |FROM proj ORDER BY vec_id, dim""".stripMargin
+  }
+
   /** Per-label centroids, flat (label, pos, centroid) rows. Quantized
     * bigint sums are exact under any aggregation order; the average is a
     * single double division both engines share.
@@ -246,10 +356,14 @@ object VectorOps {
     "q14_cosine_topk" -> (cosineTopK _),
     "q15_centroids" -> (centroids _),
     "q16_ann_ivf" -> (annIvf _),
-    "q57_ann_recall" -> (annRecall _))
+    "q57_ann_recall" -> (annRecall _),
+    "q63_filtered_topk" -> (filteredTopK _),
+    "q64_random_projection" -> (randomProjection _))
 
   val oracle: Map[String, String] = Map(
     "q14_cosine_topk" -> cosineTopKSql,
     "q15_centroids" -> centroidsSql,
-    "q57_ann_recall" -> annRecallSql)
+    "q57_ann_recall" -> annRecallSql,
+    "q63_filtered_topk" -> filteredTopKSql,
+    "q64_random_projection" -> randomProjectionSql)
 }

@@ -139,4 +139,48 @@ class VectorAndMultimodalSpec extends SparkTestBase {
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("q63 filtered top-k: every result shares the probe's label and ranks within the label-filtered q14 order") {
+    val filtered = graft.queries.VectorOps.filteredTopK(spark, sf)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = filtered.collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) == labels(r.getLong(0)), "probe label mismatch")
+      assert(labels(r.getLong(2)) == labels(r.getLong(0)), "candidate label differs")
+    }
+    // per probe: ranks are 1..n with strictly descending cos
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to rs.length))
+      assert(sorted.sliding(2).forall { w =>
+        w.length < 2 || w(0).getDouble(4) >= w(1).getDouble(4) })
+    }
+  }
+
+  test("q64 random projection: map-only plan, exact signed sums") {
+    val proj = graft.queries.VectorOps.randomProjection(spark, sf)
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") || plan.indexOf("Exchange") >
+      plan.indexOf("Sort"), "only the presentation sort may shuffle: " + plan)
+    // spot-check one vector against a driver-side recomputation
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").filter($"vec_id" === 3).collect()(0)
+    val v = emb.getSeq[Float](1).map(x => math.round(x.toDouble * 1e6))
+    val got = proj.filter($"vec_id" === 3).collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    (0 until graft.queries.VectorOps.projDims).foreach { j =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+      val want = v.indices.map { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$j:$i".getBytes("UTF-8"))
+        if ((d(0) & 1) == 0) v(i) else -v(i)
+      }.sum
+      assert(got(j) == want, s"dim $j")
+    }
+  }
 }
