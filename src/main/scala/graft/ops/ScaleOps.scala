@@ -178,6 +178,53 @@ object ScaleOps {
       rangeCols: Seq[Column]): Unit =
     df.repartitionByRange(n, rangeCols: _*).write.mode("overwrite").parquet(path)
 
+  /** Range-cluster a dataset on `colNames` and write parquet whose
+    * per-file (and per-row-group) min/max statistics are tight and
+    * pairwise disjoint on the leading column — the data-layout move that
+    * makes predicate pushdown actually skip I/O. A filter on the cluster
+    * key then reads ~1/n of the files (parquet row-group stats pruning);
+    * unclustered layout scatters every key range across every file and
+    * skips nothing. This is the vendor-neutral core of Z-ordering for the
+    * single-column case; at 100 TB it's the difference between a point
+    * query costing a full scan and costing one file.
+    */
+  def clusterForSkipping(df: DataFrame, path: String, n: Int,
+      colNames: Seq[String]): Unit =
+    df.repartitionByRange(n, colNames.map(col): _*)
+      .sortWithinPartitions(colNames.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+
+  /** Per-file (min, max) of a long column from parquet footer metadata —
+    * the statistics a pushed-down filter prunes against. Driver-side
+    * footer reads only; no data I/O.
+    */
+  def fileStats(spark: org.apache.spark.sql.SparkSession, path: String,
+      column: String): Seq[(String, Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+        try {
+          val mm = r.getFooter.getBlocks.asScala.flatMap { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == column)
+              .map { c =>
+                val st = c.getStatistics
+                (st.genericGetMin.asInstanceOf[Number].longValue(),
+                  st.genericGetMax.asInstanceOf[Number].longValue())
+              }
+          }
+          (f.getPath.getName, mm.map(_._1).min, mm.map(_._2).max)
+        } finally r.close()
+      }
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(bytes / targetBytes) files. Streaming sinks and per-batch
     * writers accrete small files that tax scan planning and the

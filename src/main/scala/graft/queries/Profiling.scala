@@ -216,8 +216,50 @@ object Profiling {
          |FROM orders""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  // -------------------------------------------------------- histogram
+  /** Equi-width histogram (q66): 20 bins over o_totalprice — the
+    * distribution sketch a profiling pass attaches to every numeric
+    * column. Two passes: one tiny min/max aggregate broadcast to a
+    * map-side binning scan + one narrow groupBy — never a sort. The bin
+    * arithmetic is a single shared double expression ((x−min)/width,
+    * floored, clamped), so bin assignment is bit-identical on both
+    * engines; empty bins simply don't appear.
+    */
+  val histBins = 20
+
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val mm = o.agg(min(col("o_totalprice")).as("mn"),
+      max(col("o_totalprice")).as("mx"))
+    o.select(col("o_totalprice")).crossJoin(broadcast(mm))
+      .withColumn("width", (col("mx") - col("mn")) / lit(histBins.toDouble))
+      .withColumn("bin", least(
+        floor((col("o_totalprice") - col("mn")) / col("width")).cast("int"),
+        lit(histBins - 1)))
+      .withColumn("lo", col("mn") + col("bin") * col("width"))
+      .withColumn("hi", col("mn") + (col("bin") + 1) * col("width"))
+      .groupBy(col("bin"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("bin"))
+  }
+
+  val histogramSql: String =
+    s"""WITH mm AS (
+       |  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+       |), b AS (
+       |  SELECT least(CAST(floor((o_totalprice - mn) / ((mx - mn) / $histBins.0)) AS INT),
+       |               ${histBins - 1}) AS bin,
+       |         mn, (mx - mn) / $histBins.0 AS width
+       |  FROM orders, mm
+       |)
+       |SELECT bin, mn + bin * width AS lo, mn + (bin + 1) * width AS hi,
+       |  COUNT(*) AS n_rows
+       |FROM b GROUP BY bin, lo, hi
+       |ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_column_profile" -> (columnProfile _),
+    "q66_histogram" -> (histogram _),
     "q32_sketch_profile" -> (sketchProfile _),
     "q33_stats_moments" -> (statsMoments _),
     "q34_snapshot_diff" -> (snapshotDiff _),
@@ -225,6 +267,7 @@ object Profiling {
 
   val oracle: Map[String, String] = Map(
     "q65_column_profile" -> columnProfileSql,
+    "q66_histogram" -> histogramSql,
     "q33_stats_moments" -> statsMomentsSql,
     "q34_snapshot_diff" -> snapshotDiffSql,
     "q35_quantiles" -> quantilesSql)

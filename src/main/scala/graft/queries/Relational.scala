@@ -189,7 +189,59 @@ object Relational {
       |FROM supplier
       |ORDER BY entity_id""".stripMargin
 
+  /** Regional supply-chain revenue (q67, TPC-H Q5 shape): the 6-table
+    * join-reorder stress — lineitem ⋈ orders ⋈ customer shuffle on their
+    * keys while supplier/nation/region broadcast, the co-nation predicate
+    * (customer and supplier in the same nation) rides the supplier join,
+    * and the region filter + date range prune before any wide join.
+    * Revenue = Σ extendedprice·(1−discount) in exact decimal. This is the
+    * query Catalyst's join reordering, broadcast election, and pushdown
+    * have to get right together; at 100 TB the only wide exchanges are
+    * the two fact-key shuffles.
+    */
+  def regionalSupply(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir).filter(
+      col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  val regionalSupplySql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |       AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_regional_supply" -> (regionalSupply _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_filter_pushdown" -> (filterPushdown _),
     "q03_revenue_by_nation" -> (revenueByNation _),
@@ -198,6 +250,7 @@ object Relational {
     "q06_union_by_name" -> (unionByNameDrift _))
 
   val oracle: Map[String, String] = Map(
+    "q67_regional_supply" -> regionalSupplySql,
     "q01_pricing_summary" -> pricingSummarySql,
     "q02_filter_pushdown" -> filterPushdownSql,
     "q03_revenue_by_nation" -> revenueByNationSql,

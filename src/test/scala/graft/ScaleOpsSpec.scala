@@ -182,4 +182,26 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(graft.ops.PersistRegistry.liveCount(spark) <= before + 0 +
       graft.ops.PersistRegistry.MaxEntries) // non-test entries untouched
   }
+
+  test("clusterForSkipping yields disjoint per-file key ranges; unclustered does not") {
+    val base = java.nio.file.Files.createTempDirectory("graft-skip").toString
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("user_id"))
+    // clustered layout: disjoint per-file user_id ranges
+    ScaleOps.clusterForSkipping(ev, s"$base/clustered", 8, Seq("user_id"))
+    val stats = ScaleOps.fileStats(spark, s"$base/clustered", "user_id")
+      .sortBy(_._2)
+    assert(stats.size >= 2, s"expected multiple files, got $stats")
+    stats.sliding(2).foreach {
+      case Seq(a, b) => assert(a._3 <= b._2, s"overlapping ranges: $a vs $b")
+      case _ =>
+    }
+    // control: round-robin layout scatters the full range into every file
+    ev.repartition(8).write.mode("overwrite").parquet(s"$base/scattered")
+    val sc = ScaleOps.fileStats(spark, s"$base/scattered", "user_id")
+    val (gmin, gmax) = (sc.map(_._2).min, sc.map(_._3).max)
+    assert(sc.forall { case (_, lo, hi) =>
+      hi - lo > (gmax - gmin) / 4 }, "control layout unexpectedly clustered")
+    // results identical either way
+    assert(spark.read.parquet(s"$base/clustered").count() == ev.count())
+  }
 }
