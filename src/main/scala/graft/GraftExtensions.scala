@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.LongDotProduct
+import graft.functions.expressions.{LongDotProduct, RabinKarpHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -10,10 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   *   spark.sql.extensions=graft.GraftExtensions
   *
-  * Currently injects `long_dot_product` (the codegen'd similarity kernel)
-  * as a SQL function. Play-parser SQL functions remain per-session
-  * (`PlayFunctions.registerSql`) because they are expression rewrites
-  * bound to a session's function registry, not standalone expressions.
+  * Injects the two codegen'd custom expressions as SQL functions:
+  * `long_dot_product` (the similarity kernel) and `rolling_hashes` (the
+  * O(n) Rabin-Karp k-gram hasher behind winnowing). Play-parser SQL
+  * functions remain per-session (`PlayFunctions.registerSql`) because
+  * they are expression rewrites bound to a session's function registry,
+  * not standalone expressions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -25,6 +27,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException(
             s"long_dot_product requires exactly 2 arguments, got ${children.size}")
         LongDotProduct(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hashes"),
+      new ExpressionInfo(classOf[RabinKarpHashes].getName, "rolling_hashes"),
+      (children: Seq[Expression]) => {
+        if (children.size != 2)
+          throw new IllegalArgumentException(
+            s"rolling_hashes requires exactly 2 arguments, got ${children.size}")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            "rolling_hashes: k must be an integer literal")
+        }
+        RabinKarpHashes(children(0), k)
       }))
   }
 }

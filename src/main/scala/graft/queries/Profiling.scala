@@ -233,9 +233,12 @@ object Profiling {
       max(col("o_totalprice")).as("mx"))
     o.select(col("o_totalprice")).crossJoin(broadcast(mm))
       .withColumn("width", (col("mx") - col("mn")) / lit(histBins.toDouble))
-      .withColumn("bin", least(
+      // degenerate single-value column: width 0 would make the bin
+      // expression NaN (an error under ANSI int cast) — everything lands
+      // in bin 0 instead, same rule as the oracle
+      .withColumn("bin", when(col("width") === 0.0, lit(0)).otherwise(least(
         floor((col("o_totalprice") - col("mn")) / col("width")).cast("int"),
-        lit(histBins - 1)))
+        lit(histBins - 1))))
       .withColumn("lo", col("mn") + col("bin") * col("width"))
       .withColumn("hi", col("mn") + (col("bin") + 1) * col("width"))
       .groupBy(col("bin"), col("lo"), col("hi"))
@@ -247,8 +250,9 @@ object Profiling {
     s"""WITH mm AS (
        |  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
        |), b AS (
-       |  SELECT least(CAST(floor((o_totalprice - mn) / ((mx - mn) / $histBins.0)) AS INT),
-       |               ${histBins - 1}) AS bin,
+       |  SELECT CASE WHEN mx = mn THEN 0
+       |         ELSE least(CAST(floor((o_totalprice - mn) / ((mx - mn) / $histBins.0)) AS INT),
+       |                    ${histBins - 1}) END AS bin,
        |         mn, (mx - mn) / $histBins.0 AS width
        |  FROM orders, mm
        |)

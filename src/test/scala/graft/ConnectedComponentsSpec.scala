@@ -68,6 +68,13 @@ class ConnectedComponentsSpec extends SparkTestBase {
     check(6, Seq((0L, 1L), (1L, 0L), (0L, 1L), (3L, 2L), (2L, 3L)))
   }
 
+  test("empty and all-self-loop edge sets converge to no labels") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(ConnectedComponents.label(empty).count() == 0)
+    val selfLoops = Seq((1L, 1L), (2L, 2L)).toDF("a", "b")
+    assert(ConnectedComponents.label(selfLoops).count() == 0)
+  }
+
   test("q58 clusters: canonical docs are component minima; plan has no cartesian product") {
     val df = ClusterOps.dupClusters(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

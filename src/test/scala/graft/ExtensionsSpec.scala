@@ -37,6 +37,18 @@ class ExtensionsSpec extends AnyFunSuite {
         spark.sql("SELECT long_dot_product(array(1L))").collect()
       }
       assert(err.getMessage.contains("exactly 2 arguments"), err.getMessage)
+      // rolling_hashes: k-gram count and the Rabin-Karp recurrence value
+      val rh = spark.sql("SELECT rolling_hashes('abcd', 3) AS h")
+        .collect()(0).getSeq[Long](0)
+      assert(rh.length == 2) // "abcd" has two 3-grams
+      val p = 1000000007L
+      val expect = (('a' * 131L * 131L + 'b' * 131L + 'c') % p,
+        ('b' * 131L * 131L + 'c' * 131L + 'd') % p)
+      assert((rh(0), rh(1)) == expect)
+      val err2 = intercept[Exception] {
+        spark.sql("SELECT rolling_hashes('abcd', length('ab'))").collect()
+      }
+      assert(err2.getMessage.contains("integer literal"), err2.getMessage)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
