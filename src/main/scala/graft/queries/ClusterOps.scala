@@ -69,6 +69,32 @@ object ClusterOps {
        |FROM labels
        |ORDER BY doc_id""".stripMargin
 
+  /** Incremental clustering — the "updating datasets" form of q58: fold
+    * newly arrived documents into an existing clustering WITHOUT
+    * re-pairing the old corpus against itself. The old membership
+    * collapses to its star edges (member → cluster min, |old docs| −
+    * |clusters| rows), the caller supplies only the candidate pairs that
+    * involve a new document (one LSH probe of the new docs against the
+    * band-key index — cost ∝ |new|, not |corpus|²), and one CC pass over
+    * (stars ∪ new pairs) relabels. Because the old component is already a
+    * star forest, the alternation re-converges in O(1) extra rounds per
+    * merge chain; a new doc bridging two old clusters correctly merges
+    * them under the smaller minimum. Result is identical to re-running
+    * the batch clustering on the full corpus (spec-asserted).
+    */
+  def mergeClusters(oldMembers: DataFrame, allDocs: DataFrame,
+      newEdges: DataFrame): DataFrame = {
+    val stars = oldMembers.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("a"), col("cluster_id").as("b"))
+    val labels = ConnectedComponents
+      .label(stars.union(newEdges.select(col("a"), col("b"))))
+      .select(col("node").as("doc_id"), col("label").as("root"))
+    allDocs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_dup_clusters" -> (dupClusters _))
 

@@ -142,13 +142,16 @@ object TextOps {
     * element (split() is not hoisted), so the inline form pays O(tokens²)
     * per document — measured 3x slower on the 4-gram twin.
     */
-  private def shingleTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  private def shingleTableOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokens.as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
         transform(sequence(lit(0), size(col("t")) - 3),
           i => array_join(slice(col("t"), i + 1, lit(3)), " ")).as("shingles"))
+
+  private def shingleTable(spark: SparkSession, dir: String): DataFrame =
+    shingleTableOf(Tables.documents(spark, dir))
 
   // ---- shared minhash scaffolding (used by q12 / q45 / q48: one place
   // to change the signature construction, banding, agreement estimate,
@@ -234,6 +237,16 @@ object TextOps {
 
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     neardupPairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** DataFrame-input twin of [[neardupPairs]] for composition (incremental
+    * clustering, subset re-pairing). No registry caching — callers that
+    * reuse the band keys persist them themselves. */
+  def neardupPairsOf(docs: DataFrame): DataFrame = {
+    val sh = shingleTableOf(docs)
+    val bandKeys = bandKeysOf(signatureTable(sh, md5Sig),
+      (a, b) => md5(concat_ws("|", a, b)))
+    exactJaccard(sh, bandPairs(bandKeys))
+  }
 
   /** The full DuckDB CTE chain ending in a `pairs(doc_a, doc_b, jaccard)`
     * relation — shared by q12's oracle and q58's (which builds a recursive

@@ -75,6 +75,36 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(ConnectedComponents.label(selfLoops).count() == 0)
   }
 
+  test("incremental mergeClusters equals batch re-clustering") {
+    import graft.queries.TextOps
+    val docs = Tables.documents(spark, sf)
+    val oldDocs = docs.filter(col("doc_id") % 2 === 0)
+    // batch truth over the full corpus
+    val full = ClusterOps.dupClusters(spark, sf)
+      .select(col("doc_id"), col("cluster_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // stage 1: cluster only the even half
+    val oldEdges = TextOps.neardupPairsOf(oldDocs)
+      .filter(col("jaccard") >= ClusterOps.clusterJaccard)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val oldLabels = graft.ops.ConnectedComponents.label(oldEdges)
+      .select(col("node").as("doc_id"), col("label").as("root"))
+    val oldMembers = oldDocs.select(col("doc_id"))
+      .join(oldLabels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
+    // stage 2: the odd half arrives; new candidate pairs are exactly the
+    // full-corpus pairs touching at least one new doc (what an LSH probe
+    // of the new docs against the band index returns)
+    val newEdges = TextOps.neardupPairsOf(docs)
+      .filter(col("jaccard") >= ClusterOps.clusterJaccard)
+      .filter(col("doc_a") % 2 === 1 || col("doc_b") % 2 === 1)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val merged = ClusterOps.mergeClusters(oldMembers, docs.select(col("doc_id")), newEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == full)
+    assert(merged.nonEmpty && merged.exists { case (d, c) => d != c })
+  }
+
   test("q58 clusters: canonical docs are component minima; plan has no cartesian product") {
     val df = ClusterOps.dupClusters(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -230,4 +230,41 @@ class PropertySpec extends SparkTestBase {
     assert(r.toSeq == Seq("3", "7:15.0", "Jayson Tatum", "made", "3-pointer",
       "26ft", "Boston", "88", "80"))
   }
+
+  test("mixWeights invariants: cap source keeps everything, sampled <= total, rates in (0,1]") {
+    val rows = graft.queries.PipelineOps.mixWeights(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val capTokens = rows.map(_.getLong(2)).min
+    rows.foreach { r =>
+      val (nDocs, srcTokens, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      val (sDocs, sTokens) = (r.getLong(4), r.getLong(5))
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(sDocs <= nDocs && sTokens <= srcTokens)
+      if (srcTokens == capTokens) // the equalization target keeps all docs
+        assert(sDocs == nDocs && sTokens == srcTokens)
+    }
+  }
+
+  test("repetition ratio is in [0,1) and zero iff all n-grams distinct") {
+    val rows = graft.queries.TextOps.repetitionStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, d, ratio) = (r.getInt(1), r.getInt(2), r.getDouble(3))
+      assert(d >= 1 && d <= n)
+      assert(ratio >= 0.0 && ratio < 1.0)
+      assert((ratio == 0.0) == (n == d))
+    }
+  }
+
+  test("connected-components labeling is idempotent") {
+    // labeling the star edges of a labeling reproduces it
+    val edges = Seq((5L, 3L), (3L, 9L), (9L, 1L), (7L, 8L), (2L, 8L))
+      .toDF("a", "b")
+    val l1 = graft.ops.ConnectedComponents.label(edges)
+    val l2 = graft.ops.ConnectedComponents.label(
+      l1.select(col("node").as("a"), col("label").as("b")))
+    val m1 = l1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m2 = l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1 == m2)
+  }
 }
