@@ -222,7 +222,74 @@ object EventOps {
        |  MIN(value) AS min_value, MAX(value) AS max_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------- resample/ffill
+  /** Hourly resample with forward fill (q68) — the time-series
+    * regularization op (`resample('1h').ffill()` in dataframe dialects):
+    * per user, one row per hour from first to last event; each hour
+    * carries its event count and the latest observed value at or before
+    * it (LOCF). The per-hour representative is deterministic (latest
+    * (ts, event_id)); the hour grid is a generator off the per-user span
+    * (rows ∝ span, not events²); the fill is one user-partitioned window
+    * — everything shuffles on user_id only, so the plan is D-way parallel
+    * at any scale with no global sort before the presentation ORDER BY.
+    */
+  def hourlyResample(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("hr", date_trunc("hour", col("ts")))
+      .withColumn("us", unix_micros(col("ts")))
+    val wLast = Window.partitionBy(col("user_id"), col("hr"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val lastInHour = ev.withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("hr"), col("value").as("hr_value"))
+    val counts = ev.groupBy(col("user_id"), col("hr"))
+      .agg(count(lit(1)).as("n_events"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("hr0"), max(col("hr")).as("hr1"))
+      .select(col("user_id"),
+        explode(sequence(col("hr0"), col("hr1"), expr("interval 1 hour"))).as("hr"))
+    val wFill = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(counts, Seq("user_id", "hr"), "left")
+      .join(lastInHour, Seq("user_id", "hr"), "left")
+      .withColumn("value_ffill",
+        last(col("hr_value"), ignoreNulls = true).over(wFill))
+      .select(col("user_id"), col("hr"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"), col("value_ffill"))
+      .orderBy(col("user_id"), col("hr"))
+  }
+
+  val hourlyResampleSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, value,
+      |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events
+      |), last_in_hr AS (
+      |  SELECT user_id, hr, value AS hr_value FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, hr
+      |                                 ORDER BY us DESC, event_id DESC) AS rn
+      |    FROM ev
+      |  ) WHERE rn = 1
+      |), counts AS (
+      |  SELECT user_id, hr, COUNT(*) AS n_events FROM ev GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT user_id, unnest(generate_series(hr0, hr1, INTERVAL 1 HOUR)) AS hr
+      |  FROM (SELECT user_id, min(hr) AS hr0, max(hr) AS hr1 FROM ev GROUP BY 1)
+      |)
+      |SELECT g.user_id, g.hr,
+      |  CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events,
+      |  last_value(l.hr_value IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.hr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+      |FROM grid g
+      |LEFT JOIN counts c ON g.user_id = c.user_id AND g.hr = c.hr
+      |LEFT JOIN last_in_hr l ON g.user_id = l.user_id AND g.hr = l.hr
+      |ORDER BY g.user_id, g.hr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_hourly_resample" -> (hourlyResample _),
     "q17_json_extract" -> (jsonExtract _),
     "q18_hourly_rollup" -> (hourlyRollup _),
     "q19_sessionize" -> (sessionize _),
@@ -232,6 +299,7 @@ object EventOps {
     "q53_props_map" -> (propsMap _))
 
   val oracle: Map[String, String] = Map(
+    "q68_hourly_resample" -> hourlyResampleSql,
     "q17_json_extract" -> jsonExtractSql,
     "q18_hourly_rollup" -> hourlyRollupSql,
     "q19_sessionize" -> sessionizeSql,
