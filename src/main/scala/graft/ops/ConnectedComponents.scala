@@ -30,6 +30,18 @@ object ConnectedComponents {
     * component's minimum node id. Returns (`node`, `label`) for every
     * non-isolated, non-minimum node; callers restore isolated nodes with a
     * left join + coalesce(label, own id). Ids must be orderable (long).
+    *
+    * Memory: each round's edge set is an eager localCheckpoint (lineage
+    * would double per round otherwise); every intermediate round's backing
+    * RDD is released as soon as the next round materializes — Dataset
+    * .unpersist would be a no-op here because checkpoint caching is
+    * RDD-level, so the release goes through the LogicalRDD handle. Only
+    * the FINAL round's RDD stays cached: it backs the returned labels
+    * (its lineage is truncated, so releasing it would invalidate them);
+    * callers that are done with a labeling can free it eagerly with
+    * [[release]]. On a multi-node cluster swap localCheckpoint for
+    * `sc.setCheckpointDir` + `checkpoint()` — same structure, plus
+    * executor-loss safety.
     */
   def label(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     var e = edges
@@ -51,12 +63,20 @@ object ConnectedComponents {
       prev = c
       val old = e
       e = next
-      old.unpersist(blocking = false)
+      release(old)
       it += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
     e.select(col("u").as("node"), col("p").as("label"))
   }
+
+  /** Free the checkpointed RDD backing a frame returned by (or fed
+    * through) [[label]]. The frame is unusable afterwards — its lineage
+    * was truncated at checkpoint time. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** Attach every strictly-larger neighbor v of each node u to
     * m(u) = min(N(u) ∪ {u}). Output stays child→parent oriented because

@@ -68,6 +68,20 @@ class ConnectedComponentsSpec extends SparkTestBase {
     check(6, Seq((0L, 1L), (1L, 0L), (0L, 1L), (3L, 2L), (2L, 3L)))
   }
 
+  test("intermediate rounds release their checkpoint RDDs; release() frees the final") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val labels = ConnectedComponents.label(
+      (0L until 31L).map(i => (i, i + 1)).toDF("a", "b"))
+    labels.count()
+    val afterRun = sc.getPersistentRDDs.keySet -- before
+    // a 32-node chain needs several alternation rounds, but only the
+    // final round's checkpoint may remain cached
+    assert(afterRun.size == 1, s"leaked intermediate checkpoints: $afterRun")
+    ConnectedComponents.release(labels)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("empty and all-self-loop edge sets converge to no labels") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(ConnectedComponents.label(empty).count() == 0)
