@@ -557,7 +557,39 @@ object PipelineOps {
        |FROM rates r LEFT JOIN sampled s ON r.source = s.source
        |ORDER BY r.source""".stripMargin
 
+  // ---------------------------------------------------- per-source caps
+  /** Per-source document cap (q69): keep at most K docs per source,
+    * chosen by the deterministic md5 uniform (a seeded "random K" that is
+    * stable across runs, engines, and partitionings) — the per-domain cap
+    * every web-corpus curation applies so no single source dominates.
+    * One window partitioned by source (bounded by source size); rows
+    * whose rank exceeds the cap are dropped.
+    */
+  val sourceCap = 10
+
+  def sourceCapSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("u8"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), u8Col.as("u8"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= sourceCap)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val sourceCapSampleSql: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |                       ORDER BY $u8Sql, doc_id) AS rk
+       |  FROM documents
+       |)
+       |SELECT doc_id, source, CAST(rk AS INT) AS rk
+       |FROM ranked WHERE rk <= $sourceCap
+       |ORDER BY source, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_source_cap" -> (sourceCapSample _),
     "q39_stratified_sample" -> (stratifiedSample _),
     "q40_doc_chunks" -> (docChunks _),
     "q41_decontaminate" -> (decontaminate _),
@@ -571,6 +603,7 @@ object PipelineOps {
     "q61_mix_weights" -> (mixWeights _))
 
   val oracle: Map[String, String] = Map(
+    "q69_source_cap" -> sourceCapSampleSql,
     // q56 computes the same result as q43 through a scale-safe plan, so
     // its oracle is q43's declarative window formulation verbatim
     "q56_quality_deciles_scale" -> qualityBucketsSql,

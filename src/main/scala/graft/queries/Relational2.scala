@@ -368,7 +368,42 @@ object Relational2 {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin
 
+  // -------------------------------------------------------------- unpivot
+  /** Wide→long reshaping (q70): per-returnflag metric columns melted to
+    * (flag, metric, value) rows through Spark's native `unpivot` (the
+    * MELT/UNPIVOT relational operator, the inverse of q27's pivot). The
+    * wide aggregate is one partial-combinable shuffle; the melt itself is
+    * a narrow Expand — rows × metrics with no exchange.
+    */
+  def metricUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.Exact._
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(sumD(col("l_quantity")).as("sum_qty"),
+        sumD(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).cast("double").as("n_items"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("n_items")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  val metricUnpivotSql: String = {
+    import graft.queries.Exact.sumDSql
+    s"""WITH wide AS (
+       |  SELECT l_returnflag,
+       |    ${sumDSql("l_quantity")} AS sum_qty,
+       |    ${sumDSql("l_extendedprice")} AS sum_price,
+       |    CAST(COUNT(*) AS DOUBLE) AS n_items
+       |  FROM lineitem GROUP BY l_returnflag
+       |)
+       |SELECT l_returnflag, metric, value
+       |FROM wide UNPIVOT (value FOR metric IN (sum_qty, sum_price, n_items))
+       |ORDER BY l_returnflag, metric""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_metric_unpivot" -> (metricUnpivot _),
     "q37_status_cube" -> (statusPriorityCube _),
     "q38_edit_distance" -> (editDistancePairs _),
     "q30_monthly_revenue" -> (monthlyRevenue _),
@@ -383,6 +418,7 @@ object Relational2 {
     "q52_grouping_sets" -> (groupingSets _))
 
   val oracle: Map[String, String] = Map(
+    "q70_metric_unpivot" -> metricUnpivotSql,
     "q37_status_cube" -> statusPriorityCubeSql,
     "q38_edit_distance" -> editDistancePairsSql,
     "q30_monthly_revenue" -> monthlyRevenueSql,
