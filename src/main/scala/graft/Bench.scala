@@ -48,12 +48,7 @@ object Bench {
       new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).trim.split(" ").take(3)
         .mkString(" ")).getOrElse("unknown")
-    def js(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def js(s: String): String = JsonEscape(s)
     val qs = results.map { case (k, v) => js(k) + ":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => js(k) + ":" + js(v) }

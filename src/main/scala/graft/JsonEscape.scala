@@ -1,0 +1,19 @@
+package graft
+
+/** The one JSON string escaper both driver-facing mains share (Bench's
+  * metrics line, Verify's oracle_sql.json). Escapes backslash, quote, and
+  * ALL control chars (<0x20) — a tab or CR in builder-authored SQL or an
+  * exception message would otherwise make the driver's json.load fail and
+  * silently zero the round's artifacts.
+  */
+private[graft] object JsonEscape {
+  def apply(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}

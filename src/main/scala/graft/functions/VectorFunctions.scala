@@ -36,8 +36,22 @@ object VectorFunctions {
     * When scoring many pairs, precompute norms per side and divide by
     * them instead (one fold per pair, not three). */
   def cosineQuantized(qa: Column, qb: Column): Column =
-    idot(qa, qb).cast("double") /
-      (sqrt(idot(qa, qa).cast("double")) * sqrt(idot(qb, qb).cast("double")))
+    safeCos(idot(qa, qb).cast("double"),
+      sqrt(idot(qa, qa).cast("double")) * sqrt(idot(qb, qb).cast("double")))
+
+  /** Cosine from a precomputed dot and norm product, with the zero-vector
+    * case pinned to 0.0. Without the guard a vector that quantizes to all
+    * zeros (every |component| < 0.5/scale) makes the division 0/0 = NaN,
+    * and NaN ORDERS DIFFERENTLY across engines (Spark's Ordering ranks it
+    * last under -cos ascending; SQL ORDER BY cos DESC ranks it first), so
+    * the zero-similarity definition is what keeps rankings portable. Both
+    * engines' query twins share the same CASE. */
+  def safeCos(dotD: Column, normProduct: Column): Column =
+    when(normProduct === 0.0, lit(0.0)).otherwise(dotD / normProduct)
+
+  /** SQL fragment mirroring [[safeCos]] for the DuckDB oracles. */
+  def safeCosSql(dotSql: String, normProductSql: String): String =
+    s"CASE WHEN $normProductSql = 0.0 THEN 0.0 ELSE $dotSql / ($normProductSql) END"
 
   /** Typed centroid aggregator: avg of Array[Float] vectors per group.
     * Built-in `avg` can't take arrays; this is the one custom Aggregator

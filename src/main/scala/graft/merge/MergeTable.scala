@@ -42,8 +42,10 @@ object MergeTable {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Recover any bucket dir a crashed merge left only in `.old`, and drop
-    * stale `.next` staging dirs. Called before every read/merge.
+  /** Recover any bucket dir a crashed merge left only in `.old`. Called
+    * before every read/merge. (Staged replacements live in the sibling
+    * `__staging` dir, which `merge` clears at start — nothing else is
+    * ever created inside the table dir.)
     */
   private def recover(spark: SparkSession, path: String): Unit = {
     val (fs, p) = fsOf(spark, path)
@@ -54,7 +56,7 @@ object MergeTable {
         val live = new org.apache.hadoop.fs.Path(p, name.stripSuffix(".old"))
         if (!fs.exists(live)) fs.rename(st.getPath, live)
         else fs.delete(st.getPath, true) // swap completed; drop backup
-      } else if (name.endsWith(".next")) fs.delete(st.getPath, true)
+      }
     }
   }
 
@@ -101,9 +103,16 @@ object MergeTable {
       val live = new org.apache.hadoop.fs.Path(p, s"$BucketCol=$b")
       val bak = new org.apache.hadoop.fs.Path(p, s"$BucketCol=$b.old")
       val next = new org.apache.hadoop.fs.Path(staging, s"$BucketCol=$b")
+      // Fail loudly BEFORE touching the live dir if the staged output is
+      // missing: delta-wins semantics guarantee every affected bucket has
+      // rows, so an absent staging dir means a writer anomaly — renaming
+      // live away and deleting its backup would silently destroy the
+      // bucket's only copy.
+      require(fs.exists(next),
+        s"MergeTable: staged output missing for bucket $b under $staging")
       if (fs.exists(bak)) fs.delete(bak, true)
       if (fs.exists(live)) fs.rename(live, bak)
-      if (fs.exists(next)) fs.rename(next, live)
+      fs.rename(next, live)
       fs.delete(bak, true)
     }
     fs.delete(staging, true)

@@ -30,12 +30,28 @@ object ClusterOps {
   /** Near-dup pairs with exact Jaccard >= this form the dedup edges. */
   val clusterJaccard = 0.5
 
+  /** Converged label sets, bounded and reused: [[ConnectedComponents
+    * .label]]'s result is backed by a materialized checkpoint whose
+    * lineage is truncated, so it can neither be dropped-and-recomputed
+    * nor left to accumulate one pinned RDD per invocation. This LRU keeps
+    * the last [[LabelCacheMax]] labelings (keyed by dir, fingerprinted
+    * against the documents parquet so rewrites rebuild), releasing
+    * evicted checkpoints via [[ConnectedComponents.release]] — repeated
+    * q58 runs also skip the whole pair-generation + CC loop.
+    */
+  val LabelCacheMax = 8
+
+  private val labelCache = new graft.ops.SessionLru[DataFrame](
+    LabelCacheMax, ConnectedComponents.release, releaseOnRaceLoss = true)
+
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val edges = TextOps.neardupPairs(spark, dir)
-      .filter(col("jaccard") >= clusterJaccard)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val labels = ConnectedComponents.label(edges)
-      .select(col("node").as("doc_id"), col("label").as("root"))
+    val fp = graft.ops.SessionLru.pathFingerprint(spark, s"$dir/documents.parquet")
+    val labels = labelCache.getOrBuild(spark, dir, fp) {
+      val edges = TextOps.neardupPairs(spark, dir)
+        .filter(col("jaccard") >= clusterJaccard)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      ConnectedComponents.label(edges)
+    }.select(col("node").as("doc_id"), col("label").as("root"))
     val members = Tables.documents(spark, dir)
       .select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")

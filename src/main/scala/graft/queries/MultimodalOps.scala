@@ -118,8 +118,8 @@ object MultimodalOps {
       col("q").as("qb"), col("norm").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", longDot("qa", "qb").cast("double") /
-        (col("na") * col("nb")))
+      .withColumn("cos", graft.functions.VectorFunctions.safeCos(
+        longDot("qa", "qb").cast("double"), col("na") * col("nb")))
       .filter(col("cos") >= 0.999)
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))
@@ -143,12 +143,14 @@ object MultimodalOps {
        |  FROM allv
        |)
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |  CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) AS DOUBLE) /
-       |    (a.nrm * b.nrm) AS cos
+       |  ${graft.functions.VectorFunctions.safeCosSql(
+        "CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) AS DOUBLE)",
+        "a.nrm * b.nrm")} AS cos
        |FROM bucketed a JOIN bucketed b
        |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) AS DOUBLE) /
-       |    (a.nrm * b.nrm) >= 0.999
+       |WHERE ${graft.functions.VectorFunctions.safeCosSql(
+        "CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) AS DOUBLE)",
+        "a.nrm * b.nrm")} >= 0.999
        |ORDER BY id_a, id_b""".stripMargin
   }
 

@@ -359,9 +359,12 @@ object PipelineOps {
       .join(broadcast(cumBefore), Seq("n_tokens"))
       .crossJoin(broadcast(nTotal))
       .withColumn("rank", col("cum_before") + col("rk_in_val"))
-      // percent_rank == (rank-1)/(N-1): exact because the order is unique
-      .withColumn("pr", (col("rank") - 1).cast("double") /
-        (col("n_total") - 1).cast("double"))
+      // percent_rank == (rank-1)/(N-1): exact because the order is unique.
+      // N=1 guard: the window form defines percent_rank as 0.0 for a
+      // single row, where the closed form would be 0/0 = NaN.
+      .withColumn("pr", when(col("n_total") === 1, lit(0.0))
+        .otherwise((col("rank") - 1).cast("double") /
+          (col("n_total") - 1).cast("double")))
       // ntile's remainder rule: first (N mod 10) buckets get one extra row
       .withColumn("nt_q", expr("n_total div 10"))
       .withColumn("nt_rem", col("n_total") % 10)

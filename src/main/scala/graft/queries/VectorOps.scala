@@ -39,8 +39,8 @@ object VectorOps {
       .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("norm").as("pnorm"))
     val cands = emb.select(col("vec_id").as("cand_id"), col("q").as("cq"), col("norm").as("cnorm"))
     val scored = cands.join(broadcast(probes), col("cand_id") =!= col("probe_id"))
-      .withColumn("cos", longDot("pq", "cq").cast("double") /
-        (col("pnorm") * col("cnorm")))
+      .withColumn("cos", graft.functions.VectorFunctions.safeCos(
+        longDot("pq", "cq").cast("double"), col("pnorm") * col("cnorm")))
     val tk = graft.functions.TopK.topK(5)
     val agged = scored.groupBy(col("probe_id"))
       .agg(tk(-col("cos"), col("cand_id")).as("tk"))
@@ -51,15 +51,16 @@ object VectorOps {
   }
 
   val cosineTopKSql: String =
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
       |  FROM embeddings
       |), pairs AS (
       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
-      |    CAST(list_sum(list_transform(list_zip(p.qv, c.qv), z -> z[1] * z[2])) AS DOUBLE) /
-      |      (sqrt(CAST(list_sum(list_transform(p.qv, x -> x * x)) AS DOUBLE)) *
-      |       sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE))) AS cos
+      |    ${graft.functions.VectorFunctions.safeCosSql(
+        "CAST(list_sum(list_transform(list_zip(p.qv, c.qv), z -> z[1] * z[2])) AS DOUBLE)",
+        "sqrt(CAST(list_sum(list_transform(p.qv, x -> x * x)) AS DOUBLE)) * " +
+          "sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE))")} AS cos
       |  FROM q p JOIN q c ON p.vec_id < 10 AND c.vec_id <> p.vec_id
       |), ranked AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
@@ -91,8 +92,8 @@ object VectorOps {
       col("q").as("cq"), col("norm").as("cnorm"))
     val scored = cands.join(broadcast(probes),
       col("cand_id") =!= col("probe_id") && col("clabel") === col("label"))
-      .withColumn("cos", longDot("pq", "cq").cast("double") /
-        (col("pnorm") * col("cnorm")))
+      .withColumn("cos", graft.functions.VectorFunctions.safeCos(
+        longDot("pq", "cq").cast("double"), col("pnorm") * col("cnorm")))
     val tk = graft.functions.TopK.topK(5)
     val agged = scored.groupBy(col("probe_id"), col("label"))
       .agg(tk(-col("cos"), col("cand_id")).as("tk"))
@@ -103,15 +104,16 @@ object VectorOps {
   }
 
   val filteredTopKSql: String =
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT vec_id, label,
       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
       |  FROM embeddings
       |), pairs AS (
       |  SELECT p.vec_id AS probe_id, p.label AS label, c.vec_id AS cand_id,
-      |    CAST(list_sum(list_transform(list_zip(p.qv, c.qv), z -> z[1] * z[2])) AS DOUBLE) /
-      |      (sqrt(CAST(list_sum(list_transform(p.qv, x -> x * x)) AS DOUBLE)) *
-      |       sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE))) AS cos
+      |    ${graft.functions.VectorFunctions.safeCosSql(
+        "CAST(list_sum(list_transform(list_zip(p.qv, c.qv), z -> z[1] * z[2])) AS DOUBLE)",
+        "sqrt(CAST(list_sum(list_transform(p.qv, x -> x * x)) AS DOUBLE)) * " +
+          "sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE))")} AS cos
       |  FROM q p JOIN q c
       |    ON p.vec_id < 10 AND c.vec_id <> p.vec_id AND c.label = p.label
       |), ranked AS (
@@ -214,94 +216,33 @@ object VectorOps {
   /** IVF index cache: build-once / search-many is the point of IVF — the
     * index build (KMeans fit + cell assignment) amortizes over probe
     * volume, so repeated q16 invocations against the same data reuse the
-    * index instead of re-fitting. Keyed per (session, dir); each entry
-    * also records a content fingerprint (file names + lengths + mtimes of
-    * the embeddings parquet), so a rewrite under `dir` is observed on the
-    * next access and the stale index is rebuilt automatically —
-    * [[invalidateIvf]] remains for callers that want eager release.
-    * Entries for stopped sessions are dropped (and their persisted cells
-    * released) on every access, and the cache is LRU-bounded at
-    * [[IvfCacheMax]] live entries, so a long-lived session touching many
-    * dirs cannot accumulate persisted cell DataFrames without bound.
+    * index instead of re-fitting. A [[graft.ops.SessionLru]] keyed per
+    * (session, dir), LRU-bounded at [[IvfCacheMax]] live entries, with a
+    * content fingerprint of the embeddings parquet (file names + lengths
+    * + mtimes) so a rewrite under `dir` is observed on the next access
+    * and the stale index is rebuilt automatically — [[invalidateIvf]]
+    * remains for callers that want eager release.
+    * `releaseOnRaceLoss = true`: each racer's build owns distinct
+    * persisted cell frames, so the insert-race loser's cells are freed.
     */
-  private final case class IvfEntry(fingerprint: String,
-      index: graft.similarity.Similarity.IvfIndex,
-      lastUsed: java.util.concurrent.atomic.AtomicLong)
-
   val IvfCacheMax = 8
 
   private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), IvfEntry]
-  private val ivfTick = new java.util.concurrent.atomic.AtomicLong(0L)
-
-  /** Listing-based fingerprint of the embeddings parquet under `dir`:
-    * any file added, removed, resized, or re-written (mtime) changes it.
-    * One metadata listing per q16 call — negligible next to the scan the
-    * search itself performs, and the price of rewrite safety.
-    */
-  private def embFingerprint(spark: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(p, true)
-    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val s = it.next()
-      parts += s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}"
-    }
-    parts.sorted.mkString("|")
-  }
+    new graft.ops.SessionLru[graft.similarity.Similarity.IvfIndex](
+      IvfCacheMax, idx => idx.cells.unpersist(), releaseOnRaceLoss = true)
 
   /** Drop the cached index for (session, dir) after an embeddings
     * rewrite; no-op if absent. (Rewrites are also caught automatically
     * via the fingerprint — this just releases the old cells eagerly.) */
   def invalidateIvf(spark: SparkSession, dir: String): Unit =
-    ivfCache.remove((spark, dir)).foreach { e =>
-      scala.util.Try(e.index.cells.unpersist())
-    }
-
-  private def evictStopped(): Unit =
-    ivfCache.keys.filter(_._1.sparkContext.isStopped).foreach { k =>
-      ivfCache.remove(k).foreach(e => scala.util.Try(e.index.cells.unpersist()))
-    }
-
-  private def evictLruOver(cap: Int): Unit =
-    while (ivfCache.size > cap) {
-      // minByOption: a concurrent invalidate can drain the map between the
-      // size check and the snapshot — an empty snapshot just ends the loop
-      ivfCache.toSeq.minByOption(_._2.lastUsed.get()) match {
-        case Some((lru, _)) =>
-          ivfCache.remove(lru).foreach(e => scala.util.Try(e.index.cells.unpersist()))
-        case None => return
-      }
-    }
+    ivfCache.invalidate(spark, dir)
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    evictStopped()
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val fp = embFingerprint(spark, dir)
-    val key = (spark, dir)
-    val cached = ivfCache.get(key).filter(_.fingerprint == fp)
-    val entry = cached.getOrElse {
-      // Conditional remove: only evict the exact stale entry we observed.
-      // An unconditional remove could delete a fresh entry another thread
-      // just inserted (unpersisting its cells mid-use and forcing a
-      // duplicate build); remove(key, stale) is a no-op in that race.
-      ivfCache.get(key).filter(_.fingerprint != fp).foreach { stale =>
-        if (ivfCache.remove(key, stale))
-          scala.util.Try(stale.index.cells.unpersist())
-      }
-      val fresh = IvfEntry(fp,
-        graft.similarity.Similarity.buildIvfIndex(emb, k = 10),
-        new java.util.concurrent.atomic.AtomicLong(0L))
-      ivfCache.putIfAbsent(key, fresh) match {
-        case Some(raced) => // lost an insert race: release our build
-          scala.util.Try(fresh.index.cells.unpersist()); raced
-        case None => fresh
-      }
+    val fp = graft.ops.SessionLru.pathFingerprint(spark, s"$dir/embeddings.parquet")
+    val index = ivfCache.getOrBuild(spark, dir, fp) {
+      graft.similarity.Similarity.buildIvfIndex(emb, k = 10)
     }
-    entry.lastUsed.set(ivfTick.incrementAndGet())
-    evictLruOver(IvfCacheMax)
-    val index = entry.index
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding"))
     // self-match excluded BEFORE ranking so all topK slots hold real
@@ -316,7 +257,7 @@ object VectorOps {
     * cannot reproduce KMeans cell assignments (q16 stays rows-only), but
     * it can state the CONTRACT: the probe count and exact-pair count are
     * derived from the data, and `recall_at_5_ok` must be literally true.
-    * If an index regression drops recall below the 0.9 spec threshold,
+    * If an index regression drops recall below [[annRecallThreshold]],
     * the boolean flips and the driver's hash compare fails — the
     * approximate path now has a hard correctness gate, not just a row
     * count. (Deterministic: seeded KMeans + quantized-exact scoring.)

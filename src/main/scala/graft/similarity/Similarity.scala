@@ -70,8 +70,8 @@ object Similarity {
     // rather than carried through the aggregation.
     val tkCells = TopK.topK(nprobe)
     val cellSel = p.join(broadcast(index.centroids), lit(true))
-      .withColumn("cell_cos", longDot("pq", "cq").cast("double") /
-        (col("pnorm") * col("cnorm")))
+      .withColumn("cell_cos", graft.functions.VectorFunctions.safeCos(
+        longDot("pq", "cq").cast("double"), col("pnorm") * col("cnorm")))
       .groupBy(col("probe_id"))
       .agg(tkCells(-col("cell_cos"), col("cell").cast("long")).as("tkc"))
     val probeCells = TopK.explodeRanked(cellSel, "tkc", Seq("probe_id"))
@@ -85,8 +85,8 @@ object Similarity {
     val tk = TopK.topK(topK)
     val agged =
       (if (excludeSelf) cands.filter(col("cand_id") =!= col("probe_id")) else cands)
-        .withColumn("cos", longDot("pq", "cq2").cast("double") /
-          (col("pnorm") * col("cnorm2")))
+        .withColumn("cos", graft.functions.VectorFunctions.safeCos(
+          longDot("pq", "cq2").cast("double"), col("pnorm") * col("cnorm2")))
         .groupBy(col("probe_id"))
         .agg(tk(-col("cos"), col("cand_id")).as("tk"))
     TopK.explodeRanked(agged, "tk", Seq("probe_id"))
