@@ -35,12 +35,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (children.size != 2)
           throw new IllegalArgumentException(
             s"rolling_hashes requires exactly 2 arguments, got ${children.size}")
-        val k = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        // accept any constant-foldable integral k — CAST(3 AS BIGINT),
+        // 2+1, a SMALLINT literal — not just a bare IntegerType Literal
+        import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+        val kExpr = children(1)
+        val k = kExpr.dataType match {
+          case ByteType | ShortType | IntegerType | LongType if kExpr.foldable =>
+            kExpr.eval() match {
+              case null => throw new IllegalArgumentException(
+                "rolling_hashes: k must not be NULL")
+              case v: Number => v.longValue()
+            }
           case _ => throw new IllegalArgumentException(
-            "rolling_hashes: k must be an integer literal")
+            "rolling_hashes: k must be a constant integer expression")
         }
-        RabinKarpHashes(children(0), k)
+        if (k < 1 || k > Int.MaxValue)
+          throw new IllegalArgumentException(
+            s"rolling_hashes: k out of range: $k")
+        RabinKarpHashes(children(0), k.toInt)
       }))
   }
 }

@@ -9,18 +9,21 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real — binary columns, schema, partition
   * batching via `mapPartitions` (the JVM analogue of `mapInPandas`: one
-  * iterator per partition, amortized per-batch setup, no per-row
-  * driver involvement). The actual media decode is a clearly-marked
-  * STUB (`FakeDecoder`): the real implementation would link an image/
-  * audio library unavailable in this environment; the stub derives
-  * deterministic metadata from the bytes so the pipeline is testable
-  * end-to-end and oracle-checkable.
+  * iterator per partition, amortized per-batch setup, no per-row driver
+  * involvement) — and so is the IMAGE half of the decode: [[ImageCodec]]
+  * encodes, header-decodes, and resizes PNG/JPEG through the JDK's
+  * built-in `javax.imageio` (no external jar). Only audio and video
+  * remain stubbed ([[FakeDecoder]]): no audio/video codec ships with the
+  * JDK or this container, so their metadata is derived deterministically
+  * from the bytes — clearly marked, swap in ffmpeg bindings in a
+  * deployment.
   *
   * Scale notes: decode cost dominates at 100 TB, so the operator must
   * (a) run per-partition with zero driver round-trips — it does, via
   * mapPartitions; (b) avoid shuffles — it is map-only; (c) let the
   * scan prune to the binary column + id only — schema keeps media in a
-  * single binary field per row.
+  * single binary field per row; (d) never touch local disk — ImageIO's
+  * temp-file stream cache is disabled, all streams are in-memory.
   */
 object Multimodal {
   /** Typed metadata extracted from a media blob. */
@@ -32,24 +35,99 @@ object Multimodal {
   case class DecodedRow(media_id: Long, media_type: String, n_bytes: Long,
       format: String, width: Int, height: Int, n_frames: Int)
 
-  /** STUB decoder — deterministic pseudo-metadata from raw bytes.
-    * Replace `decode` with a real codec (e.g. javax.imageio / ffmpeg
-    * bindings) in a deployment; everything else stays as-is.
+  /** REAL image codec over the JDK's `javax.imageio` — PNG and JPEG
+    * encode/decode with zero external dependencies.
+    *
+    * [[decodeMeta]] is a header-only read (`ImageReader.getWidth/Height`
+    * on the stream — no pixel decode), the form that scales: metadata
+    * extraction over 100 TB of images should not pay full decompression.
+    * [[resize]] is the full path: pixel decode → `Graphics2D` bilinear
+    * scale → re-encode in the source format.
+    */
+  object ImageCodec {
+    import java.awt.RenderingHints
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    // executor-side: keep ImageInputStreams in memory, never a temp file
+    ImageIO.setUseCache(false)
+
+    /** Encode a deterministic test-pattern image (pixel = f(x, y, seed))
+      * as `format` ("png" | "jpeg"). PNG is lossless, so an encode →
+      * decode round trip is pixel-exact — the fixture generator for
+      * specs and the planted corpus in [[documentBlobs]].
+      */
+    def encode(width: Int, height: Int, seed: Long, format: String): Array[Byte] = {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y, ((x * 31 + y * 17 + seed) & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      require(ImageIO.write(img, format, bos), s"no ImageIO writer for $format")
+      bos.toByteArray
+    }
+
+    /** Header-only metadata: format name + dimensions from the image
+      * header via ImageReader — no pixel decompression. */
+    def decodeMeta(bytes: Array[Byte]): MediaMeta = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "undecodable image payload")
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          MediaMeta(bytes.length.toLong, r.getFormatName.toLowerCase,
+            r.getWidth(0), r.getHeight(0), n_frames = 1)
+        } finally r.dispose()
+      } finally iis.close()
+    }
+
+    /** Real resize: full decode, bilinear `Graphics2D` scale so
+      * max(w, h) <= maxSide (never upscales), re-encode in the source
+      * format. Scale arithmetic is IEEE double multiply + truncation —
+      * replayable exactly by the SQL oracle.
+      */
+    def resize(bytes: Array[Byte], maxSide: Int): Array[Byte] = {
+      val format = decodeMeta(bytes).format
+      val src = ImageIO.read(new ByteArrayInputStream(bytes))
+      val scale = math.min(1.0, maxSide.toDouble / math.max(src.getWidth, src.getHeight))
+      val rw = math.max(1, (src.getWidth * scale).toInt)
+      val rh = math.max(1, (src.getHeight * scale).toInt)
+      val dst = new BufferedImage(rw, rh, BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, rw, rh, null)
+      } finally g.dispose()
+      val bos = new ByteArrayOutputStream()
+      require(ImageIO.write(dst, format, bos), s"no ImageIO writer for $format")
+      bos.toByteArray
+    }
+  }
+
+  /** STUB decoder for audio/video ONLY — deterministic pseudo-metadata
+    * from raw bytes. The JDK ships no audio/video codec (images are real,
+    * see [[ImageCodec]]); swap in ffmpeg bindings in a deployment —
+    * everything else stays as-is.
     */
   object FakeDecoder {
     def decode(mediaType: String, bytes: Array[Byte]): MediaMeta = {
+      require(mediaType != "image", "images decode through ImageCodec")
       val n = bytes.length.toLong
-      val first = if (bytes.nonEmpty) bytes(0) & 0xff else 0
-      // ??? real decode goes here; the arithmetic below is a stand-in
       MediaMeta(
         n_bytes = n,
-        format = mediaType match {
-          case "image" => if (n % 2 == 0) "png" else "jpeg"
-          case "audio" => "wav"
-          case _ => "mp4"
-        },
+        format = if (mediaType == "audio") "wav" else "mp4",
         width = (64 + (n % 577)).toInt,
-        height = (64 + ((n * 31 + first) % 513)).toInt,
+        height = (64 + ((n * 31 + (if (bytes.nonEmpty) bytes(0) & 0xff else 0)) % 513)).toInt,
         n_frames = if (mediaType == "video") (n % 24 + 1).toInt else 1)
     }
 
@@ -65,29 +143,69 @@ object Multimodal {
       0 until m.n_frames by math.max(1, every)
   }
 
-  /** Batch decode over partitions — the mapInPandas-shaped operator. */
+  /** Batch decode over partitions — the mapInPandas-shaped operator.
+    * Images go through the real [[ImageCodec]] header read; audio/video
+    * through the declared [[FakeDecoder]] stub.
+    */
   def decodeMeta(rows: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       // per-partition (per-batch) decoder setup happens ONCE here
       it.map { r =>
-        val m = FakeDecoder.decode(r.media_type, r.content)
+        val m =
+          if (r.media_type == "image") ImageCodec.decodeMeta(r.content)
+          else FakeDecoder.decode(r.media_type, r.content)
         DecodedRow(r.media_id, r.media_type, m.n_bytes, m.format, m.width,
           m.height, m.n_frames)
       }
     }
   }
 
-  /** Documents-as-blobs fixture: utf-8 bytes of the text as the binary
-    * payload, media type cycled deterministically.
+  /** Planted image dimensions for [[documentBlobs]] — derived from the
+    * document text so the SQL oracle can predict what a REAL decode of
+    * the planted image must return. Kept small (w <= 331, h <= 311) so
+    * encoding stays cheap, with a spread crossing 256 so the resize path
+    * exercises genuine downscales.
+    */
+  def plantedWidth(len: Int): Int = 32 + len % 300
+  def plantedHeight(len: Int, first: Int): Int = 32 + (len * 31 + first) % 280
+
+  /** Media-corpus fixture over the documents table. Image rows carry a
+    * REAL encoded PNG/JPEG (dimensions planted from the text via
+    * [[plantedWidth]]/[[plantedHeight]], format by text-length parity, a
+    * per-doc pixel pattern); audio/video rows carry the utf-8 text bytes
+    * for the stub decoder. Generation is distributed (mapPartitions) and
+    * deterministic, so the oracle can state the expected decode output
+    * without ever decoding.
     */
   def documentBlobs(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    graft.Tables.documents(spark, dir)
-      .select(col("doc_id").as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3).cast("int") + 1).as("media_type"),
-        encode(col("text"), "utf-8").as("content"))
+    val generated = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      // image encoding is CPU-bound and the documents table is a small
+      // parquet file (few input splits) — spread generation across every
+      // core before the heavy map; the shuffle moves only (id, text)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val types = Array("image", "audio", "video")
+        it.map { case (id, text) =>
+          val mt = types((id % 3).toInt)
+          val content =
+            if (mt == "image") {
+              val len = text.length
+              val first = if (text.nonEmpty) text.charAt(0).toInt else 0
+              val fmt = if (len % 2 == 0) "png" else "jpeg"
+              ImageCodec.encode(plantedWidth(len), plantedHeight(len, first), id, fmt)
+            } else text.getBytes("UTF-8")
+          MediaRow(id, mt, content)
+        }
+      }
+    // the blob corpus is INPUT data to q21/q47 (in production it would sit
+    // in parquet); persist so consumers measure decode work, not fixture
+    // regeneration — LRU-bounded, fingerprinted against the source table
+    graft.ops.PersistRegistry.cached("blobs:" + dir, generated.toDF(),
+        sourcePath = s"$dir/documents.parquet")
       .as[MediaRow]
   }
 }

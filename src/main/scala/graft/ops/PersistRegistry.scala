@@ -30,10 +30,23 @@ object PersistRegistry {
   /** Persist-and-register `df` under `tag` (callers embed the input dir in
     * the tag so distinct inputs get distinct entries), or return the
     * already-registered frame for this (session, tag).
+    *
+    * `sourcePath`: the file/dir the plan reads. When set, the entry is
+    * fingerprinted against its listing ([[SessionLru.pathFingerprint]]) so
+    * a rewrite of the input is observed on the next access instead of
+    * serving the stale materialized data — required for any cache whose
+    * consumers themselves re-read the path (e.g. ClusterOps fingerprints
+    * its label cache on documents.parquet and rebuilds through q12's band
+    * keys; without a matching fingerprint here the rebuild would join
+    * fresh shingles against stale persisted band keys).
     */
   def cached(tag: String, df: DataFrame,
-      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
-    lru.getOrBuild(df.sparkSession, tag)(df.persist(level))
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      sourcePath: String = ""): DataFrame = {
+    val fp = if (sourcePath.isEmpty) ""
+      else SessionLru.pathFingerprint(df.sparkSession, sourcePath)
+    lru.getOrBuild(df.sparkSession, tag, fp)(df.persist(level))
+  }
 
   /** Eagerly release every entry whose tag starts with `prefix` for this
     * session — call after rewriting the files a cached frame reads (the

@@ -208,19 +208,26 @@ object ScaleOps {
     val fs = p.getFileSystem(conf)
     fs.listStatus(p).toSeq
       .filter(_.getPath.getName.endsWith(".parquet"))
-      .map { f =>
+      .flatMap { f =>
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
         try {
           val mm = r.getFooter.getBlocks.asScala.flatMap { b =>
             b.getColumns.asScala
               .find(_.getPath.toDotString == column)
+              // a chunk written without statistics (or with empty ones —
+              // e.g. an all-null chunk) contributes nothing prunable
+              .filter(c => c.getStatistics != null && !c.getStatistics.isEmpty
+                && c.getStatistics.hasNonNullValue)
               .map { c =>
                 val st = c.getStatistics
                 (st.genericGetMin.asInstanceOf[Number].longValue(),
                   st.genericGetMax.asInstanceOf[Number].longValue())
               }
           }
-          (f.getPath.getName, mm.map(_._1).min, mm.map(_._2).max)
+          // zero row groups (empty file) or no usable chunk stats → the
+          // file can't be pruned against; omit it rather than throw
+          if (mm.isEmpty) None
+          else Some((f.getPath.getName, mm.map(_._1).min, mm.map(_._2).max))
         } finally r.close()
       }
   }

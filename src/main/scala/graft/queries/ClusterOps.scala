@@ -38,6 +38,15 @@ object ClusterOps {
     * against the documents parquet so rewrites rebuild), releasing
     * evicted checkpoints via [[ConnectedComponents.release]] — repeated
     * q58 runs also skip the whole pair-generation + CC loop.
+    *
+    * Lifetime contract: a frame returned by [[dupClusters]] is backed by
+    * this cache's checkpoint and is only guaranteed executable while its
+    * entry is live. Eviction (more than [[LabelCacheMax]] distinct dirs
+    * touched, or a fingerprint miss after a rewrite) releases the
+    * checkpointed RDD, and because the checkpoint truncated lineage a
+    * held frame fails with a missing-block error rather than recomputing.
+    * Execute (write/collect) the result before labeling many other dirs;
+    * the engine's own drivers (Verify, Bench, specs) all do.
     */
   val LabelCacheMax = 8
 

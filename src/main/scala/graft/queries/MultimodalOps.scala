@@ -11,50 +11,73 @@ import org.apache.spark.sql.functions._
   * near-duplicate detection (north star).
   */
 object MultimodalOps {
-  /** Binary-column decode pipeline over document blobs. The DuckDB oracle
-    * mirrors the deterministic stub arithmetic from byte lengths (texts
-    * are ascii, so octet_length == length).
+  /** Binary-column decode pipeline over document blobs. Image rows are
+    * REAL planted PNG/JPEG payloads decoded through `javax.imageio`
+    * ([[Multimodal.ImageCodec]]); the oracle predicts what a correct
+    * decode of the planted image must return (dimensions/format were
+    * derived from the text at encode time), so the hash match proves the
+    * decode chain reads genuine image headers. Audio/video metadata is
+    * the declared stub arithmetic over utf-8 byte lengths (texts are
+    * ascii, so octet_length == length). n_bytes is projected out: image
+    * payload size is a codec artifact (deflate/DCT output) no SQL engine
+    * can predict — the field stays on [[Multimodal.DecodedRow]] and is
+    * spec-checked instead.
     */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Multimodal.decodeMeta(Multimodal.documentBlobs(spark, dir))
       .toDF()
+      .select(col("media_id"), col("media_type"), col("format"),
+        col("width"), col("height"), col("n_frames"))
       .orderBy(col("media_id"))
   }
 
   val multimodalMetaSql: String =
-    """SELECT doc_id AS media_id,
-      |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
-      |  CAST(length(text) AS BIGINT) AS n_bytes,
-      |  CASE (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1]
-      |    WHEN 'image' THEN (CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END)
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+      |    length(text) AS len, ascii(substring(text, 1, 1)) AS first
+      |  FROM documents
+      |)
+      |SELECT media_id, media_type,
+      |  CASE media_type
+      |    WHEN 'image' THEN (CASE WHEN len % 2 = 0 THEN 'png' ELSE 'jpeg' END)
       |    WHEN 'audio' THEN 'wav'
       |    ELSE 'mp4' END AS format,
-      |  CAST(64 + (length(text) % 577) AS INT) AS width,
-      |  CAST(64 + ((length(text) * 31 + ascii(substring(text, 1, 1))) % 513) AS INT) AS height,
-      |  CASE WHEN (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] = 'video'
-      |       THEN CAST(length(text) % 24 + 1 AS INT) ELSE 1 END AS n_frames
-      |FROM documents
+      |  CAST(CASE WHEN media_type = 'image' THEN 32 + (len % 300)
+      |       ELSE 64 + (len % 577) END AS INT) AS width,
+      |  CAST(CASE WHEN media_type = 'image' THEN 32 + ((len * 31 + first) % 280)
+      |       ELSE 64 + ((len * 31 + first) % 513) END AS INT) AS height,
+      |  CASE WHEN media_type = 'video' THEN CAST(len % 24 + 1 AS INT) ELSE 1 END AS n_frames
+      |FROM m
       |ORDER BY media_id""".stripMargin
 
   /** Full media pipeline: decode → resize (max side 256) → frame-sample
-    * (every 4th) → per-type accounting. Exercises every stub stage of
-    * the multimodal chain through `mapPartitions` (no shuffles until the
-    * final aggregation); the oracle replays the deterministic stub
-    * arithmetic, including the IEEE double resize scale, which both
-    * engines compute bit-identically (correctly-rounded divide/multiply
-    * then truncation).
+    * (every 4th) → per-type accounting. For images the resize is REAL:
+    * full pixel decode, `Graphics2D` bilinear rescale, re-encode, and a
+    * second decode of the resized payload — the reported dimensions are
+    * read back from actual image bytes. Audio/video run the declared
+    * metadata-only stub. One `mapPartitions` pass, no shuffles until the
+    * final aggregation; the oracle replays the scale arithmetic both
+    * paths share (IEEE double divide/multiply then truncation, computed
+    * bit-identically by both engines).
     */
   def frameSampleStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sampled = Multimodal.decodeMeta(Multimodal.documentBlobs(spark, dir))
+    val sampled = Multimodal.documentBlobs(spark, dir)
       .mapPartitions { it =>
-        it.map { d =>
-          val m = Multimodal.MediaMeta(d.n_bytes, d.format, d.width,
-            d.height, d.n_frames)
-          val r = Multimodal.FakeDecoder.resize(m, 256)
-          val frames = Multimodal.FakeDecoder.sampleFrames(r, 4)
-          (d.media_type, r.width, r.height, frames.size)
+        it.map { r =>
+          if (r.media_type == "image") {
+            val resized = Multimodal.ImageCodec.resize(r.content, 256)
+            val m = Multimodal.ImageCodec.decodeMeta(resized)
+            (r.media_type, m.width, m.height,
+              Multimodal.FakeDecoder.sampleFrames(m, 4).size)
+          } else {
+            val d = Multimodal.FakeDecoder.decode(r.media_type, r.content)
+            val rm = Multimodal.FakeDecoder.resize(d, 256)
+            (r.media_type, rm.width, rm.height,
+              Multimodal.FakeDecoder.sampleFrames(rm, 4).size)
+          }
         }
       }.toDF("media_type", "rw", "rh", "n_sampled")
     sampled.groupBy(col("media_type"))
@@ -66,13 +89,18 @@ object MultimodalOps {
   }
 
   val frameSampleStatsSql: String =
-    """WITH m AS (
+    """WITH d AS (
       |  SELECT (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
-      |    CAST(64 + (length(text) % 577) AS INT) AS w,
-      |    CAST(64 + ((length(text) * 31 + ascii(substring(text, 1, 1))) % 513) AS INT) AS h,
-      |    CASE WHEN (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] = 'video'
-      |         THEN CAST(length(text) % 24 + 1 AS INT) ELSE 1 END AS n_frames
+      |    length(text) AS len, ascii(substring(text, 1, 1)) AS first
       |  FROM documents
+      |), m AS (
+      |  SELECT media_type,
+      |    CAST(CASE WHEN media_type = 'image' THEN 32 + (len % 300)
+      |         ELSE 64 + (len % 577) END AS INT) AS w,
+      |    CAST(CASE WHEN media_type = 'image' THEN 32 + ((len * 31 + first) % 280)
+      |         ELSE 64 + ((len * 31 + first) % 513) END AS INT) AS h,
+      |    CASE WHEN media_type = 'video' THEN CAST(len % 24 + 1 AS INT) ELSE 1 END AS n_frames
+      |  FROM d
       |), r AS (
       |  SELECT media_type,
       |    GREATEST(1, CAST(trunc(w * LEAST(1.0, 256.0 / GREATEST(w, h))) AS INT)) AS rw,
@@ -111,7 +139,8 @@ object MultimodalOps {
       all
         .withColumn("bucket", bucket)
         .withColumn("norm", sqrt(longDot("q", "q").cast("double")))
-        .repartition(col("bucket")))
+        .repartition(col("bucket")),
+      sourcePath = s"$dir/embeddings.parquet")
     val a = withBucket.select(col("bucket"), col("vec_id").as("id_a"),
       col("q").as("qa"), col("norm").as("na"))
     val b = withBucket.select(col("bucket"), col("vec_id").as("id_b"),

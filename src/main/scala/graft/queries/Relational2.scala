@@ -193,7 +193,8 @@ object Relational2 {
     // election skips ReuseExchange); bounded per distinct dir via
     // CacheManager plan-dedup
     val sig = graft.ops.PersistRegistry.cached("q28:" + dir,
-      TextOps.simhash(spark, dir))
+      TextOps.simhash(spark, dir),
+      sourcePath = s"$dir/documents.parquet")
     def chunk(i: Int): Column =
       shiftright(col("simhash"), 8 * i).bitwiseAND(lit(255L))
     val pairKeys = simhashChunkPairs.zipWithIndex.map { case ((i, j), p) =>

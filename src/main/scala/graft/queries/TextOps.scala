@@ -231,7 +231,8 @@ object TextOps {
     // least-recently-used past the cap.
     val bandKeys = graft.ops.PersistRegistry.cached("q12:" + dir,
       bandKeysOf(signatureTable(docs, md5Sig),
-        (a, b) => md5(concat_ws("|", a, b))))
+        (a, b) => md5(concat_ws("|", a, b))),
+      sourcePath = s"$dir/documents.parquet")
     exactJaccard(docs, bandPairs(bandKeys))
   }
 
@@ -306,7 +307,8 @@ object TextOps {
     // minhashPairs: three consumers (two band-join sides + the per-pair
     // signature lookup) must not each recompute the signature pipeline
     val withSig = graft.ops.PersistRegistry.cached("q45:" + dir,
-      signatureTable(shingleTable(spark, dir), md5Sig))
+      signatureTable(shingleTable(spark, dir), md5Sig),
+      sourcePath = s"$dir/documents.parquet")
     val pairs = bandPairs(bandKeysOf(withSig, (a, b) => md5(concat_ws("|", a, b))))
     pairSigs(withSig, pairs)
       .select(col("doc_a"), col("doc_b"), sigAgreeFraction.as("est_jaccard"))
@@ -378,7 +380,8 @@ object TextOps {
   def minhashPairsFast(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingleTable(spark, dir)
     val withSig = graft.ops.PersistRegistry.cached("q48:" + dir,
-      signatureTable(docs, (j, s) => xxhash64(lit(j), s)))
+      signatureTable(docs, (j, s) => xxhash64(lit(j), s)),
+      sourcePath = s"$dir/documents.parquet")
     val bandKeys = bandKeysOf(withSig, (a, b) => xxhash64(a, b))
     val pairs = graft.ops.ScaleOps.cappedBandJoin(
       bandKeys, "doc_id", Seq("band_idx", "band_hash"), maxBucketSize = 1000)

@@ -45,10 +45,21 @@ class ExtensionsSpec extends AnyFunSuite {
       val expect = (('a' * 131L * 131L + 'b' * 131L + 'c') % p,
         ('b' * 131L * 131L + 'c' * 131L + 'd') % p)
       assert((rh(0), rh(1)) == expect)
-      val err2 = intercept[Exception] {
-        spark.sql("SELECT rolling_hashes('abcd', length('ab'))").collect()
+      // any constant-foldable integral k is accepted — a folded function
+      // call, an arithmetic expression, a BIGINT cast — not only a bare
+      // IntegerType literal
+      for (kExpr <- Seq("length('abc')", "2 + 1", "CAST(3 AS BIGINT)",
+          "CAST(3 AS SMALLINT)")) {
+        val folded = spark.sql(s"SELECT rolling_hashes('abcd', $kExpr) AS h")
+          .collect()(0).getSeq[Long](0)
+        assert((folded(0), folded(1)) == expect, kExpr)
       }
-      assert(err2.getMessage.contains("integer literal"), err2.getMessage)
+      // non-constant k still rejected with the builder's message
+      val err2 = intercept[Exception] {
+        spark.sql("SELECT rolling_hashes('abcd', x) FROM VALUES (3) AS t(x)")
+          .collect()
+      }
+      assert(err2.getMessage.contains("constant integer"), err2.getMessage)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)

@@ -96,18 +96,59 @@ class VectorAndMultimodalSpec extends SparkTestBase {
     assert(got(1).toSeq == Seq(10f, 20f))
   }
 
-  test("multimodal decode: deterministic metadata, batch plumbing") {
+  test("multimodal decode: real image headers + stub a/v, batch plumbing") {
+    val png = Multimodal.ImageCodec.encode(20, 10, seed = 1, "png")
     val rows = Seq(
-      Multimodal.MediaRow(1, "image", "abcd".getBytes),
+      Multimodal.MediaRow(1, "image", png),
       Multimodal.MediaRow(2, "video", "abcde".getBytes)).toDS()
     val out = Multimodal.decodeMeta(rows).collect().map(r => r.media_id -> r).toMap
-    assert(out(1).n_bytes == 4 && out(1).format == "png" && out(1).n_frames == 1)
+    // image metadata comes from the actual PNG header via javax.imageio
+    assert(out(1).n_bytes == png.length && out(1).format == "png")
+    assert(out(1).width == 20 && out(1).height == 10 && out(1).n_frames == 1)
     assert(out(2).format == "mp4" && out(2).n_frames == 6)
-    assert(out(1).width == 64 + 4 % 577)
+    assert(out(2).width == 64 + 5 % 577)
   }
 
-  test("multimodal stubs: resize and frame sampling") {
-    val m = Multimodal.MediaMeta(1000, "png", 640, 480, 24)
+  test("ImageCodec decodes a known PNG byte-for-byte") {
+    // fixed, well-known payload: a 1x1 PNG (RFC 2083 structure), decoded
+    // from its literal bytes — no generator involved
+    val onePixel = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8" +
+        "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    val m = Multimodal.ImageCodec.decodeMeta(onePixel)
+    assert(m.format == "png" && m.width == 1 && m.height == 1)
+    assert(m.n_bytes == onePixel.length)
+    // PNG is lossless: an encode → full-decode round trip is pixel-exact
+    val bytes = Multimodal.ImageCodec.encode(4, 3, seed = 42, "png")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == 4 && img.getHeight == 3)
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert((img.getRGB(x, y) & 0xffffff) == ((x * 31 + y * 17 + 42) & 0xffffff),
+        s"pixel ($x,$y)")
+    // jpeg: header decode reports the jpeg writer's true dimensions
+    val jpeg = Multimodal.ImageCodec.encode(33, 21, seed = 7, "jpeg")
+    val jm = Multimodal.ImageCodec.decodeMeta(jpeg)
+    assert(jm.format == "jpeg" && jm.width == 33 && jm.height == 21)
+  }
+
+  test("ImageCodec resize: real Graphics2D downscale, format preserved") {
+    val src = Multimodal.ImageCodec.encode(512, 256, seed = 3, "png")
+    val resized = Multimodal.ImageCodec.resize(src, 128)
+    val m = Multimodal.ImageCodec.decodeMeta(resized)
+    assert(m.format == "png" && m.width == 128 && m.height == 64)
+    // no upscale: already-small images pass through at original size
+    val small = Multimodal.ImageCodec.resize(src, 1024)
+    val sm = Multimodal.ImageCodec.decodeMeta(small)
+    assert(sm.width == 512 && sm.height == 256)
+    // jpeg path re-encodes as jpeg
+    val j = Multimodal.ImageCodec.resize(
+      Multimodal.ImageCodec.encode(300, 100, seed = 9, "jpeg"), 150)
+    val jm = Multimodal.ImageCodec.decodeMeta(j)
+    assert(jm.format == "jpeg" && jm.width == 150 && jm.height == 50)
+  }
+
+  test("multimodal stubs: a/v resize and frame sampling") {
+    val m = Multimodal.MediaMeta(1000, "mp4", 640, 480, 24)
     val r = Multimodal.FakeDecoder.resize(m, 320)
     assert(r.width == 320 && r.height == 240)
     assert(Multimodal.FakeDecoder.sampleFrames(m, 6) == Seq(0, 6, 12, 18))
