@@ -57,6 +57,12 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""n_errors":${errors.size},"errors":$errJson,""" +
       s""""loadavg":${js(loadavg)},"iterations":2,"sf":"$sfDir"}""")
+    // Durability line: the full per-query JSON above can exceed a bounded
+    // log tail (BENCH_r04 lost its total that way). Repeat the headline
+    // numbers compactly LAST so any tail window catches them.
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec",""" +
+      s""""n_queries":${names.size},"n_errors":${errors.size},""" +
+      s""""loadavg":${js(loadavg)},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -283,23 +283,17 @@ object PipelineOps {
   /** Quality bucketing: percent_rank + decile (ntile) of each document by
     * token count — the gating step before mixing corpora by quality tier.
     * ntile needs a unique total order to be deterministic: ties broken by
-    * doc_id on both engines.
-    *
-    * Scale note: an unpartitioned window is a single-task total sort —
-    * fine as the correctness spec, wrong at 100 TB. There, bucket
-    * assignment comes from percentile thresholds (`approxQuantile` or the
-    * exact distributed sort's range bounds) applied map-side, which is a
-    * scan + broadcast instead of a global window.
+    * doc_id on both engines. Semantics are the textbook unpartitioned
+    * window (the oracle SQL states them that way); the execution is
+    * [[qualityBucketsAtScale]], which computes the identical output with
+    * partitioned windows only.
     */
-  def qualityBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("n_tokens"), col("doc_id"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), size(toks).as("n_tokens"))
-      .select(col("doc_id"), col("n_tokens"),
-        percent_rank().over(w).as("pr"),
-        ntile(10).over(w).as("decile"))
-      .orderBy(col("doc_id"))
-  }
+  def qualityBuckets(spark: SparkSession, dir: String): DataFrame =
+    // one implementation, the scale-safe one: the textbook
+    // percent_rank/ntile window formulation (a single-task global sort)
+    // lives only in PipelineOpsSpec as a correctness cross-check — the
+    // declared surface never plans an unpartitioned window
+    qualityBucketsAtScale(spark, dir)
 
   val qualityBucketsSql: String =
     """WITH t AS (
@@ -310,10 +304,12 @@ object PipelineOps {
       |  CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id) AS INT) AS decile
       |FROM t ORDER BY doc_id""".stripMargin
 
-  /** Scale-safe quality deciles (q56): identical output to q43 with NO
-    * unpartitioned window anywhere in the plan. q43 is the correctness
-    * spec (percent_rank/ntile are one global single-task sort); this is
-    * the plan a 100 TB corpus runs.
+  /** Scale-safe quality deciles (q56, and since round 5 also q43's
+    * execution): identical output to the percent_rank/ntile window
+    * formulation with NO unpartitioned window anywhere in the plan. The
+    * window form (one global single-task sort) survives only as the
+    * oracle SQL and a spec cross-check; this is the plan a 100 TB corpus
+    * runs.
     *
     * Decomposition: a document's global rank under (n_tokens, doc_id)
     * equals (count of docs with smaller n_tokens) + (its doc_id
@@ -565,18 +561,32 @@ object PipelineOps {
     * chosen by the deterministic md5 uniform (a seeded "random K" that is
     * stable across runs, engines, and partitionings) — the per-domain cap
     * every web-corpus curation applies so no single source dominates.
-    * One window partitioned by source (bounded by source size); rows
-    * whose rank exceeds the cap are dropped.
+    *
+    * Skew-safe reduction: a `row_number` window partitioned by source
+    * would rank EVERY row of a source in one task before dropping all but
+    * K — on a web corpus where one domain is 30% of 100 TB, that is one
+    * reducer sorting billions of rows to keep 10. [[graft.functions
+    * .TopK]] instead reduces map-side to ≤K-row buffers per source, the
+    * shuffle moves only those buffers, and the merge is a K-way list
+    * merge — per-task work is bounded by K, not by the largest source.
+    * The u8 hex prefix converts to its exact numeric value (< 2^32, far
+    * inside Double's 2^53 integer range), so ascending (value, doc_id)
+    * reproduces the window's (u8, doc_id) lexicographic order
+    * bit-identically — fixed-width lowercase hex orders the same way as
+    * its numeric value.
     */
   val sourceCap = 10
 
   def sourceCapSample(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("u8"), col("doc_id"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), u8Col.as("u8"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= sourceCap)
-      .select(col("doc_id"), col("source"), col("rk"))
+    val tk = graft.functions.TopK.topK(sourceCap)
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        conv(u8Col, 16, 10).cast("double").as("s"))
+    graft.functions.TopK.explodeRanked(
+        scored.groupBy(col("source")).agg(tk(col("s"), col("doc_id")).as("tk")),
+        "tk", Seq("source"))
+      .select(col("id").as("doc_id"), col("source"),
+        col("rank").cast("int").as("rk"))
       .orderBy(col("source"), col("rk"))
   }
 

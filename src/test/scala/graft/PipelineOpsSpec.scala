@@ -264,27 +264,55 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(bad === 0L)
   }
 
-  test("q56 scale deciles: equals q43 exactly, no unpartitioned window") {
+  test("q43/q56 scale deciles: equal the window formulation, no unpartitioned window") {
     import graft.queries.PipelineOps
-    val exact = PipelineOps.qualityBuckets(spark, sf)
+    // the textbook formulation lives HERE, as the cross-check — the
+    // declared surface (q43 and q56 both) runs the partitioned-window
+    // decomposition
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tokens"), col("doc_id"))
+    val windowForm = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        percent_rank().over(w).as("pr"),
+        ntile(10).over(w).as("decile"))
     val scale = PipelineOps.qualityBucketsAtScale(spark, sf)
-    assert(scale.exceptAll(exact).count() === 0L)
-    assert(exact.exceptAll(scale).count() === 0L)
-    // every Window node in the plan must be key-partitioned — the global
-    // single-task sort q43 uses is exactly what q56 exists to avoid
-    // (logical plan: the physical WindowExec hides inside the AQE wrapper)
+    assert(scale.exceptAll(windowForm).count() === 0L)
+    assert(windowForm.exceptAll(scale).count() === 0L)
+    // q43 IS the scale path now
+    val q43 = PipelineOps.qualityBuckets(spark, sf)
+    assert(q43.exceptAll(scale).count() === 0L)
+    // every Window node in the declared plan must be key-partitioned —
+    // the global single-task sort is exactly what this plan exists to
+    // avoid (logical plan: physical WindowExec hides inside AQE wrapper)
     val windows = scale.queryExecution.optimizedPlan.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      case win: org.apache.spark.sql.catalyst.plans.logical.Window => win
     }
     assert(windows.nonEmpty) // the per-value row_number survives
-    windows.foreach { w =>
-      assert(w.partitionSpec.nonEmpty,
-        s"unpartitioned window in q56 plan:\n$w")
+    windows.foreach { win =>
+      assert(win.partitionSpec.nonEmpty,
+        s"unpartitioned window in q56 plan:\n$win")
     }
-    // and q43's own plan shows the single-task shape q56 removes
-    val q43Windows = exact.queryExecution.optimizedPlan.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
-    }
-    assert(q43Windows.exists(_.partitionSpec.isEmpty))
+  }
+
+  test("q69 source cap: TopK reduction, no per-source-width window") {
+    val capped = PipelineOps.sourceCapSample(spark, sf)
+    // skew-safety is the plan shape: map-side partial ObjectHashAggregate
+    // with k-row buffers across the shuffle — a Window would rank every
+    // row of the biggest source in one task
+    val plan = capped.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("Window"), plan)
+    // bit-identical to the window formulation it replaces
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(substring(md5(col("doc_id").cast("string")), 1, 8), col("doc_id"))
+    val windowed = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= PipelineOps.sourceCap)
+      .select(col("doc_id"), col("source"), col("rk"))
+    assert(capped.exceptAll(windowed).count() === 0L)
+    assert(windowed.exceptAll(capped).count() === 0L)
   }
 }
