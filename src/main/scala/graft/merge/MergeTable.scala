@@ -77,9 +77,35 @@ object MergeTable {
   /** MERGE: upsert `delta` into the table at `path`, delta-wins per key,
     * touching only the partition dirs whose buckets appear in the delta.
     * Creates the table if absent.
+    *
+    * Concurrency contract (spec-asserted in MergeSpec):
+    *  - SINGLE WRITER. Two concurrent merges race on the same staging dir
+    *    and `.old` backups; the caller serializes writers (the streaming
+    *    `upsertSink` does — micro-batches are sequential by construction).
+    *  - Readers are safe at bucket-swap boundaries: between any two bucket
+    *    swaps every bucket dir holds a complete copy (entirely pre-merge or
+    *    entirely post-merge), and a key lives in exactly one bucket, so a
+    *    read observes each key exactly once with its old or new value —
+    *    never a mix within a bucket, never a missing bucket. Within one
+    *    bucket's two-rename swap there is a sub-millisecond window where
+    *    the bucket lives only in `.old`; a reader that lists that instant
+    *    must retry (snapshot isolation across that window is what a
+    *    manifest-based table format adds — out of scope per BUILD_NOTES).
+    *  - A merge killed between bucket swaps leaves a half-merged table
+    *    that is complete and consistent (some buckets new, the rest old);
+    *    re-merging the same delta is idempotent per key and converges to
+    *    the fully-merged state.
     */
   def merge(delta: DataFrame, path: String, keys: Seq[String],
-      nBuckets: Int): Unit = {
+      nBuckets: Int): Unit =
+    merge(delta, path, keys, nBuckets, _ => ())
+
+  /** Test seam: `onBucketSwapped(b)` runs after bucket `b`'s swap
+    * completes — specs use it to observe (or kill) the merge between
+    * swaps. Production callers use the 4-arg overload.
+    */
+  private[graft] def merge(delta: DataFrame, path: String, keys: Seq[String],
+      nBuckets: Int, onBucketSwapped: Int => Unit): Unit = {
     val spark = delta.sparkSession
     val (fs, p) = fsOf(spark, path)
     recover(spark, path)
@@ -114,6 +140,7 @@ object MergeTable {
       if (fs.exists(live)) fs.rename(live, bak)
       fs.rename(next, live)
       fs.delete(bak, true)
+      onBucketSwapped(b)
     }
     fs.delete(staging, true)
   }

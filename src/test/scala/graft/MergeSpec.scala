@@ -127,4 +127,85 @@ class MergeSpec extends SparkTestBase {
     assert(want.exceptAll(got).count() === 0L)
     assert(!new java.io.File(victim.getParent, victim.getName + ".old").exists())
   }
+
+  test("MergeTable: reader at every bucket-swap boundary sees old-or-new, never mixed") {
+    import graft.merge.MergeTable
+    val path = Files.createTempDirectory("graft-mtr").toString + "/t"
+    val base = (1L to 400L).map(i => (i, s"old$i")).toDF("k", "v")
+    MergeTable.write(base, path, Seq("k"), nBuckets = 8)
+    // every key updated, so every bucket is affected and the merge walks
+    // all 8 swap boundaries
+    val delta = (1L to 400L).map(i => (i, s"new$i")).toDF("k", "v")
+    var boundaries = 0
+    MergeTable.merge(delta, path, Seq("k"), nBuckets = 8, { _ =>
+      boundaries += 1
+      // a fresh read between swaps: complete table, one row per key,
+      // every value either the old or the new one for its key
+      val seen = MergeTable.read(spark, path)
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      assert(seen.length == 400, s"reader saw ${seen.length} rows mid-merge")
+      assert(seen.map(_._1).distinct.length == 400, "duplicate keys mid-merge")
+      seen.foreach { case (k, v) =>
+        assert(v == s"old$k" || v == s"new$k", s"mixed row for key $k: $v")
+      }
+    })
+    assert(boundaries == 8)
+    val fin = MergeTable.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1L to 400L).forall(k => fin(k) == s"new$k"))
+  }
+
+  test("MergeTable: merge killed between bucket swaps recovers and converges on retry") {
+    import graft.merge.MergeTable
+    val path = Files.createTempDirectory("graft-mtk").toString + "/t"
+    val base = (1L to 400L).map(i => (i, s"old$i")).toDF("k", "v")
+    MergeTable.write(base, path, Seq("k"), nBuckets = 8)
+    val delta = (1L to 400L).map(i => (i, s"new$i")).toDF("k", "v")
+    val want = Merge.mergeDeterministic(base, delta, Seq("k"))
+    // kill the writer after the third bucket swap
+    val boom = intercept[RuntimeException] {
+      MergeTable.merge(delta, path, Seq("k"), nBuckets = 8, { b =>
+        if (b == 2) throw new RuntimeException("killed mid-merge")
+      })
+    }
+    assert(boom.getMessage == "killed mid-merge")
+    // the half-merged table is complete and consistent: one row per key,
+    // old-or-new per key (never missing, never mixed), staging untouched
+    // by readers
+    val half = MergeTable.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(half.length == 400)
+    assert(half.map(_._1).distinct.length == 400)
+    half.foreach { case (k, v) => assert(v == s"old$k" || v == s"new$k") }
+    assert(half.exists { case (k, v) => v == s"new$k" }, "no bucket swapped")
+    assert(half.exists { case (k, v) => v == s"old$k" }, "kill did not stop merge")
+    // replaying the same delta (what a checkpointed stream does after a
+    // crash) converges to the fully-merged state
+    MergeTable.merge(delta, path, Seq("k"), nBuckets = 8)
+    val got = MergeTable.read(spark, path)
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+    // and leaves no crash debris
+    val names = new java.io.File(path).listFiles().map(_.getName)
+    assert(!names.exists(_.endsWith(".old")), names.mkString(","))
+    assert(!new java.io.File(path + "__staging").exists())
+  }
+
+  test("MergeTable read drops a stale .old whose live dir survived the swap") {
+    import graft.merge.MergeTable
+    val path = Files.createTempDirectory("graft-mts").toString + "/t"
+    val base = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    MergeTable.write(base, path, Seq("k"), nBuckets = 4)
+    // crash window: after next->live but before the backup delete — both
+    // the live dir and its .old backup exist; recover must keep live and
+    // drop the backup (the swap DID complete)
+    val live = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith(MergeTable.BucketCol + "=")).head
+    val bak = new java.io.File(live.getParent, live.getName + ".old")
+    org.apache.commons.io.FileUtils.copyDirectory(live, bak)
+    val got = MergeTable.read(spark, path)
+    assert(got.exceptAll(base).count() === 0L)
+    assert(base.exceptAll(got).count() === 0L)
+    assert(!bak.exists())
+  }
 }
