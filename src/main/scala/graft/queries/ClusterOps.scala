@@ -120,6 +120,46 @@ object ClusterOps {
         coalesce(col("root"), col("doc_id")).as("cluster_id"))
   }
 
+  /** The sharper incremental form [[mergeClusters]] rounds up to: relabel
+    * ONLY the components a new edge touches. Untouched components cannot
+    * change (merges propagate exclusively through new edges), so instead
+    * of re-running CC over the whole star forest, collapse just the
+    * touched clusters to their stars and run CC over (touched stars ∪ new
+    * edges). Cost is ∝ |new edges| + |touched clusters|, independent of
+    * corpus size: the only full pass is the members scan for the
+    * semi-join, which broadcasts the (tiny) touched-root set and stays
+    * map-only — no corpus-wide shuffle, no corpus-wide CC.
+    *
+    * Returns the REPLACEMENT rows: (doc_id, cluster_id) for every doc
+    * whose membership may have changed — exactly the delta a keyed MERGE
+    * (e.g. [[graft.merge.MergeTable]]) wants. Docs not returned are
+    * guaranteed unchanged. The result passes through CC's checkpoint;
+    * callers free it with [[ConnectedComponents.release]] once written.
+    */
+  def touchedRelabel(oldMembers: DataFrame, newEdges: DataFrame): DataFrame = {
+    val endpoints = newEdges.select(col("a").as("doc_id"))
+      .union(newEdges.select(col("b").as("doc_id"))).distinct()
+    // root of each endpoint under the OLD clustering (fresh docs absent
+    // from members root to themselves and ride in on their own edges)
+    val touchedRoots = endpoints
+      .join(oldMembers, Seq("doc_id"), "left")
+      .select(coalesce(col("cluster_id"), col("doc_id")).as("root"))
+      .distinct()
+    val touchedStars = oldMembers
+      .join(broadcast(touchedRoots),
+        col("cluster_id") === col("root"), "left_semi")
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("a"), col("cluster_id").as("b"))
+    val labels = ConnectedComponents
+      .label(touchedStars.union(newEdges.select(col("a"), col("b"))))
+      .select(col("node").as("doc_id"), col("label").as("root"))
+    // every node CC labeled (its component min may have changed) plus
+    // every endpoint (a fresh singleton gets its own-id row)
+    endpoints.join(labels, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_dup_clusters" -> (dupClusters _))
 

@@ -249,6 +249,24 @@ object TextOps {
     exactJaccard(sh, bandPairs(bandKeys))
   }
 
+  /** Narrow (doc_id, band_idx, band_hash) LSH index rows for an arbitrary
+    * documents frame — the probe-index form: index a batch of new docs
+    * once, probe it against an accumulated index with a plain equi-join.
+    * Same md5 signature family as [[neardupPairs]], so indexes built
+    * across batches are mutually joinable. */
+  private[graft] def bandKeyTable(docs: DataFrame): DataFrame =
+    bandKeysOf(signatureTable(shingleTableOf(docs), md5Sig),
+      (a, b) => md5(concat_ws("|", a, b)))
+
+  /** Exact-jaccard verification of candidate (doc_a, doc_b) pairs against
+    * an arbitrary corpus frame. Only pair-involved docs are shingled
+    * (semi-join restriction), so cost is ∝ candidates, never ∝ corpus. */
+  private[graft] def verifyPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val ids = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    exactJaccard(shingleTableOf(docs.join(ids, Seq("doc_id"), "left_semi")), pairs)
+  }
+
   /** The full DuckDB CTE chain ending in a `pairs(doc_a, doc_b, jaccard)`
     * relation — shared by q12's oracle and q58's (which builds a recursive
     * closure on top), so the two can never desynchronize. */

@@ -199,6 +199,122 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Streaming duplicate clustering: documents arrive on a stream and the
+    * maintained dataset is their cluster MEMBERSHIP — the streaming twin
+    * of q58's batch clustering, in the "updating datasets" form: each
+    * micro-batch folds the new docs into the existing clustering without
+    * ever re-pairing the old corpus against itself.
+    *
+    * Per micro-batch (all equi-joins — never O(N²), never ∝ corpus²):
+    *  1. LSH-index the new docs ([[graft.queries.TextOps.bandKeyTable]])
+    *     and probe the accumulated band-key index — candidate pairs that
+    *     touch at least one new doc, cost ∝ |new| × bucket hit rate;
+    *  2. exact-jaccard verify candidates (only pair-involved docs are
+    *     shingled), threshold → new edges;
+    *  3. relabel ONLY the components those edges touch
+    *     ([[graft.queries.ClusterOps.touchedRelabel]]);
+    *  4. upsert the changed membership rows through the partition-pruned
+    *     [[graft.merge.MergeTable]] MERGE — per-batch write cost
+    *     ∝ affected buckets, not ∝ corpus.
+    *
+    * State layout under `statePath`: `docs/batch=<id>` and
+    * `bandkeys/batch=<id>` (append-only, batch-addressed so a replayed
+    * micro-batch OVERWRITES its own partition instead of duplicating it)
+    * plus `members/` (a MergeTable). Exactly-once end-to-end: the
+    * checkpoint replays unacked batches, batch-addressed appends are
+    * self-repairing, and the membership merge is idempotent per key.
+    */
+  def clusterSink(newDocs: DataFrame, statePath: String, checkpoint: String,
+      threshold: Double = graft.queries.ClusterOps.clusterJaccard,
+      nBuckets: Int = 16): Unit = {
+    val q = newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        clusterBatch(batch.toDF(), id, statePath, threshold, nBuckets)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Current membership maintained by [[clusterSink]]: one
+    * (doc_id, cluster_id) row per ingested doc. */
+  def clusterMembership(spark: SparkSession, statePath: String): DataFrame =
+    graft.merge.MergeTable.read(spark, s"$statePath/members")
+
+  /** One micro-batch of [[clusterSink]] (single writer, like every state
+    * mutation here; micro-batches are sequential by construction). */
+  private[graft] def clusterBatch(batch: DataFrame, batchId: Long,
+      statePath: String, threshold: Double, nBuckets: Int): Unit = {
+    import graft.queries.{ClusterOps, TextOps}
+    val spark = batch.sparkSession
+    val docsDir = s"$statePath/docs"
+    val bkDir = s"$statePath/bandkeys"
+    val membersDir = s"$statePath/members"
+    val fresh = batch.select(col("doc_id"), col("text"))
+      .dropDuplicates(Seq("doc_id")).persist()
+    val newBK = TextOps.bandKeyTable(fresh).persist()
+    try {
+      if (fresh.isEmpty) return
+      val fs = new org.apache.hadoop.fs.Path(statePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // Completed PRIOR batch partitions only: `batch=<this id>` may exist
+      // as a crashed partial write (the overwrite below repairs it) and
+      // _SUCCESS gates out torn dirs.
+      def prior(dir: String): Seq[String] = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        if (!fs.exists(p)) Seq.empty
+        else fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("batch="))
+          .filter(_.getName.stripPrefix("batch=").toLong < batchId)
+          .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+          .map(_.toString)
+      }
+      val bkPrior = prior(bkDir)
+      val allBK = if (bkPrior.isEmpty) newBK else newBK.unionByName(
+        spark.read.option("basePath", bkDir).parquet(bkPrior: _*)
+          .select(col("doc_id"), col("band_idx"), col("band_hash")))
+      // candidate pairs touching >= 1 new doc: probe new index rows
+      // against the accumulated index
+      val cand = newBK
+        .select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_x"))
+        .join(allBK.select(col("band_idx"), col("band_hash"),
+          col("doc_id").as("doc_y")), Seq("band_idx", "band_hash"))
+        .filter(col("doc_x") =!= col("doc_y"))
+        .select(least(col("doc_x"), col("doc_y")).as("doc_a"),
+          greatest(col("doc_x"), col("doc_y")).as("doc_b"))
+        .distinct()
+      val docsPrior = prior(docsDir)
+      val allDocs = if (docsPrior.isEmpty) fresh else fresh.unionByName(
+        spark.read.option("basePath", docsDir).parquet(docsPrior: _*)
+          .select(col("doc_id"), col("text")))
+      val newEdges = TextOps.verifyPairs(allDocs, cand)
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val oldMembers =
+        if (fs.exists(new org.apache.hadoop.fs.Path(membersDir)))
+          graft.merge.MergeTable.read(spark, membersDir)
+        else spark.range(0)
+          .select(col("id").as("doc_id"), col("id").as("cluster_id"))
+      val relabel = ClusterOps.touchedRelabel(oldMembers, newEdges)
+      // fresh docs with no edge at all enter as their own singleton row,
+      // so the members table stays total over everything ingested
+      val freshSingletons = fresh.select(col("doc_id"))
+        .join(relabel, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      graft.merge.MergeTable.merge(relabel.unionByName(freshSingletons),
+        membersDir, Seq("doc_id"), nBuckets)
+      graft.ops.ConnectedComponents.release(relabel)
+      fresh.write.mode("overwrite").parquet(s"$docsDir/batch=$batchId")
+      newBK.write.mode("overwrite").parquet(s"$bkDir/batch=$batchId")
+    } finally {
+      fresh.unpersist()
+      newBK.unpersist()
+    }
+  }
+
   /** The reference-shaped merge body: read whole season → merge → atomic
     * rename swap (a complete season is readable at every instant; crash
     * recovery restores from `.old`).

@@ -119,6 +119,44 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(merged.nonEmpty && merged.exists { case (d, c) => d != c })
   }
 
+  test("touchedRelabel delta applied to old members equals full mergeClusters") {
+    import graft.queries.TextOps
+    val docs = Tables.documents(spark, sf)
+    val oldDocs = docs.filter(col("doc_id") % 2 === 0)
+    val full = ClusterOps.dupClusters(spark, sf)
+      .select(col("doc_id"), col("cluster_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oldEdges = TextOps.neardupPairsOf(oldDocs)
+      .filter(col("jaccard") >= ClusterOps.clusterJaccard)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val oldLabels = graft.ops.ConnectedComponents.label(oldEdges)
+      .select(col("node").as("doc_id"), col("label").as("root"))
+    val oldMembers = oldDocs.select(col("doc_id"))
+      .join(oldLabels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
+    val newEdges = TextOps.neardupPairsOf(docs)
+      .filter(col("jaccard") >= ClusterOps.clusterJaccard)
+      .filter(col("doc_a") % 2 === 1 || col("doc_b") % 2 === 1)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    // the delta form: only touched components are relabeled; applying the
+    // delta over the old membership (delta wins per key, absent docs keep
+    // their old row or default to singleton) must equal the batch truth
+    val relabel = ClusterOps.touchedRelabel(oldMembers, newEdges)
+    val applied = oldMembers.join(relabel, Seq("doc_id"), "left_anti")
+      .unionByName(relabel)
+    val got = docs.select(col("doc_id"))
+      .join(applied, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full)
+    // delta rows are genuinely bounded: only touched docs appear
+    val deltaIds = relabel.collect().map(_.getLong(0)).toSet
+    val unchanged = full.filter { case (d, c) => d == c }.keySet
+      .filter(d => !deltaIds.contains(d))
+    assert(unchanged.nonEmpty, "expected some untouched singletons outside the delta")
+  }
+
   test("q58 clusters: canonical docs are component minima; plan has no cartesian product") {
     val df = ClusterOps.dupClusters(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -192,4 +192,54 @@ class StreamingSpec extends SparkTestBase {
     val joined = got.join(batch, Seq("event_id"))
     assert(joined.filter(col("n_stream") =!= col("n_prior_10m")).count() == 0)
   }
+
+  test("clustering sink: two micro-batches produce the batch clustering membership") {
+    import graft.queries.ClusterOps
+    val dir = java.nio.file.Files.createTempDirectory("graft-cstream").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    // stage the corpus as two single-file halves so AvailableNow +
+    // maxFilesPerTrigger=1 delivers exactly two micro-batches
+    val inDir = java.nio.file.Paths.get(dir, "in")
+    java.nio.file.Files.createDirectories(inDir)
+    Seq(docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1))
+      .zipWithIndex.foreach { case (half, i) =>
+        val tmp = s"$dir/half$i"
+        half.repartition(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath, inDir.resolve(s"$i.parquet"))
+      }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    Streaming.clusterSink(stream, s"$dir/state", s"$dir/ckpt", nBuckets = 4)
+    // both batches ran and left their batch-addressed state partitions
+    assert(new java.io.File(s"$dir/state/docs/batch=0").exists())
+    assert(new java.io.File(s"$dir/state/docs/batch=1").exists())
+    // membership equals the one-shot batch clustering of the same corpus
+    val got = Streaming.clusterMembership(spark, s"$dir/state")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ClusterOps.dupClusters(spark, sf)
+      .select("doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.exists { case (d, c) => d != c }, "no non-trivial cluster formed")
+    // draining again from the same checkpoint is a no-op (no new files)
+    val stream2 = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    Streaming.clusterSink(stream2, s"$dir/state", s"$dir/ckpt", nBuckets = 4)
+    val again = Streaming.clusterMembership(spark, s"$dir/state")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == want)
+    // a replayed micro-batch (crash before checkpoint commit) repairs
+    // rather than duplicates: re-running batch 1's fold by hand converges
+    // to the same membership and state stays one partition per batch
+    val batch1 = docs.filter($"doc_id" % 2 === 1)
+    Streaming.clusterBatch(batch1, 1L, s"$dir/state",
+      ClusterOps.clusterJaccard, nBuckets = 4)
+    val replayed = Streaming.clusterMembership(spark, s"$dir/state")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replayed == want)
+    assert(new java.io.File(s"$dir/state/docs").listFiles()
+      .count(_.getName.startsWith("batch=")) == 2)
+  }
 }
