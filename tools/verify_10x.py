@@ -1,0 +1,289 @@
+#!/usr/bin/env python3
+"""Scale-verification gate: oracle-check a Verify dump at a replicated SF.
+
+Usage: python3 tools/verify_10x.py <sfBigDir> <verifyOutDir> [subOutDir]
+
+Three phases, so that EVERY query ends the run either full-oracle-green
+or bounded-oracle-green (round-4 problem: the md5-minhash family is
+DuckDB-infeasible at 50k docs — ~72M list-lambda md5 evaluations — and
+one hung oracle starved every later query of its check):
+
+A. Full oracle for every query except SKIP_FULL, each under a watchdog
+   (duckdb interrupt) so one slow oracle can't block the rest.
+B. The SKIP_FULL minhash family (q12/q45/q58) is checked on a bounded
+   sub-corpus instead: tools/make_subcorpus carves contiguous id windows
+   (whole duplicate families survive, all replica copies sampled), the
+   IDENTICAL oracle SQL runs over the sub-corpus in DuckDB, and the
+   Spark side re-runs over the same sub-corpus (graft.Verify with a
+   query filter into [subOutDir]). Pass = hash-equal, same as phase A.
+C. Invariants on the FULL-scale outputs of the family (q12/q45/q48/q58),
+   cheap because they touch only output pairs (hundreds), never the
+   corpus pairing: orientation, jaccard bounds, band containment (every
+   reported pair must share >= 1 of the 8 LSH band hashes, recomputed
+   from scratch for just the involved docs), and q58 cluster-consistency
+   (every >= 0.5 pair co-clustered, cluster_id = member min, sizes and
+   canonical flags consistent).
+
+Exit 0 only if all three phases pass.
+"""
+import json
+import math
+import os
+import sys
+import threading
+
+import duckdb
+
+SKIP_FULL = {"q12_minhash_pairs", "q45_minhash_est", "q58_dup_clusters"}
+ROWS_ONLY = {"q16_ann_ivf", "q32_sketch_profile", "q48_minhash_fast"}
+ORACLE_TIMEOUT_S = 300
+MINHASH_N, MINHASH_BANDS = 16, 8
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def connect(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        rr = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            rr.append(v)
+        out.append(tuple(rr))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [sorted(cols)] + out
+
+
+def run_with_watchdog(con, sql, seconds):
+    """Run sql; interrupt after `seconds`. Returns (df, timed_out)."""
+    timer = threading.Timer(seconds, con.interrupt)
+    timer.start()
+    try:
+        return con.execute(sql).df(), False
+    except duckdb.InterruptException:
+        return None, True
+    finally:
+        timer.cancel()
+
+
+def compare(con, name, sql, out_dir, timeout_s=ORACLE_TIMEOUT_S):
+    """Returns 'pass' | 'fail' | 'timeout'."""
+    try:
+        mine = con.execute(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+    except Exception as e:
+        print(f"FAIL {name}: spark dump unreadable: {e}")
+        return "fail"
+    want, timed_out = run_with_watchdog(con, sql, timeout_s)
+    if timed_out:
+        print(f"TIMEOUT {name}: oracle exceeded {timeout_s}s")
+        return "timeout"
+    a = canon(list(mine.itertuples(index=False, name=None)), list(mine.columns))
+    b = canon(list(want.itertuples(index=False, name=None)), list(want.columns))
+    kinds = [{c: mine[c].dtype.kind for c in mine.columns},
+             {c: want[c].dtype.kind for c in want.columns}]
+    dtype_bad = [c for c in kinds[0]
+                 if c in kinds[1] and {kinds[0][c], kinds[1][c]} == {"i", "f"}]
+    if a == b and not dtype_bad:
+        print(f"PASS {name} ({len(mine)} rows)")
+        return "pass"
+    if dtype_bad:
+        print(f"FAIL {name}: int-vs-float dtype divergence on {dtype_bad}")
+    elif a[0] != b[0]:
+        print(f"FAIL {name}: columns {a[0]} vs {b[0]}")
+    else:
+        diffs = [(x, y) for x, y in zip(a[1:], b[1:]) if x != y]
+        print(f"FAIL {name}: rows {len(a) - 1} vs {len(b) - 1}, "
+              f"{len(diffs)} differing; first: "
+              f"{diffs[0] if diffs else '(row count only)'}")
+    return "fail"
+
+
+def phase_a(sf_dir, out_dir, oracle):
+    print(f"== phase A: full oracle at {sf_dir} "
+          f"(skipping {sorted(SKIP_FULL)}) ==")
+    con = connect(sf_dir)
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        if name in SKIP_FULL:
+            results[name] = "deferred"
+            continue
+        results[name] = compare(con, name, sql, out_dir)
+    for name in sorted(ROWS_ONLY):
+        try:
+            df = con.execute(f"SELECT * FROM "
+                             f"read_parquet('{out_dir}/{name}/*.parquet')").df()
+            assert len(df) > 0
+            print(f"PASS {name} (rows-only, {len(df)} rows)")
+            results[name] = "pass"
+        except Exception as e:
+            print(f"FAIL {name}: rows-only dump unreadable/empty: {e}")
+            results[name] = "fail"
+    con.close()
+    return results
+
+
+def phase_b(sf_dir, sub_out_dir, oracle):
+    sub_dir = sub_out_dir + "_data"
+    print(f"== phase B: bounded sub-corpus oracle for {sorted(SKIP_FULL)} ==")
+    os.makedirs(sub_dir, exist_ok=True)
+    con0 = duckdb.connect()
+    # contiguous 200-id window from each replica copy: whole duplicate
+    # families survive sampling, every copy contributes
+    con0.execute(
+        f"COPY (SELECT * FROM read_parquet('{sf_dir}/documents.parquet') "
+        f"WHERE doc_id % 10000000 < 200) TO "
+        f"'{sub_dir}/documents.parquet' (FORMAT PARQUET)")
+    n_sub = con0.execute(f"SELECT count(*) FROM "
+                         f"read_parquet('{sub_dir}/documents.parquet')").fetchone()[0]
+    con0.close()
+    print(f"sub-corpus: {n_sub} docs at {sub_dir}")
+    for t in TABLES:
+        if t == "documents":
+            continue
+        dst = f"{sub_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{sf_dir}/{t}.parquet", dst)
+    names = " ".join(sorted(SKIP_FULL))
+    rc = os.system(
+        f"cd /root/repo && SPARK_GRAFT_CPUS=16 sbt -batch "
+        f"'runMain graft.Verify {sub_dir} {sub_out_dir} {names}' "
+        f">> /tmp/verify_10x_sub.log 2>&1")
+    if rc != 0:
+        print(f"FAIL: sub-corpus Verify run exited {rc} "
+              f"(see /tmp/verify_10x_sub.log)")
+        return {n: "fail" for n in SKIP_FULL}
+    con = connect(sub_dir)
+    results = {}
+    for name in sorted(SKIP_FULL):
+        # recursive-CTE closure (q58) over the sub-corpus is fine; give
+        # the md5 family a generous but bounded window
+        results[name] = compare(con, name, oracle[name], sub_out_dir,
+                                timeout_s=600)
+    con.close()
+    return results
+
+
+def band_containment_sql(pairs_glob, docs_parquet):
+    sigs = ",\n    ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5('{j}:' || s)), "
+        f"'min') AS sig_{j}" for j in range(MINHASH_N))
+    bands = ", ".join(
+        f"md5(sig_{2 * b} || '|' || sig_{2 * b + 1})"
+        for b in range(MINHASH_BANDS))
+    return f"""
+WITH out_pairs AS (
+  SELECT doc_a, doc_b FROM read_parquet('{pairs_glob}')
+), involved AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM out_pairs
+    UNION ALL SELECT doc_b FROM out_pairs)
+), toks AS (
+  SELECT d.doc_id, string_split(d.text, ' ') AS t
+  FROM read_parquet('{docs_parquet}') d
+  JOIN involved USING (doc_id)
+  WHERE len(string_split(d.text, ' ')) >= 3
+), sh AS (
+  SELECT doc_id,
+    [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] AS shingles
+  FROM toks
+), sigs AS (
+  SELECT doc_id, {sigs} FROM sh
+), bandlists AS (
+  SELECT doc_id, [{bands}] AS bands FROM sigs
+)
+SELECT count(*) AS violations FROM out_pairs p
+JOIN bandlists a ON a.doc_id = p.doc_a
+JOIN bandlists b ON b.doc_id = p.doc_b
+WHERE len(list_intersect(a.bands, b.bands)) = 0
+"""
+
+
+def phase_c(sf_dir, out_dir):
+    print("== phase C: full-scale invariants on the minhash family ==")
+    con = duckdb.connect()
+    docs = f"{sf_dir}/documents.parquet"
+    ok = True
+
+    def check(label, sql, expect_zero=True):
+        nonlocal ok
+        v = con.execute(sql).fetchone()[0]
+        good = (v == 0) if expect_zero else (v > 0)
+        print(f"{'PASS' if good else 'FAIL'} invariant: {label} = {v}")
+        ok = ok and good
+
+    for name, col in [("q12_minhash_pairs", "jaccard"),
+                      ("q45_minhash_est", "est_jaccard")]:
+        glob = f"{out_dir}/{name}/*.parquet"
+        check(f"{name} pair count > 0",
+              f"SELECT count(*) FROM read_parquet('{glob}')", expect_zero=False)
+        check(f"{name} misoriented pairs (doc_a >= doc_b)",
+              f"SELECT count(*) FROM read_parquet('{glob}') WHERE doc_a >= doc_b")
+        check(f"{name} {col} out of (0, 1]",
+              f"SELECT count(*) FROM read_parquet('{glob}') "
+              f"WHERE {col} <= 0 OR {col} > 1 OR {col} IS NULL")
+        check(f"{name} pairs not sharing any LSH band",
+              band_containment_sql(glob, docs))
+    q48 = f"{out_dir}/q48_minhash_fast/*.parquet"
+    check("q48 pair count > 0",
+          f"SELECT count(*) FROM read_parquet('{q48}')", expect_zero=False)
+    check("q48 pairs not sharing any LSH band",
+          band_containment_sql(q48, docs))
+    # q58: every verified >= 0.5 pair is co-clustered; labels are minima;
+    # sizes and canonical flags are internally consistent
+    q58 = f"{out_dir}/q58_dup_clusters/*.parquet"
+    q12 = f"{out_dir}/q12_minhash_pairs/*.parquet"
+    check("q58 rows = corpus size",
+          f"SELECT (SELECT count(*) FROM read_parquet('{q58}')) - "
+          f"(SELECT count(*) FROM read_parquet('{docs}'))")
+    check("q58 edges split across clusters",
+          f"SELECT count(*) FROM read_parquet('{q12}') p "
+          f"JOIN read_parquet('{q58}') a ON a.doc_id = p.doc_a "
+          f"JOIN read_parquet('{q58}') b ON b.doc_id = p.doc_b "
+          f"WHERE p.jaccard >= 0.5 AND a.cluster_id <> b.cluster_id")
+    check("q58 cluster_id is not the member minimum somewhere",
+          f"SELECT count(*) FROM (SELECT cluster_id, min(doc_id) m "
+          f"FROM read_parquet('{q58}') GROUP BY 1) WHERE cluster_id <> m")
+    check("q58 cluster_size inconsistent somewhere",
+          f"SELECT count(*) FROM (SELECT cluster_id, count(*) n, "
+          f"any_value(cluster_size) s FROM read_parquet('{q58}') "
+          f"GROUP BY 1) WHERE n <> s")
+    check("q58 clusters without exactly one canonical member",
+          f"SELECT count(*) FROM (SELECT cluster_id, "
+          f"sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) c "
+          f"FROM read_parquet('{q58}') GROUP BY 1) WHERE c <> 1")
+    con.close()
+    return ok
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    sub_out_dir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/v10sub"
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    results = phase_a(sf_dir, out_dir, oracle)
+    results.update(phase_b(sf_dir, sub_out_dir, oracle))
+    inv_ok = phase_c(sf_dir, out_dir)
+    n = {"pass": 0, "fail": 0, "timeout": 0}
+    for name, r in sorted(results.items()):
+        if r in n:
+            n[r] += 1
+    print(f"== {n['pass']} pass, {n['fail']} fail, {n['timeout']} timeout, "
+          f"invariants {'PASS' if inv_ok else 'FAIL'} ==")
+    sys.exit(0 if n["fail"] == 0 and n["timeout"] == 0 and inv_ok else 1)
+
+
+if __name__ == "__main__":
+    main()
