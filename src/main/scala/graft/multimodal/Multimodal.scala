@@ -10,13 +10,14 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real — binary columns, schema, partition
   * batching via `mapPartitions` (the JVM analogue of `mapInPandas`: one
   * iterator per partition, amortized per-batch setup, no per-row driver
-  * involvement) — and so is the IMAGE half of the decode: [[ImageCodec]]
+  * involvement) — and so are the IMAGE and AUDIO decodes: [[ImageCodec]]
   * encodes, header-decodes, and resizes PNG/JPEG through the JDK's
-  * built-in `javax.imageio` (no external jar). Only audio and video
-  * remain stubbed ([[FakeDecoder]]): no audio/video codec ships with the
-  * JDK or this container, so their metadata is derived deterministically
-  * from the bytes — clearly marked, swap in ffmpeg bindings in a
-  * deployment.
+  * built-in `javax.imageio`; [[AudioCodec]] encodes and header-decodes
+  * PCM WAV through the JDK's built-in `javax.sound.sampled` (no external
+  * jar for either). Only VIDEO remains stubbed ([[FakeDecoder]]): no
+  * video codec ships with the JDK or this container, so its metadata is
+  * derived deterministically from the bytes — clearly marked, swap in
+  * ffmpeg bindings in a deployment.
   *
   * Scale notes: decode cost dominates at 100 TB, so the operator must
   * (a) run per-partition with zero driver round-trips — it does, via
@@ -114,21 +115,72 @@ object Multimodal {
     }
   }
 
-  /** STUB decoder for audio/video ONLY — deterministic pseudo-metadata
-    * from raw bytes. The JDK ships no audio/video codec (images are real,
-    * see [[ImageCodec]]); swap in ffmpeg bindings in a deployment —
-    * everything else stays as-is.
+  /** REAL audio codec over the JDK's `javax.sound.sampled` — WAV (PCM)
+    * encode/decode with zero external dependencies, mirroring
+    * [[ImageCodec]]'s role for images.
+    *
+    * [[decodeMeta]] parses only the RIFF/fmt header
+    * (`AudioSystem.getAudioFileFormat` — no sample data is read), the
+    * form that scales to metadata extraction over 100 TB of audio.
+    * Audio reuses the generic [[MediaMeta]] slots: `width` = sample rate
+    * (Hz), `height` = channel count, `n_frames` = PCM frame count — one
+    * denormalized meta row shape across media types, same trade a
+    * production media warehouse makes.
+    */
+  object AudioCodec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Deterministic 16-bit PCM mono WAV fixture (sample = f(i, seed)) —
+      * the audio analogue of [[ImageCodec.encode]]'s test pattern. WAV is
+      * lossless, so planted (rate, frames) survive an encode → decode
+      * round trip exactly.
+      */
+    def encode(nSamples: Int, sampleRateHz: Int, seed: Long): Array[Byte] = {
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val s = (((i * 2654435761L + seed) & 0xffffL) - 32768L).toShort
+        pcm(2 * i) = (s & 0xff).toByte // little-endian per the format below
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(sampleRateHz.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Header-only metadata: container type + PCM parameters from the
+      * RIFF header — no sample decode. */
+    def decodeMeta(bytes: Array[Byte]): MediaMeta = {
+      val aff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(bytes))
+      val f = aff.getFormat
+      MediaMeta(bytes.length.toLong, aff.getType.getExtension.toLowerCase,
+        width = f.getSampleRate.toInt, height = f.getChannels,
+        n_frames = aff.getFrameLength)
+    }
+  }
+
+  /** STUB decoder for video ONLY — deterministic pseudo-metadata from raw
+    * bytes. Images decode through the real [[ImageCodec]], audio through
+    * the real [[AudioCodec]]; video is the one type with genuinely no
+    * codec in the JDK or this container — swap in ffmpeg bindings in a
+    * deployment, everything else stays as-is.
     */
   object FakeDecoder {
     def decode(mediaType: String, bytes: Array[Byte]): MediaMeta = {
-      require(mediaType != "image", "images decode through ImageCodec")
+      require(mediaType == "video",
+        "images/audio decode through ImageCodec/AudioCodec")
       val n = bytes.length.toLong
       MediaMeta(
         n_bytes = n,
-        format = if (mediaType == "audio") "wav" else "mp4",
+        format = "mp4",
         width = (64 + (n % 577)).toInt,
         height = (64 + ((n * 31 + (if (bytes.nonEmpty) bytes(0) & 0xff else 0)) % 513)).toInt,
-        n_frames = if (mediaType == "video") (n % 24 + 1).toInt else 1)
+        n_frames = (n % 24 + 1).toInt)
     }
 
     /** STUB resize: metadata-only transform (a real impl would re-encode). */
@@ -144,17 +196,20 @@ object Multimodal {
   }
 
   /** Batch decode over partitions — the mapInPandas-shaped operator.
-    * Images go through the real [[ImageCodec]] header read; audio/video
-    * through the declared [[FakeDecoder]] stub.
+    * Images go through the real [[ImageCodec]] header read, audio through
+    * the real [[AudioCodec]] header read; only video falls back to the
+    * declared [[FakeDecoder]] stub.
     */
   def decodeMeta(rows: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       // per-partition (per-batch) decoder setup happens ONCE here
       it.map { r =>
-        val m =
-          if (r.media_type == "image") ImageCodec.decodeMeta(r.content)
-          else FakeDecoder.decode(r.media_type, r.content)
+        val m = r.media_type match {
+          case "image" => ImageCodec.decodeMeta(r.content)
+          case "audio" => AudioCodec.decodeMeta(r.content)
+          case _ => FakeDecoder.decode(r.media_type, r.content)
+        }
         DecodedRow(r.media_id, r.media_type, m.n_bytes, m.format, m.width,
           m.height, m.n_frames)
       }
@@ -170,13 +225,22 @@ object Multimodal {
   def plantedWidth(len: Int): Int = 32 + len % 300
   def plantedHeight(len: Int, first: Int): Int = 32 + (len * 31 + first) % 280
 
+  /** Planted audio parameters for [[documentBlobs]] — same oracle-
+    * predictability contract as [[plantedWidth]]/[[plantedHeight]]:
+    * telephone-to-wideband sample rates, payloads kept to a few hundred
+    * PCM frames so encoding stays cheap.
+    */
+  def plantedRate(len: Int): Int = 8000 + len % 577
+  def plantedSamples(len: Int, first: Int): Int = 40 + (len * 31 + first) % 400
+
   /** Media-corpus fixture over the documents table. Image rows carry a
     * REAL encoded PNG/JPEG (dimensions planted from the text via
     * [[plantedWidth]]/[[plantedHeight]], format by text-length parity, a
-    * per-doc pixel pattern); audio/video rows carry the utf-8 text bytes
-    * for the stub decoder. Generation is distributed (mapPartitions) and
-    * deterministic, so the oracle can state the expected decode output
-    * without ever decoding.
+    * per-doc pixel pattern); audio rows carry a REAL PCM WAV (rate and
+    * frame count planted via [[plantedRate]]/[[plantedSamples]]); video
+    * rows carry the utf-8 text bytes for the stub decoder. Generation is
+    * distributed (mapPartitions) and deterministic, so the oracle can
+    * state the expected decode output without ever decoding.
     */
   def documentBlobs(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
@@ -191,13 +255,16 @@ object Multimodal {
         val types = Array("image", "audio", "video")
         it.map { case (id, text) =>
           val mt = types((id % 3).toInt)
-          val content =
-            if (mt == "image") {
-              val len = text.length
-              val first = if (text.nonEmpty) text.charAt(0).toInt else 0
+          val len = text.length
+          val first = if (text.nonEmpty) text.charAt(0).toInt else 0
+          val content = mt match {
+            case "image" =>
               val fmt = if (len % 2 == 0) "png" else "jpeg"
               ImageCodec.encode(plantedWidth(len), plantedHeight(len, first), id, fmt)
-            } else text.getBytes("UTF-8")
+            case "audio" =>
+              AudioCodec.encode(plantedSamples(len, first), plantedRate(len), id)
+            case _ => text.getBytes("UTF-8")
+          }
           MediaRow(id, mt, content)
         }
       }

@@ -73,8 +73,11 @@ object ClusterOps {
       .orderBy(col("doc_id"))
   }
 
-  val dupClustersSql: String =
-    s"""WITH RECURSIVE ${TextOps.pairsCte},
+  /** Shared CTE chain ending in `labels(doc_id, cluster_id)` — the
+    * recursive transitive closure both q58's and q71's oracles project
+    * from, so the two can never desynchronize. */
+  private val labelsCte: String =
+    s"""${TextOps.pairsCte},
        |edges AS (
        |  SELECT doc_a AS ea, doc_b AS eb FROM pairs WHERE jaccard >= $clusterJaccard
        |  UNION ALL
@@ -87,7 +90,10 @@ object ClusterOps {
        |),
        |labels AS (
        |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
-       |)
+       |)""".stripMargin
+
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE $labelsCte
        |SELECT doc_id, cluster_id,
        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        |  doc_id = cluster_id AS is_canonical
@@ -160,9 +166,49 @@ object ClusterOps {
         coalesce(col("root"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Folded incremental state dirs, one per input dir, fingerprinted so a
+    * rewritten corpus refolds; eviction deletes the temp state. Bounded by
+    * the same cap as the label cache. */
+  private val incrStateCache = new graft.ops.SessionLru[String](
+    LabelCacheMax,
+    st => scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(st))),
+    releaseOnRaceLoss = true)
+
+  /** q71: the incremental "updating datasets" clustering under the oracle
+    * gate. Folds the corpus in two halves through the streaming sink's
+    * per-batch fold ([[graft.streaming.Streaming.clusterBatch]] — LSH
+    * probe of new docs against the accumulated band index, touched-
+    * component relabel, MergeTable membership upsert) and reads back the
+    * maintained membership. The oracle is q58's recursive-CTE transitive
+    * closure projected to (doc_id, cluster_id): the hash-compare proves
+    * fold-equals-batch on real corpus data, not only on the spec's
+    * synthetic splits.
+    */
+  def incrementalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val fp = graft.ops.SessionLru.pathFingerprint(spark, s"$dir/documents.parquet")
+    val state = incrStateCache.getOrBuild(spark, dir, fp) {
+      val st = java.nio.file.Files.createTempDirectory("graft-incr").toString
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      graft.streaming.Streaming.clusterBatch(
+        docs.filter(col("doc_id") % 2 === 0), 0L, st, clusterJaccard, nBuckets = 16)
+      graft.streaming.Streaming.clusterBatch(
+        docs.filter(col("doc_id") % 2 === 1), 1L, st, clusterJaccard, nBuckets = 16)
+      st
+    }
+    graft.streaming.Streaming.clusterMembership(spark, state)
+      .orderBy(col("doc_id"))
+  }
+
+  val incrementalClustersSql: String =
+    s"""WITH RECURSIVE $labelsCte
+       |SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q58_dup_clusters" -> (dupClusters _))
+    "q58_dup_clusters" -> (dupClusters _),
+    "q71_incremental_clusters" -> (incrementalClusters _))
 
   val oracle: Map[String, String] = Map(
-    "q58_dup_clusters" -> dupClustersSql)
+    "q58_dup_clusters" -> dupClustersSql,
+    "q71_incremental_clusters" -> incrementalClustersSql)
 }

@@ -13,15 +13,18 @@ import org.apache.spark.sql.functions._
 object MultimodalOps {
   /** Binary-column decode pipeline over document blobs. Image rows are
     * REAL planted PNG/JPEG payloads decoded through `javax.imageio`
-    * ([[Multimodal.ImageCodec]]); the oracle predicts what a correct
-    * decode of the planted image must return (dimensions/format were
+    * ([[Multimodal.ImageCodec]]); audio rows are REAL planted PCM WAV
+    * payloads decoded through `javax.sound.sampled`
+    * ([[Multimodal.AudioCodec]] — width/height/n_frames carry sample
+    * rate/channels/frame count for audio). The oracle predicts what a
+    * correct decode of each planted payload must return (parameters were
     * derived from the text at encode time), so the hash match proves the
-    * decode chain reads genuine image headers. Audio/video metadata is
+    * decode chain reads genuine image and RIFF headers. Video metadata is
     * the declared stub arithmetic over utf-8 byte lengths (texts are
-    * ascii, so octet_length == length). n_bytes is projected out: image
-    * payload size is a codec artifact (deflate/DCT output) no SQL engine
-    * can predict — the field stays on [[Multimodal.DecodedRow]] and is
-    * spec-checked instead.
+    * ascii, so octet_length == length). n_bytes is projected out: encoded
+    * payload size is a codec artifact (deflate/DCT/RIFF framing) no SQL
+    * engine can predict — the field stays on [[Multimodal.DecodedRow]]
+    * and is spec-checked instead.
     */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -44,39 +47,51 @@ object MultimodalOps {
       |    WHEN 'image' THEN (CASE WHEN len % 2 = 0 THEN 'png' ELSE 'jpeg' END)
       |    WHEN 'audio' THEN 'wav'
       |    ELSE 'mp4' END AS format,
-      |  CAST(CASE WHEN media_type = 'image' THEN 32 + (len % 300)
+      |  CAST(CASE media_type WHEN 'image' THEN 32 + (len % 300)
+      |       WHEN 'audio' THEN 8000 + (len % 577)
       |       ELSE 64 + (len % 577) END AS INT) AS width,
-      |  CAST(CASE WHEN media_type = 'image' THEN 32 + ((len * 31 + first) % 280)
+      |  CAST(CASE media_type WHEN 'image' THEN 32 + ((len * 31 + first) % 280)
+      |       WHEN 'audio' THEN 1
       |       ELSE 64 + ((len * 31 + first) % 513) END AS INT) AS height,
-      |  CASE WHEN media_type = 'video' THEN CAST(len % 24 + 1 AS INT) ELSE 1 END AS n_frames
+      |  CAST(CASE media_type WHEN 'audio' THEN 40 + ((len * 31 + first) % 400)
+      |       WHEN 'video' THEN len % 24 + 1
+      |       ELSE 1 END AS INT) AS n_frames
       |FROM m
       |ORDER BY media_id""".stripMargin
 
-  /** Full media pipeline: decode → resize (max side 256) → frame-sample
-    * (every 4th) → per-type accounting. For images the resize is REAL:
-    * full pixel decode, `Graphics2D` bilinear rescale, re-encode, and a
-    * second decode of the resized payload — the reported dimensions are
-    * read back from actual image bytes. Audio/video run the declared
-    * metadata-only stub. One `mapPartitions` pass, no shuffles until the
-    * final aggregation; the oracle replays the scale arithmetic both
-    * paths share (IEEE double divide/multiply then truncation, computed
-    * bit-identically by both engines).
+  /** Full media pipeline: decode → resize (max side 256, visual media
+    * only) → frame-sample (every 4th) → per-type accounting. For images
+    * the resize is REAL: full pixel decode, `Graphics2D` bilinear
+    * rescale, re-encode, and a second decode of the resized payload — the
+    * reported dimensions are read back from actual image bytes. For audio
+    * the decode is REAL (RIFF header) and the per-4 sampling decimates
+    * genuine PCM frame counts; "resize" does not apply to audio (its dims
+    * are rate/channels, not pixels) so they pass through. Video runs the
+    * declared metadata-only stub. One `mapPartitions` pass, no shuffles
+    * until the final aggregation; the oracle replays the scale arithmetic
+    * the visual paths share (IEEE double divide/multiply then truncation,
+    * computed bit-identically by both engines).
     */
   def frameSampleStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sampled = Multimodal.documentBlobs(spark, dir)
       .mapPartitions { it =>
         it.map { r =>
-          if (r.media_type == "image") {
-            val resized = Multimodal.ImageCodec.resize(r.content, 256)
-            val m = Multimodal.ImageCodec.decodeMeta(resized)
-            (r.media_type, m.width, m.height,
-              Multimodal.FakeDecoder.sampleFrames(m, 4).size)
-          } else {
-            val d = Multimodal.FakeDecoder.decode(r.media_type, r.content)
-            val rm = Multimodal.FakeDecoder.resize(d, 256)
-            (r.media_type, rm.width, rm.height,
-              Multimodal.FakeDecoder.sampleFrames(rm, 4).size)
+          r.media_type match {
+            case "image" =>
+              val resized = Multimodal.ImageCodec.resize(r.content, 256)
+              val m = Multimodal.ImageCodec.decodeMeta(resized)
+              (r.media_type, m.width, m.height,
+                Multimodal.FakeDecoder.sampleFrames(m, 4).size)
+            case "audio" =>
+              val m = Multimodal.AudioCodec.decodeMeta(r.content)
+              (r.media_type, m.width, m.height,
+                Multimodal.FakeDecoder.sampleFrames(m, 4).size)
+            case _ =>
+              val d = Multimodal.FakeDecoder.decode(r.media_type, r.content)
+              val rm = Multimodal.FakeDecoder.resize(d, 256)
+              (r.media_type, rm.width, rm.height,
+                Multimodal.FakeDecoder.sampleFrames(rm, 4).size)
           }
         }
       }.toDF("media_type", "rw", "rh", "n_sampled")
@@ -95,16 +110,24 @@ object MultimodalOps {
       |  FROM documents
       |), m AS (
       |  SELECT media_type,
-      |    CAST(CASE WHEN media_type = 'image' THEN 32 + (len % 300)
+      |    CAST(CASE media_type WHEN 'image' THEN 32 + (len % 300)
+      |         WHEN 'audio' THEN 8000 + (len % 577)
       |         ELSE 64 + (len % 577) END AS INT) AS w,
-      |    CAST(CASE WHEN media_type = 'image' THEN 32 + ((len * 31 + first) % 280)
+      |    CAST(CASE media_type WHEN 'image' THEN 32 + ((len * 31 + first) % 280)
+      |         WHEN 'audio' THEN 1
       |         ELSE 64 + ((len * 31 + first) % 513) END AS INT) AS h,
-      |    CASE WHEN media_type = 'video' THEN CAST(len % 24 + 1 AS INT) ELSE 1 END AS n_frames
+      |    CAST(CASE media_type WHEN 'audio' THEN 40 + ((len * 31 + first) % 400)
+      |         WHEN 'video' THEN len % 24 + 1
+      |         ELSE 1 END AS INT) AS n_frames
       |  FROM d
       |), r AS (
       |  SELECT media_type,
-      |    GREATEST(1, CAST(trunc(w * LEAST(1.0, 256.0 / GREATEST(w, h))) AS INT)) AS rw,
-      |    GREATEST(1, CAST(trunc(h * LEAST(1.0, 256.0 / GREATEST(w, h))) AS INT)) AS rh,
+      |    CASE WHEN media_type = 'audio' THEN w
+      |      ELSE GREATEST(1, CAST(trunc(w * LEAST(1.0, 256.0 / GREATEST(w, h))) AS INT))
+      |      END AS rw,
+      |    CASE WHEN media_type = 'audio' THEN h
+      |      ELSE GREATEST(1, CAST(trunc(h * LEAST(1.0, 256.0 / GREATEST(w, h))) AS INT))
+      |      END AS rh,
       |    (n_frames + 3) // 4 AS n_sampled
       |  FROM m
       |)

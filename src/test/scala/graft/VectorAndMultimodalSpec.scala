@@ -96,17 +96,40 @@ class VectorAndMultimodalSpec extends SparkTestBase {
     assert(got(1).toSeq == Seq(10f, 20f))
   }
 
-  test("multimodal decode: real image headers + stub a/v, batch plumbing") {
+  test("multimodal decode: real image+audio headers + stub video, batch plumbing") {
     val png = Multimodal.ImageCodec.encode(20, 10, seed = 1, "png")
+    val wav = Multimodal.AudioCodec.encode(nSamples = 77, sampleRateHz = 8200, seed = 3)
     val rows = Seq(
       Multimodal.MediaRow(1, "image", png),
-      Multimodal.MediaRow(2, "video", "abcde".getBytes)).toDS()
+      Multimodal.MediaRow(2, "video", "abcde".getBytes),
+      Multimodal.MediaRow(3, "audio", wav)).toDS()
     val out = Multimodal.decodeMeta(rows).collect().map(r => r.media_id -> r).toMap
     // image metadata comes from the actual PNG header via javax.imageio
     assert(out(1).n_bytes == png.length && out(1).format == "png")
     assert(out(1).width == 20 && out(1).height == 10 && out(1).n_frames == 1)
     assert(out(2).format == "mp4" && out(2).n_frames == 6)
     assert(out(2).width == 64 + 5 % 577)
+    // audio metadata comes from the actual RIFF header via javax.sound
+    assert(out(3).n_bytes == wav.length && out(3).format == "wav")
+    assert(out(3).width == 8200 && out(3).height == 1 && out(3).n_frames == 77)
+  }
+
+  test("AudioCodec: WAV encode → header-only decode round trip, known bytes") {
+    val wav = Multimodal.AudioCodec.encode(nSamples = 120, sampleRateHz = 8123, seed = 5)
+    // RIFF/WAVE container magic straight from the bytes
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val m = Multimodal.AudioCodec.decodeMeta(wav)
+    assert(m.format == "wav" && m.width == 8123 && m.height == 1 && m.n_frames == 120)
+    assert(m.n_bytes == wav.length)
+    // PCM is lossless: samples read back exactly as the generator wrote them
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val pcm = ais.readAllBytes()
+    assert(pcm.length == 240)
+    def sample(i: Int): Short = (((pcm(2 * i + 1) & 0xff) << 8) | (pcm(2 * i) & 0xff)).toShort
+    for (i <- Seq(0, 7, 119))
+      assert(sample(i) == (((i * 2654435761L + 5) & 0xffffL) - 32768L).toShort, s"sample $i")
   }
 
   test("ImageCodec decodes a known PNG byte-for-byte") {
