@@ -194,6 +194,58 @@ object ScaleOps {
       .sortWithinPartitions(colNames.map(col): _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Z-value (Morton interleave) column over `colNames`: each column is
+    * linearly scaled to a `bits`-bit integer from a one-pass (min, max)
+    * stats job (the driver receives 2k scalars, never data), then the
+    * bits interleave — column j contributes bit i to z-position
+    * `i * k + j`, so a contiguous z-range is simultaneously narrow in
+    * EVERY dimension instead of only the leading one. Nulls sort first
+    * (scaled 0). Pure Column algebra: ~`bits * k` shift/or terms, fully
+    * whole-stage-codegen'd, no UDF, no format dependency.
+    */
+  def withZValue(df: DataFrame, colNames: Seq[String], bits: Int = 8,
+      zCol: String = "__z"): DataFrame = {
+    val k = colNames.size
+    require(k >= 1 && k * bits <= 63,
+      s"zvalue: $k cols x $bits bits must fit a signed long")
+    val statCols = colNames.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val row = df.agg(statCols.head, statCols.tail: _*).head()
+    val lim = (1L << bits) - 1
+    val scaled = colNames.zipWithIndex.map { case (c, j) =>
+      val (lo, hi) = (row.getDouble(2 * j), row.getDouble(2 * j + 1))
+      if (hi <= lo) lit(0L) // constant (or empty/all-null) column
+      else least(lit(lim), greatest(lit(0L),
+        floor((coalesce(col(c).cast("double"), lit(lo)) - lit(lo)) /
+          lit(hi - lo) * lit(lim.toDouble)).cast("long")))
+    }
+    val z = (0 until bits).flatMap { i =>
+      scaled.zipWithIndex.map { case (s, j) =>
+        shiftleft(shiftright(s, i).bitwiseAND(lit(1L)), i * k + j)
+      }
+    }.reduce(_.bitwiseOR(_))
+    df.withColumn(zCol, z)
+  }
+
+  /** Multi-dimensional clustered write (Z-order): range-partition and
+    * sort by [[withZValue]] so every file's min/max statistics are tight
+    * on ALL listed columns at once. [[clusterForSkipping]]'s
+    * lexicographic layout prunes perfectly on its leading column and not
+    * at all on the others; the Z-layout trades some leading-column
+    * tightness for pruning on every dimension — with 2 columns and n
+    * files, a point filter on EITHER column overlaps ~sqrt(n)/n of the
+    * files instead of all of them. This is the vendor-neutral core of
+    * Delta/Iceberg `OPTIMIZE ZORDER BY`; at 100 TB it turns "filter on
+    * the second column = full scan" into "read the matching stripe".
+    */
+  def writeZOrdered(df: DataFrame, path: String, n: Int,
+      colNames: Seq[String], bits: Int = 8): Unit =
+    withZValue(df, colNames, bits)
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
   /** Per-file (min, max) of a long column from parquet footer metadata —
     * the statistics a pushed-down filter prunes against. Driver-side
     * footer reads only; no data I/O.

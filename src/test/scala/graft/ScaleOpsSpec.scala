@@ -204,4 +204,48 @@ class ScaleOpsSpec extends SparkTestBase {
     // results identical either way
     assert(spark.read.parquet(s"$base/clustered").count() == ev.count())
   }
+
+  test("withZValue: Morton interleave bit-exact on known values") {
+    // 2 cols, 2 bits, values already spanning [0,3]: scaling is identity
+    val df = Seq((0L, 0L), (3L, 0L), (0L, 3L), (3L, 3L), (2L, 1L))
+      .toDF("x", "y")
+    val z = ScaleOps.withZValue(df, Seq("x", "y"), bits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // x contributes even bit positions, y odd: z = interleave(x, y)
+    assert(z((0L, 0L)) == 0L)
+    assert(z((3L, 0L)) == 5L)  // 0b0101
+    assert(z((0L, 3L)) == 10L) // 0b1010
+    assert(z((3L, 3L)) == 15L) // 0b1111
+    assert(z((2L, 1L)) == 6L)  // x=0b10 -> bits {2}=4; y=0b01 -> bits {1}=2
+  }
+
+  test("Z-order layout prunes on BOTH columns; lexicographic only on the first") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zord").toString
+    // full 256x256 grid: x and y independent and uniform
+    val grid = spark.range(0, 65536L)
+      .select((col("id") % 256).as("x"), (col("id") / 256).as("y"))
+    ScaleOps.writeZOrdered(grid, s"$base/zorder", n = 16, Seq("x", "y"))
+    ScaleOps.clusterForSkipping(grid, s"$base/lexico", 16, Seq("x", "y"))
+    // pruning power = mean fraction of files whose [min,max] contains a
+    // probe point (lower is better); probe both dimensions
+    def overlapFrac(dir: String, column: String): Double = {
+      val stats = ScaleOps.fileStats(spark, dir, column)
+      assert(stats.size >= 8, s"expected many files in $dir, got ${stats.size}")
+      val probes = (8L until 256L by 16L).toSeq
+      probes.map { v =>
+        stats.count { case (_, lo, hi) => lo <= v && v <= hi }.toDouble / stats.size
+      }.sum / probes.size
+    }
+    val (zx, zy) = (overlapFrac(s"$base/zorder", "x"), overlapFrac(s"$base/zorder", "y"))
+    val (lx, ly) = (overlapFrac(s"$base/lexico", "x"), overlapFrac(s"$base/lexico", "y"))
+    // lexicographic: perfect on x, useless on y (every file spans all y)
+    assert(lx <= 0.20, s"lexicographic leading-column pruning weak: $lx")
+    assert(ly >= 0.90, s"control not scattered on y: $ly")
+    // z-order: a 16-file z-range grid is ~4x4, so a point filter on either
+    // column should overlap ~1/4 of files — far below the no-pruning 1.0
+    assert(zx <= 0.45, s"z-order x pruning weak: $zx")
+    assert(zy <= 0.45, s"z-order y pruning weak: $zy")
+    // layout change loses no rows
+    assert(spark.read.parquet(s"$base/zorder").count() == 65536L)
+  }
 }
