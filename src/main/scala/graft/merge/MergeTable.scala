@@ -121,10 +121,17 @@ object MergeTable {
       .withColumn(BucketCol, col(BucketCol).cast("int"))
     val merged = Merge.mergeDeterministic(base, d, keys)
     // one staged write for all affected buckets, then per-dir swaps: every
-    // bucket dir has a complete copy (live or .old) at every instant
+    // bucket dir has a complete copy (live or .old) at every instant.
+    // Cluster rows by bucket first: partitionBy alone writes one file per
+    // (task, bucket) pair — a 16-task merge touching 16 buckets scatters
+    // 256 tiny files that every later merge re-reads and re-plans. The
+    // hash repartition lands each bucket in one task → one file per
+    // bucket dir, which IS the table's intended layout (bucket count is
+    // sized so one bucket ≈ one healthy file).
     val staging = new org.apache.hadoop.fs.Path(path + "__staging")
     if (fs.exists(staging)) fs.delete(staging, true)
-    merged.write.partitionBy(BucketCol).parquet(staging.toString)
+    merged.repartition(col(BucketCol))
+      .write.partitionBy(BucketCol).parquet(staging.toString)
     affected.foreach { b =>
       val live = new org.apache.hadoop.fs.Path(p, s"$BucketCol=$b")
       val bak = new org.apache.hadoop.fs.Path(p, s"$BucketCol=$b.old")

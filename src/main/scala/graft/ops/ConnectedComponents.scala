@@ -43,7 +43,21 @@ object ConnectedComponents {
     * `sc.setCheckpointDir` + `checkpoint()` — same structure, plus
     * executor-loss safety.
     */
-  def label(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  /** Graphs at or below this many (distinct, canonicalized) edges skip
+    * the distributed star loop and solve with a driver-side union-find.
+    * The loop's fixed cost is ~6 shuffles per round times O(log n)
+    * rounds REGARDLESS of data size, so a small graph pays seconds of
+    * scheduling for microseconds of work; below this threshold one
+    * bounded collect (≤ 100k edges ≈ 1.6 MB — metadata-scale by
+    * construction, same contract as MergeTable's bucket-id collect) plus
+    * an in-memory union-find is orders of magnitude cheaper. The
+    * streaming clustering sink's per-batch touched subgraphs are exactly
+    * this shape; corpus-scale edge sets stay on the distributed path.
+    */
+  val DriverSolveMaxEdges = 100000L
+
+  def label(edges: DataFrame, maxIter: Int = 50,
+      driverMaxEdges: Long = DriverSolveMaxEdges): DataFrame = {
     var e = edges
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
@@ -51,6 +65,11 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(true)
     var prev = checksum(e)
+    if (prev._1 <= driverMaxEdges) {
+      val out = driverSolve(edges.sparkSession, e)
+      release(e)
+      return out
+    }
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -68,6 +87,34 @@ object ConnectedComponents {
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
     e.select(col("u").as("node"), col("p").as("label"))
+  }
+
+  /** Small-graph solve: collect the (bounded) canonical edge set, run
+    * path-compressing union-find on the driver, emit the same
+    * (node, label) contract as the distributed loop — non-isolated,
+    * non-minimum nodes only. Output is a LocalRelation (no pinned RDD,
+    * so [[release]] is a harmless no-op on it).
+    */
+  private def driverSolve(spark: SparkSession, canonEdges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = canonEdges.select(col("u").cast("long"), col("p").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    es.foreach { case (u, p) =>
+      val (ru, rp) = (find(u), find(p))
+      if (ru != rp) parent(math.max(ru, rp)) = math.min(ru, rp)
+    }
+    val nodes = es.iterator.flatMap { case (u, p) => Iterator(u, p) }.toSet
+    val out = nodes.iterator.map(n => (n, find(n)))
+      .filter { case (n, l) => n != l }.toSeq.sorted
+    out.toDF("node", "label")
   }
 
   /** Free the checkpointed RDD backing a frame returned by (or fed

@@ -290,9 +290,14 @@ object Streaming {
       val allDocs = if (docsPrior.isEmpty) fresh else fresh.unionByName(
         spark.read.option("basePath", docsDir).parquet(docsPrior: _*)
           .select(col("doc_id"), col("text")))
+      // materialize the verified edges once: the relabel consumes them
+      // several times (endpoint roots, the CC edge set, the final outer
+      // join) and each un-cached consumption would re-run the whole
+      // LSH probe + shingle verify pipeline
       val newEdges = TextOps.verifyPairs(allDocs, cand)
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .persist()
       val oldMembers =
         if (fs.exists(new org.apache.hadoop.fs.Path(membersDir)))
           graft.merge.MergeTable.read(spark, membersDir)
@@ -304,9 +309,18 @@ object Streaming {
       val freshSingletons = fresh.select(col("doc_id"))
         .join(relabel, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      graft.merge.MergeTable.merge(relabel.unionByName(freshSingletons),
-        membersDir, Seq("doc_id"), nBuckets)
-      graft.ops.ConnectedComponents.release(relabel)
+      // materialize the delta once: the MERGE consumes it three times
+      // (affected-bucket listing, key merge, staged write) and would
+      // otherwise re-execute the whole relabel join pipeline each time
+      val delta = relabel.unionByName(freshSingletons).persist()
+      try {
+        delta.count()
+        graft.merge.MergeTable.merge(delta, membersDir, Seq("doc_id"), nBuckets)
+      } finally {
+        delta.unpersist()
+        newEdges.unpersist()
+        graft.ops.ConnectedComponents.release(relabel)
+      }
       fresh.write.mode("overwrite").parquet(s"$docsDir/batch=$batchId")
       newBK.write.mode("overwrite").parquet(s"$bkDir/batch=$batchId")
     } finally {

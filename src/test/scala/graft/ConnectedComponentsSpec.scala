@@ -33,12 +33,19 @@ class ConnectedComponentsSpec extends SparkTestBase {
 
   private def check(n: Int, edges: Seq[(Long, Long)]): Unit = {
     val expected = unionFind(n, edges)
-    val got = ConnectedComponents.label(edges.toDF("a", "b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // label() emits only non-isolated, non-root nodes; roots and
-    // singletons label themselves
-    (0 until n).map(_.toLong).foreach { v =>
-      assert(got.getOrElse(v, v) == expected(v), s"node $v")
+    // both implementations must agree with the reference: the driver
+    // union-find fast path (default threshold) and the distributed
+    // star loop (threshold 0 forces it)
+    for (driverMax <- Seq(ConnectedComponents.DriverSolveMaxEdges, 0L)) {
+      val got = ConnectedComponents.label(edges.toDF("a", "b"),
+          driverMaxEdges = driverMax)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // label() emits only non-isolated, non-root nodes; roots and
+      // singletons label themselves
+      (0 until n).map(_.toLong).foreach { v =>
+        assert(got.getOrElse(v, v) == expected(v),
+          s"node $v (driverMaxEdges=$driverMax)")
+      }
     }
   }
 
@@ -71,8 +78,9 @@ class ConnectedComponentsSpec extends SparkTestBase {
   test("intermediate rounds release their checkpoint RDDs; release() frees the final") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
+    // driverMaxEdges = 0 forces the distributed loop this test is about
     val labels = ConnectedComponents.label(
-      (0L until 31L).map(i => (i, i + 1)).toDF("a", "b"))
+      (0L until 31L).map(i => (i, i + 1)).toDF("a", "b"), driverMaxEdges = 0L)
     labels.count()
     val afterRun = sc.getPersistentRDDs.keySet -- before
     // a 32-node chain needs several alternation rounds, but only the
@@ -82,11 +90,25 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
   }
 
+  test("driver fast path pins no RDDs and release() is a harmless no-op") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val labels = ConnectedComponents.label(
+      (0L until 31L).map(i => (i, i + 1)).toDF("a", "b"))
+    assert(labels.count() == 31)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "small-graph solve must not leave pinned RDDs")
+    ConnectedComponents.release(labels)
+    assert(labels.count() == 31, "frame stays usable after release")
+  }
+
   test("empty and all-self-loop edge sets converge to no labels") {
-    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
-    assert(ConnectedComponents.label(empty).count() == 0)
-    val selfLoops = Seq((1L, 1L), (2L, 2L)).toDF("a", "b")
-    assert(ConnectedComponents.label(selfLoops).count() == 0)
+    for (driverMax <- Seq(ConnectedComponents.DriverSolveMaxEdges, 0L)) {
+      val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+      assert(ConnectedComponents.label(empty, driverMaxEdges = driverMax).count() == 0)
+      val selfLoops = Seq((1L, 1L), (2L, 2L)).toDF("a", "b")
+      assert(ConnectedComponents.label(selfLoops, driverMaxEdges = driverMax).count() == 0)
+    }
   }
 
   test("incremental mergeClusters equals batch re-clustering") {
