@@ -43,9 +43,13 @@ object MergeTable {
   }
 
   /** Recover any bucket dir a crashed merge left only in `.old`. Called
-    * before every read/merge. (Staged replacements live in the sibling
-    * `__staging` dir, which `merge` clears at start — nothing else is
-    * ever created inside the table dir.)
+    * by the WRITER (merge) only — a reader must never mutate the table,
+    * or it races a concurrent merge's two-rename swap: resurrecting the
+    * backup between the writer's renames would make the writer's
+    * `rename(next, live)` fail and silently drop that bucket's merge.
+    * (Staged replacements live in the sibling `__staging` dir, which
+    * `merge` clears at start — nothing else is ever created inside the
+    * table dir.)
     */
   private def recover(spark: SparkSession, path: String): Unit = {
     val (fs, p) = fsOf(spark, path)
@@ -54,24 +58,47 @@ object MergeTable {
       val name = st.getPath.getName
       if (name.endsWith(".old")) {
         val live = new org.apache.hadoop.fs.Path(p, name.stripSuffix(".old"))
-        if (!fs.exists(live)) fs.rename(st.getPath, live)
+        if (!fs.exists(live))
+          require(fs.rename(st.getPath, live), s"recover: rename failed for $name")
         else fs.delete(st.getPath, true) // swap completed; drop backup
       }
     }
   }
 
-  /** Initial (or full re-) write of the table in the bucketed layout. */
+  /** Initial (or full re-) write of the table in the bucketed layout —
+    * bucket-clustered like merge's staged write: one file per bucket
+    * dir, not one per (task, bucket) pair. */
   def write(df: DataFrame, path: String, keys: Seq[String],
       nBuckets: Int): Unit =
     df.withColumn(BucketCol, bucketOf(keys, nBuckets))
+      .repartition(col(BucketCol))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(path)
 
   /** Read the table (bucket column dropped — layout is an implementation
     * detail of the merge, not part of the row schema).
+    *
+    * NON-MUTATING crash-consistent view: each bucket is read from its
+    * live dir, or from a stranded `.old` backup when the live dir is
+    * absent (a merge crashed between its two renames). When both exist
+    * the live dir wins — the swap completed and the backup is stale.
+    * Actual on-disk repair is [[recover]], run by the single writer on
+    * its next merge; readers only observe. A reader whose deferred scan
+    * loses the race with a concurrent swap (its chosen `.old` path
+    * deleted before execution) fails loudly and retries — it can never
+    * corrupt the writer or see a half-bucket.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
-    recover(spark, path)
-    spark.read.parquet(path).drop(BucketCol)
+    val (fs, p) = fsOf(spark, path)
+    val names = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith(BucketCol + "="))
+    val live = names.filterNot(_.endsWith(".old")).toSet
+    val chosen = live ++ names
+      .filter(n => n.endsWith(".old") && !live.contains(n.stripSuffix(".old")))
+    // explicit leaf dirs: no partition discovery, so `.old` suffixes
+    // never reach a partition-value parser; partitionBy-written files
+    // carry no bucket column to drop
+    spark.read.parquet(chosen.toSeq.sorted
+      .map(n => new org.apache.hadoop.fs.Path(p, n).toString): _*)
   }
 
   /** MERGE: upsert `delta` into the table at `path`, delta-wins per key,
@@ -82,14 +109,16 @@ object MergeTable {
     *  - SINGLE WRITER. Two concurrent merges race on the same staging dir
     *    and `.old` backups; the caller serializes writers (the streaming
     *    `upsertSink` does — micro-batches are sequential by construction).
-    *  - Readers are safe at bucket-swap boundaries: between any two bucket
-    *    swaps every bucket dir holds a complete copy (entirely pre-merge or
-    *    entirely post-merge), and a key lives in exactly one bucket, so a
-    *    read observes each key exactly once with its old or new value —
-    *    never a mix within a bucket, never a missing bucket. Within one
-    *    bucket's two-rename swap there is a sub-millisecond window where
-    *    the bucket lives only in `.old`; a reader that lists that instant
-    *    must retry (snapshot isolation across that window is what a
+    *  - Readers are safe and NON-MUTATING ([[read]] never repairs the
+    *    table — writer-side [[recover]] does): between any two bucket
+    *    swaps every bucket dir holds a complete copy (entirely pre-merge
+    *    or entirely post-merge), and a key lives in exactly one bucket,
+    *    so a read observes each key exactly once with its old or new
+    *    value — never a mix within a bucket, never a missing bucket.
+    *    Within one bucket's two-rename swap the reader's listing falls
+    *    back to the `.old` backup; if the concurrent swap deletes that
+    *    backup before the reader's scan executes, the read fails loudly
+    *    and retries (snapshot isolation across that window is what a
     *    manifest-based table format adds — out of scope per BUILD_NOTES).
     *  - A merge killed between bucket swaps leaves a half-merged table
     *    that is complete and consistent (some buckets new, the rest old);
@@ -144,8 +173,9 @@ object MergeTable {
       require(fs.exists(next),
         s"MergeTable: staged output missing for bucket $b under $staging")
       if (fs.exists(bak)) fs.delete(bak, true)
-      if (fs.exists(live)) fs.rename(live, bak)
-      fs.rename(next, live)
+      if (fs.exists(live))
+        require(fs.rename(live, bak), s"MergeTable: backup rename failed for bucket $b")
+      require(fs.rename(next, live), s"MergeTable: swap rename failed for bucket $b")
       fs.delete(bak, true)
       onBucketSwapped(b)
     }

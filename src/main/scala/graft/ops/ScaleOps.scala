@@ -213,11 +213,16 @@ object ScaleOps {
     val row = df.agg(statCols.head, statCols.tail: _*).head()
     val lim = (1L << bits) - 1
     val scaled = colNames.zipWithIndex.map { case (c, j) =>
-      val (lo, hi) = (row.getDouble(2 * j), row.getDouble(2 * j + 1))
-      if (hi <= lo) lit(0L) // constant (or empty/all-null) column
-      else least(lit(lim), greatest(lit(0L),
-        floor((coalesce(col(c).cast("double"), lit(lo)) - lit(lo)) /
-          lit(hi - lo) * lit(lim.toDouble)).cast("long")))
+      // null min/max = empty frame or all-null column: scale to constant 0
+      // (getDouble on the null cell would throw before any guard)
+      if (row.isNullAt(2 * j) || row.isNullAt(2 * j + 1)) lit(0L)
+      else {
+        val (lo, hi) = (row.getDouble(2 * j), row.getDouble(2 * j + 1))
+        if (hi <= lo) lit(0L) // constant column
+        else least(lit(lim), greatest(lit(0L),
+          floor((coalesce(col(c).cast("double"), lit(lo)) - lit(lo)) /
+            lit(hi - lo) * lit(lim.toDouble)).cast("long")))
+      }
     }
     val z = (0 until bits).flatMap { i =>
       scaled.zipWithIndex.map { case (s, j) =>
@@ -239,16 +244,28 @@ object ScaleOps {
     * the second column = full scan" into "read the matching stripe".
     */
   def writeZOrdered(df: DataFrame, path: String, n: Int,
-      colNames: Seq[String], bits: Int = 8): Unit =
-    withZValue(df, colNames, bits)
-      .repartitionByRange(n, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+      colNames: Seq[String], bits: Int = 8): Unit = {
+    // collision-free scratch column: a user column named __z must survive
+    val zc = Iterator.from(0).map(i => s"__z$i")
+      .find(c => !df.columns.contains(c)).get
+    withZValue(df, colNames, bits, zc)
+      .repartitionByRange(n, col(zc))
+      .sortWithinPartitions(col(zc))
+      .drop(zc)
       .write.mode("overwrite").parquet(path)
+  }
 
   /** Per-file (min, max) of a long column from parquet footer metadata —
     * the statistics a pushed-down filter prunes against. Driver-side
     * footer reads only; no data I/O.
+    *
+    * Pruning semantics: a file containing ANY row group whose chunk for
+    * `column` lacks usable statistics (missing, empty, or all-null)
+    * reports the full `(Long.MinValue, Long.MaxValue)` range — "cannot
+    * prune, must always scan". Omitting it would invert the contract: a
+    * consumer selecting files by range overlap would silently skip rows.
+    * Only truly EMPTY files (zero row groups — nothing to scan) are
+    * omitted.
     */
   def fileStats(spark: org.apache.spark.sql.SparkSession, path: String,
       column: String): Seq[(String, Long, Long)] = {
@@ -263,23 +280,27 @@ object ScaleOps {
       .flatMap { f =>
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
         try {
-          val mm = r.getFooter.getBlocks.asScala.flatMap { b =>
-            b.getColumns.asScala
-              .find(_.getPath.toDotString == column)
-              // a chunk written without statistics (or with empty ones —
-              // e.g. an all-null chunk) contributes nothing prunable
-              .filter(c => c.getStatistics != null && !c.getStatistics.isEmpty
-                && c.getStatistics.hasNonNullValue)
-              .map { c =>
-                val st = c.getStatistics
-                (st.genericGetMin.asInstanceOf[Number].longValue(),
-                  st.genericGetMax.asInstanceOf[Number].longValue())
-              }
+          val blocks = r.getFooter.getBlocks.asScala
+          if (blocks.isEmpty) None // empty file: nothing to scan or prune
+          else {
+            val mm = blocks.map { b =>
+              b.getColumns.asScala
+                .find(_.getPath.toDotString == column)
+                .filter(c => c.getStatistics != null && !c.getStatistics.isEmpty
+                  && c.getStatistics.hasNonNullValue)
+                .map { c =>
+                  val st = c.getStatistics
+                  (st.genericGetMin.asInstanceOf[Number].longValue(),
+                    st.genericGetMax.asInstanceOf[Number].longValue())
+                }
+            }
+            if (mm.exists(_.isEmpty)) // some row group unprunable → file is
+              Some((f.getPath.getName, Long.MinValue, Long.MaxValue))
+            else {
+              val ranges = mm.flatten
+              Some((f.getPath.getName, ranges.map(_._1).min, ranges.map(_._2).max))
+            }
           }
-          // zero row groups (empty file) or no usable chunk stats → the
-          // file can't be pruned against; omit it rather than throw
-          if (mm.isEmpty) None
-          else Some((f.getPath.getName, mm.map(_._1).min, mm.map(_._2).max))
         } finally r.close()
       }
   }

@@ -253,6 +253,7 @@ object Streaming {
     val docsDir = s"$statePath/docs"
     val bkDir = s"$statePath/bandkeys"
     val membersDir = s"$statePath/members"
+    val deltaDir = s"$statePath/members_delta"
     val fresh = batch.select(col("doc_id"), col("text"))
       .dropDuplicates(Seq("doc_id")).persist()
     val newBK = TextOps.bandKeyTable(fresh).persist()
@@ -260,6 +261,23 @@ object Streaming {
       if (fresh.isEmpty) return
       val fs = new org.apache.hadoop.fs.Path(statePath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val thisDelta = new org.apache.hadoop.fs.Path(s"$deltaDir/batch=$batchId")
+      // Replay fast path: if this batch already durably CHOSE its
+      // membership delta (crash after the delta write, possibly mid-way
+      // through the members merge), merge the SAME rows verbatim.
+      // Recomputing from the now half-merged members table would choose a
+      // smaller delta — a doc the crashed attempt already relabeled no
+      // longer looks "touched", its old cluster mates never get relabeled,
+      // and the clustering diverges from batch truth permanently.
+      if (fs.exists(new org.apache.hadoop.fs.Path(thisDelta, "_SUCCESS"))) {
+        graft.merge.MergeTable.merge(
+          spark.read.parquet(thisDelta.toString), membersDir,
+          Seq("doc_id"), nBuckets)
+        fresh.write.mode("overwrite").parquet(s"$docsDir/batch=$batchId")
+        newBK.write.mode("overwrite").parquet(s"$bkDir/batch=$batchId")
+        gcDeltas(fs, deltaDir, batchId)
+        return
+      }
       // Completed PRIOR batch partitions only: `batch=<this id>` may exist
       // as a crashed partial write (the overwrite below repairs it) and
       // _SUCCESS gates out torn dirs.
@@ -309,23 +327,42 @@ object Streaming {
       val freshSingletons = fresh.select(col("doc_id"))
         .join(relabel, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      // materialize the delta once: the MERGE consumes it three times
-      // (affected-bucket listing, key merge, staged write) and would
-      // otherwise re-execute the whole relabel join pipeline each time
-      val delta = relabel.unionByName(freshSingletons).persist()
+      // Durably choose the delta BEFORE touching the members table (the
+      // write is also the one materialization — the MERGE consumes the
+      // delta three times and must not re-execute the relabel pipeline).
+      // The batch-addressed dir makes a replayed choice overwrite itself.
       try {
-        delta.count()
-        graft.merge.MergeTable.merge(delta, membersDir, Seq("doc_id"), nBuckets)
+        relabel.unionByName(freshSingletons)
+          .write.mode("overwrite").parquet(thisDelta.toString)
       } finally {
-        delta.unpersist()
         newEdges.unpersist()
         graft.ops.ConnectedComponents.release(relabel)
       }
+      graft.merge.MergeTable.merge(
+        spark.read.parquet(thisDelta.toString), membersDir,
+        Seq("doc_id"), nBuckets)
       fresh.write.mode("overwrite").parquet(s"$docsDir/batch=$batchId")
       newBK.write.mode("overwrite").parquet(s"$bkDir/batch=$batchId")
+      gcDeltas(fs, deltaDir, batchId)
     } finally {
       fresh.unpersist()
       newBK.unpersist()
+    }
+  }
+
+  /** Drop delta dirs of batches before `keepId`: the stream checkpoint
+    * replays at most the latest unacknowledged batch, so older deltas
+    * can never be needed again. */
+  private def gcDeltas(fs: org.apache.hadoop.fs.FileSystem, deltaDir: String,
+      keepId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(deltaDir)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("batch=") &&
+          scala.util.Try(name.stripPrefix("batch=").toLong < keepId)
+            .getOrElse(false))
+        fs.delete(st.getPath, true)
     }
   }
 

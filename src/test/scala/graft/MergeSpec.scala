@@ -109,7 +109,7 @@ class MergeSpec extends SparkTestBase {
     assert(want.exceptAll(replay).count() === 0L)
   }
 
-  test("MergeTable recovers a bucket dir stranded in .old by a crash") {
+  test("MergeTable reads a bucket stranded in .old without mutating; merge repairs it") {
     import graft.merge.MergeTable
     val path = Files.createTempDirectory("graft-mtc").toString + "/t"
     val base = (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v")
@@ -119,13 +119,20 @@ class MergeSpec extends SparkTestBase {
     val dirs = new java.io.File(path).listFiles()
       .filter(_.getName.startsWith(MergeTable.BucketCol + "="))
     val victim = dirs.head
-    assert(victim.renameTo(
-      new java.io.File(victim.getParent, victim.getName + ".old")))
+    val bak = new java.io.File(victim.getParent, victim.getName + ".old")
+    assert(victim.renameTo(bak))
+    // reader sees the complete table via the backup and does NOT repair
+    // (a mutating reader would race a live writer's swap)
     val got = MergeTable.read(spark, path)
-    val want = base
-    assert(got.exceptAll(want).count() === 0L)
-    assert(want.exceptAll(got).count() === 0L)
-    assert(!new java.io.File(victim.getParent, victim.getName + ".old").exists())
+    assert(got.exceptAll(base).count() === 0L)
+    assert(base.exceptAll(got).count() === 0L)
+    assert(bak.exists() && !victim.exists(), "reader must not mutate the table")
+    // the single writer repairs on its next merge
+    MergeTable.merge(Seq((1L, "NEW1")).toDF("k", "v"), path, Seq("k"), 4)
+    assert(!bak.exists(), "merge must recover the stranded backup")
+    val after = MergeTable.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after.size == 200 && after(1L) == "NEW1")
   }
 
   test("MergeTable: reader at every bucket-swap boundary sees old-or-new, never mixed") {
@@ -191,14 +198,15 @@ class MergeSpec extends SparkTestBase {
     assert(!new java.io.File(path + "__staging").exists())
   }
 
-  test("MergeTable read drops a stale .old whose live dir survived the swap") {
+  test("MergeTable read prefers live over a stale .old; merge drops the backup") {
     import graft.merge.MergeTable
     val path = Files.createTempDirectory("graft-mts").toString + "/t"
     val base = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
     MergeTable.write(base, path, Seq("k"), nBuckets = 4)
     // crash window: after next->live but before the backup delete — both
-    // the live dir and its .old backup exist; recover must keep live and
-    // drop the backup (the swap DID complete)
+    // the live dir and its .old backup exist; the swap DID complete, so
+    // the reader must take live (reading both would duplicate keys) and
+    // must not mutate; the writer's recover drops the stale backup
     val live = new java.io.File(path).listFiles()
       .filter(_.getName.startsWith(MergeTable.BucketCol + "=")).head
     val bak = new java.io.File(live.getParent, live.getName + ".old")
@@ -206,6 +214,8 @@ class MergeSpec extends SparkTestBase {
     val got = MergeTable.read(spark, path)
     assert(got.exceptAll(base).count() === 0L)
     assert(base.exceptAll(got).count() === 0L)
-    assert(!bak.exists())
+    assert(bak.exists(), "reader must not mutate the table")
+    MergeTable.merge(Seq((1L, "NEW1")).toDF("k", "v"), path, Seq("k"), 4)
+    assert(!bak.exists(), "merge must drop the completed swap's backup")
   }
 }

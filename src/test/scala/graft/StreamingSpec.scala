@@ -242,4 +242,44 @@ class StreamingSpec extends SparkTestBase {
     assert(new java.io.File(s"$dir/state/docs").listFiles()
       .count(_.getName.startsWith("batch=")) == 2)
   }
+
+  test("clustering sink: replay after a crash mid-members-merge converges (durable delta)") {
+    import graft.queries.ClusterOps
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccrash").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val state = s"$dir/state"
+    // batch 0 primes the state; snapshot the members table before batch 1
+    Streaming.clusterBatch(docs.filter($"doc_id" % 2 === 0), 0L, state,
+      ClusterOps.clusterJaccard, nBuckets = 4)
+    val members = new java.io.File(s"$state/members")
+    val snap = new java.io.File(s"$dir/members_snapshot")
+    org.apache.commons.io.FileUtils.copyDirectory(members, snap)
+    // batch 1 completes fully...
+    Streaming.clusterBatch(docs.filter($"doc_id" % 2 === 1), 1L, state,
+      ClusterOps.clusterJaccard, nBuckets = 4)
+    val want = Streaming.clusterMembership(spark, state)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ...but we simulate a crash that swapped only SOME buckets: revert
+    // half the bucket dirs to their pre-batch-1 content. A replay that
+    // recomputed its delta from this half-merged table would miss docs
+    // the crashed attempt already relabeled (their cluster mates never
+    // look "touched" again) and diverge forever; the durable per-batch
+    // delta makes the replay re-merge the SAME rows instead.
+    val reverted = snap.listFiles()
+      .filter(_.getName.startsWith(graft.merge.MergeTable.BucketCol + "="))
+      .zipWithIndex.filter(_._2 % 2 == 0)
+    reverted.foreach { case (old, _) =>
+      val cur = new java.io.File(members, old.getName)
+      org.apache.commons.io.FileUtils.deleteDirectory(cur)
+      org.apache.commons.io.FileUtils.copyDirectory(old, cur)
+    }
+    assert(reverted.nonEmpty, "crash simulation must revert at least one bucket")
+    Streaming.clusterBatch(docs.filter($"doc_id" % 2 === 1), 1L, state,
+      ClusterOps.clusterJaccard, nBuckets = 4)
+    val got = Streaming.clusterMembership(spark, state)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "replay after partial merge must converge to batch truth")
+    // and the batch-1 delta survives until a later batch garbage-collects
+    assert(new java.io.File(s"$state/members_delta/batch=1").exists())
+  }
 }

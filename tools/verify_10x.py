@@ -4,27 +4,30 @@
 Usage: python3 tools/verify_10x.py <sfBigDir> <verifyOutDir> [subOutDir]
 
 Three phases, so that EVERY query ends the run either full-oracle-green
-or bounded-oracle-green (round-4 problem: the md5-minhash family is
-DuckDB-infeasible at 50k docs — ~72M list-lambda md5 evaluations — and
-one hung oracle starved every later query of its check):
+or bounded-oracle-green, and no single slow oracle can starve the rest
+(round 4's failure mode: one hung minhash oracle left q13-q70 unchecked
+at scale):
 
-A. Full oracle for every query except SKIP_FULL, each under a watchdog
-   (duckdb interrupt) so one slow oracle can't block the rest.
-B. The SKIP_FULL minhash family (q12/q45/q58) is checked on a bounded
-   sub-corpus instead: tools/make_subcorpus carves contiguous id windows
-   (whole duplicate families survive, all replica copies sampled), the
-   IDENTICAL oracle SQL runs over the sub-corpus in DuckDB, and the
-   Spark side re-runs over the same sub-corpus (graft.Verify with a
-   query filter into [subOutDir]). Pass = hash-equal, same as phase A.
-C. Invariants on the FULL-scale outputs of the family (q12/q45/q48/q58),
-   cheap because they touch only output pairs (hundreds), never the
-   corpus pairing: orientation, jaccard bounds, band containment (every
-   reported pair must share >= 1 of the 8 LSH band hashes, recomputed
-   from scratch for just the involved docs), and q58 cluster-consistency
-   (every >= 0.5 pair co-clustered, cluster_id = member min, sizes and
-   canonical flags consistent).
+A. Full oracle for EVERY query, each under a watchdog (duckdb
+   interrupt). Queries that time out are not failures yet — they fall
+   through to phase B. (Round-5 measurement: even the md5-minhash
+   family is DuckDB-feasible at 50k docs — q12 65s, q45 51s, q58 188s —
+   so normally NOTHING times out and phase B is an empty safety net.)
+B. Timed-out queries with a documents-only oracle re-run on a bounded
+   sub-corpus: contiguous id windows (whole duplicate families survive,
+   all replica copies sampled), the IDENTICAL oracle SQL in DuckDB vs a
+   Spark re-run over the same sub-corpus (graft.Verify query filter
+   into [subOutDir]). Pass = hash-equal, same as phase A.
+C. Invariants on the FULL-scale outputs of the minhash family
+   (q12/q45/q48/q58), cheap because they touch only output pairs,
+   never the corpus pairing: orientation, jaccard bounds, band
+   containment (every reported pair must share >= 1 of the 8 LSH band
+   hashes, recomputed from raw text for just the involved docs), and
+   q58 cluster-consistency (every >= 0.5 pair co-clustered, cluster_id
+   = member min, sizes and canonical flags consistent).
 
-Exit 0 only if all three phases pass.
+Exit 0 only if every query is full- or bounded-oracle green and all
+invariants hold.
 """
 import json
 import math
@@ -34,9 +37,12 @@ import threading
 
 import duckdb
 
-SKIP_FULL = {"q12_minhash_pairs", "q45_minhash_est", "q58_dup_clusters"}
+# timed-out phase-A queries that can fall back to the bounded sub-corpus
+# (their oracles read only the documents table)
+BOUNDED_FALLBACK = {"q12_minhash_pairs", "q45_minhash_est",
+                    "q58_dup_clusters", "q71_incremental_clusters"}
 ROWS_ONLY = {"q16_ann_ivf", "q32_sketch_profile", "q48_minhash_fast"}
-ORACLE_TIMEOUT_S = 300
+ORACLE_TIMEOUT_S = 420
 MINHASH_N, MINHASH_BANDS = 16, 8
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -112,14 +118,10 @@ def compare(con, name, sql, out_dir, timeout_s=ORACLE_TIMEOUT_S):
 
 
 def phase_a(sf_dir, out_dir, oracle):
-    print(f"== phase A: full oracle at {sf_dir} "
-          f"(skipping {sorted(SKIP_FULL)}) ==")
+    print(f"== phase A: full oracle at {sf_dir} for every query ==")
     con = connect(sf_dir)
     results = {}
     for name, sql in sorted(oracle.items()):
-        if name in SKIP_FULL:
-            results[name] = "deferred"
-            continue
         results[name] = compare(con, name, sql, out_dir)
     for name in sorted(ROWS_ONLY):
         try:
@@ -135,9 +137,9 @@ def phase_a(sf_dir, out_dir, oracle):
     return results
 
 
-def phase_b(sf_dir, sub_out_dir, oracle):
+def phase_b(sf_dir, sub_out_dir, oracle, names):
     sub_dir = sub_out_dir + "_data"
-    print(f"== phase B: bounded sub-corpus oracle for {sorted(SKIP_FULL)} ==")
+    print(f"== phase B: bounded sub-corpus oracle for {sorted(names)} ==")
     os.makedirs(sub_dir, exist_ok=True)
     con0 = duckdb.connect()
     # contiguous 200-id window from each replica copy: whole duplicate
@@ -156,20 +158,20 @@ def phase_b(sf_dir, sub_out_dir, oracle):
         dst = f"{sub_dir}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{sf_dir}/{t}.parquet", dst)
-    names = " ".join(sorted(SKIP_FULL))
+    arg_names = " ".join(sorted(names))
     rc = os.system(
         f"cd /root/repo && SPARK_GRAFT_CPUS=16 sbt -batch "
-        f"'runMain graft.Verify {sub_dir} {sub_out_dir} {names}' "
+        f"'runMain graft.Verify {sub_dir} {sub_out_dir} {arg_names}' "
         f">> /tmp/verify_10x_sub.log 2>&1")
     if rc != 0:
         print(f"FAIL: sub-corpus Verify run exited {rc} "
               f"(see /tmp/verify_10x_sub.log)")
-        return {n: "fail" for n in SKIP_FULL}
+        return {n: "fail" for n in names}
     con = connect(sub_dir)
     results = {}
-    for name in sorted(SKIP_FULL):
-        # recursive-CTE closure (q58) over the sub-corpus is fine; give
-        # the md5 family a generous but bounded window
+    for name in sorted(names):
+        # recursive-CTE closure (q58/q71) over the sub-corpus is fine;
+        # give the md5 family a generous but bounded window
         results[name] = compare(con, name, oracle[name], sub_out_dir,
                                 timeout_s=600)
     con.close()
@@ -274,15 +276,28 @@ def main():
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     results = phase_a(sf_dir, out_dir, oracle)
-    results.update(phase_b(sf_dir, sub_out_dir, oracle))
+    timed_out = {n for n, r in results.items() if r == "timeout"}
+    fallback = timed_out & BOUNDED_FALLBACK
+    uncovered = timed_out - BOUNDED_FALLBACK
+    if fallback:
+        for name, r in phase_b(sf_dir, sub_out_dir, oracle, fallback).items():
+            results[name] = "bounded-" + r
+    else:
+        print("== phase B: nothing timed out; bounded fallback not needed ==")
+    for name in sorted(uncovered):
+        print(f"FAIL {name}: oracle timed out and has no bounded fallback")
+        results[name] = "fail"
     inv_ok = phase_c(sf_dir, out_dir)
-    n = {"pass": 0, "fail": 0, "timeout": 0}
+    n = {"pass": 0, "bounded-pass": 0, "fail": 0}
     for name, r in sorted(results.items()):
         if r in n:
             n[r] += 1
-    print(f"== {n['pass']} pass, {n['fail']} fail, {n['timeout']} timeout, "
+        elif r != "timeout":
+            n["fail"] += 1
+    print(f"== {n['pass']} full-oracle pass, {n['bounded-pass']} bounded "
+          f"pass, {n['fail']} fail, "
           f"invariants {'PASS' if inv_ok else 'FAIL'} ==")
-    sys.exit(0 if n["fail"] == 0 and n["timeout"] == 0 and inv_ok else 1)
+    sys.exit(0 if n["fail"] == 0 and inv_ok else 1)
 
 
 if __name__ == "__main__":
