@@ -7,7 +7,9 @@ val picks = Seq(
   ("q42_interval_join", "Banded interval join: tiny error side broadcast into a (user, bucket) equi-join, exact range filter after."),
   ("q44_euclidean_topk", "Probe search: 10-row probe set broadcast (BNL is intentional), collection scanned once, per-probe top-k window."),
   ("q46_curation_pipeline", "Composed curation: one scan -> narrow quality/fingerprint/sample stages -> single dedup shuffle -> final aggregate."),
-  ("q58_dup_clusters", "Pairs -> connected components -> membership: band equi-join edges feed the converged star forest (plan shows the final labeling round; the loop is O(log n) such rounds), then one cluster-partitioned window."),
+  ("q56_quality_deciles_scale", "Scale-safe deciles: per-value counts + two-level prefix sums, windows all PARTITIONED (no global Window.orderBy anywhere)."),
+  ("q58_dup_clusters", "Pairs -> connected components -> membership: band equi-join edges feed the labeling (small graphs solve on the driver - the plan shows a LocalRelation join; at corpus scale the O(log n) star loop takes over), then one cluster-partitioned window."),
+  ("q69_source_cap", "Per-source cap via the bounded TopK Aggregator: map-side partial ObjectHashAggregate with k-row buffers - no per-source global window, skew-safe."),
   ("q67_regional_supply", "TPC-H Q5 shape: at this tiny SF Catalyst elects broadcast for every dimension AND the filtered fact sides (all under the 10m threshold); at scale the lineitem/orders/customer joins become the only wide shuffles. Date + region filters are pushed to the scans."))
 val out = new PrintWriter("/tmp/PLANS.md")
 out.println("# PLANS - formatted physical plans for flagship queries")
