@@ -82,18 +82,41 @@ object MergeTable {
     * absent (a merge crashed between its two renames). When both exist
     * the live dir wins — the swap completed and the backup is stale.
     * Actual on-disk repair is [[recover]], run by the single writer on
-    * its next merge; readers only observe. A reader whose deferred scan
-    * loses the race with a concurrent swap (its chosen `.old` path
-    * deleted before execution) fails loudly and retries — it can never
-    * corrupt the writer or see a half-bucket.
+    * its next merge; readers only observe.
+    *
+    * A single directory listing is NOT atomic against a concurrent swap
+    * (paginated listStatus RPCs on HDFS, unordered readdir locally): a
+    * torn listing could observe a mid-swap bucket in NEITHER its live
+    * nor its `.old` position and silently return a table missing that
+    * bucket. The double-listing stability loop below closes that hole —
+    * any swap completing during or between the listings changes the
+    * chosen set and forces a re-list; persistent instability throws
+    * rather than returning a possibly-torn view. A reader whose
+    * DEFERRED scan then loses the race (its chosen `.old` path deleted
+    * before the job executes) fails loudly with a missing-file error —
+    * the caller retries by re-invoking read(); it can never corrupt the
+    * writer or see a half-bucket.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val (fs, p) = fsOf(spark, path)
-    val names = fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith(BucketCol + "="))
-    val live = names.filterNot(_.endsWith(".old")).toSet
-    val chosen = live ++ names
-      .filter(n => n.endsWith(".old") && !live.contains(n.stripSuffix(".old")))
+    def chosenSet(): Set[String] = {
+      val names = fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith(BucketCol + "="))
+      val live = names.filterNot(_.endsWith(".old")).toSet
+      live ++ names
+        .filter(n => n.endsWith(".old") && !live.contains(n.stripSuffix(".old")))
+    }
+    var chosen = chosenSet()
+    var stable = false
+    var tries = 0
+    while (!stable && tries < 5) {
+      val again = chosenSet()
+      stable = again == chosen
+      chosen = again
+      tries += 1
+    }
+    require(stable,
+      s"MergeTable.read: listing of $path kept changing (concurrent merges?)")
     // explicit leaf dirs: no partition discovery, so `.old` suffixes
     // never reach a partition-value parser; partitionBy-written files
     // carry no bucket column to drop

@@ -262,82 +262,102 @@ object Streaming {
       val fs = new org.apache.hadoop.fs.Path(statePath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val thisDelta = new org.apache.hadoop.fs.Path(s"$deltaDir/batch=$batchId")
-      // Replay fast path: if this batch already durably CHOSE its
-      // membership delta (crash after the delta write, possibly mid-way
-      // through the members merge), merge the SAME rows verbatim.
-      // Recomputing from the now half-merged members table would choose a
-      // smaller delta — a doc the crashed attempt already relabeled no
-      // longer looks "touched", its old cluster mates never get relabeled,
-      // and the clustering diverges from batch truth permanently.
-      if (fs.exists(new org.apache.hadoop.fs.Path(thisDelta, "_SUCCESS"))) {
-        graft.merge.MergeTable.merge(
-          spark.read.parquet(thisDelta.toString), membersDir,
-          Seq("doc_id"), nBuckets)
-        fresh.write.mode("overwrite").parquet(s"$docsDir/batch=$batchId")
-        newBK.write.mode("overwrite").parquet(s"$bkDir/batch=$batchId")
-        gcDeltas(fs, deltaDir, batchId)
-        return
+      // Fingerprint of THIS batch's content: the replay fast path below
+      // must only reuse a durable delta that was computed from the same
+      // rows. Batch ids restart at 0 when a checkpoint is reset against
+      // retained state — without the content check, a stale delta from
+      // the previous stream incarnation would silently merge in place of
+      // the new batch's data.
+      val fpRow = fresh.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(doc_id, text))")).head()
+      val batchFp = fpRow.getLong(0) + ":" +
+        (if (fpRow.isNullAt(1)) 0L else fpRow.getLong(1))
+      val fpFile = new org.apache.hadoop.fs.Path(thisDelta, "_fingerprint")
+      def storedFp: Option[String] =
+        if (!fs.exists(fpFile)) None
+        else {
+          val in = fs.open(fpFile)
+          try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+        }
+      // Replay fast path: this batch already durably CHOSE its membership
+      // delta (crash after the delta write, possibly mid-way through the
+      // members merge) — merge the SAME rows verbatim. Recomputing from
+      // the now half-merged members table would choose a smaller delta
+      // (a doc the crashed attempt already relabeled no longer looks
+      // "touched", so its old cluster mates never get relabeled) and the
+      // clustering would diverge from batch truth permanently.
+      val deltaReady = fs.exists(new org.apache.hadoop.fs.Path(thisDelta, "_SUCCESS")) &&
+        storedFp.contains(batchFp)
+      if (!deltaReady) {
+        // Completed PRIOR batch partitions only: `batch=<this id>` may exist
+        // as a crashed partial write (the overwrite below repairs it) and
+        // _SUCCESS gates out torn dirs.
+        def prior(dir: String): Seq[String] = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          if (!fs.exists(p)) Seq.empty
+          else fs.listStatus(p).toSeq.map(_.getPath)
+            .filter(_.getName.startsWith("batch="))
+            .filter(_.getName.stripPrefix("batch=").toLong < batchId)
+            .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+            .map(_.toString)
+        }
+        val bkPrior = prior(bkDir)
+        val allBK = if (bkPrior.isEmpty) newBK else newBK.unionByName(
+          spark.read.option("basePath", bkDir).parquet(bkPrior: _*)
+            .select(col("doc_id"), col("band_idx"), col("band_hash")))
+        // candidate pairs touching >= 1 new doc: probe new index rows
+        // against the accumulated index
+        val cand = newBK
+          .select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_x"))
+          .join(allBK.select(col("band_idx"), col("band_hash"),
+            col("doc_id").as("doc_y")), Seq("band_idx", "band_hash"))
+          .filter(col("doc_x") =!= col("doc_y"))
+          .select(least(col("doc_x"), col("doc_y")).as("doc_a"),
+            greatest(col("doc_x"), col("doc_y")).as("doc_b"))
+          .distinct()
+        val docsPrior = prior(docsDir)
+        val allDocs = if (docsPrior.isEmpty) fresh else fresh.unionByName(
+          spark.read.option("basePath", docsDir).parquet(docsPrior: _*)
+            .select(col("doc_id"), col("text")))
+        // materialize the verified edges once: the relabel consumes them
+        // several times (endpoint roots, the CC edge set, the final outer
+        // join) and each un-cached consumption would re-run the whole
+        // LSH probe + shingle verify pipeline
+        val newEdges = TextOps.verifyPairs(allDocs, cand)
+          .filter(col("jaccard") >= threshold)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+          .persist()
+        val oldMembers =
+          if (fs.exists(new org.apache.hadoop.fs.Path(membersDir)))
+            graft.merge.MergeTable.read(spark, membersDir)
+          else spark.range(0)
+            .select(col("id").as("doc_id"), col("id").as("cluster_id"))
+        val relabel = ClusterOps.touchedRelabel(oldMembers, newEdges)
+        // fresh docs with no edge at all enter as their own singleton row,
+        // so the members table stays total over everything ingested
+        val freshSingletons = fresh.select(col("doc_id"))
+          .join(relabel, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("doc_id").as("cluster_id"))
+        // Durably choose the delta BEFORE touching the members table (the
+        // write is also the one materialization — the MERGE consumes the
+        // delta three times and must not re-execute the relabel pipeline).
+        // The batch-addressed dir makes a replayed choice overwrite itself.
+        // The fingerprint is written LAST: a crash between the two writes
+        // leaves the delta unstamped, so the replay recomputes it (safe —
+        // the members table is untouched until the merge below).
+        try {
+          relabel.unionByName(freshSingletons)
+            .write.mode("overwrite").parquet(thisDelta.toString)
+        } finally {
+          newEdges.unpersist()
+          graft.ops.ConnectedComponents.release(relabel)
+        }
+        val out = fs.create(fpFile, true)
+        try out.write(batchFp.getBytes("UTF-8")) finally out.close()
       }
-      // Completed PRIOR batch partitions only: `batch=<this id>` may exist
-      // as a crashed partial write (the overwrite below repairs it) and
-      // _SUCCESS gates out torn dirs.
-      def prior(dir: String): Seq[String] = {
-        val p = new org.apache.hadoop.fs.Path(dir)
-        if (!fs.exists(p)) Seq.empty
-        else fs.listStatus(p).toSeq.map(_.getPath)
-          .filter(_.getName.startsWith("batch="))
-          .filter(_.getName.stripPrefix("batch=").toLong < batchId)
-          .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
-          .map(_.toString)
-      }
-      val bkPrior = prior(bkDir)
-      val allBK = if (bkPrior.isEmpty) newBK else newBK.unionByName(
-        spark.read.option("basePath", bkDir).parquet(bkPrior: _*)
-          .select(col("doc_id"), col("band_idx"), col("band_hash")))
-      // candidate pairs touching >= 1 new doc: probe new index rows
-      // against the accumulated index
-      val cand = newBK
-        .select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_x"))
-        .join(allBK.select(col("band_idx"), col("band_hash"),
-          col("doc_id").as("doc_y")), Seq("band_idx", "band_hash"))
-        .filter(col("doc_x") =!= col("doc_y"))
-        .select(least(col("doc_x"), col("doc_y")).as("doc_a"),
-          greatest(col("doc_x"), col("doc_y")).as("doc_b"))
-        .distinct()
-      val docsPrior = prior(docsDir)
-      val allDocs = if (docsPrior.isEmpty) fresh else fresh.unionByName(
-        spark.read.option("basePath", docsDir).parquet(docsPrior: _*)
-          .select(col("doc_id"), col("text")))
-      // materialize the verified edges once: the relabel consumes them
-      // several times (endpoint roots, the CC edge set, the final outer
-      // join) and each un-cached consumption would re-run the whole
-      // LSH probe + shingle verify pipeline
-      val newEdges = TextOps.verifyPairs(allDocs, cand)
-        .filter(col("jaccard") >= threshold)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .persist()
-      val oldMembers =
-        if (fs.exists(new org.apache.hadoop.fs.Path(membersDir)))
-          graft.merge.MergeTable.read(spark, membersDir)
-        else spark.range(0)
-          .select(col("id").as("doc_id"), col("id").as("cluster_id"))
-      val relabel = ClusterOps.touchedRelabel(oldMembers, newEdges)
-      // fresh docs with no edge at all enter as their own singleton row,
-      // so the members table stays total over everything ingested
-      val freshSingletons = fresh.select(col("doc_id"))
-        .join(relabel, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      // Durably choose the delta BEFORE touching the members table (the
-      // write is also the one materialization — the MERGE consumes the
-      // delta three times and must not re-execute the relabel pipeline).
-      // The batch-addressed dir makes a replayed choice overwrite itself.
-      try {
-        relabel.unionByName(freshSingletons)
-          .write.mode("overwrite").parquet(thisDelta.toString)
-      } finally {
-        newEdges.unpersist()
-        graft.ops.ConnectedComponents.release(relabel)
-      }
+      // shared commit tail (normal path and replay fast path): merge the
+      // durable delta, record the batch's corpus + index partitions,
+      // drop deltas no replay can need
       graft.merge.MergeTable.merge(
         spark.read.parquet(thisDelta.toString), membersDir,
         Seq("doc_id"), nBuckets)
