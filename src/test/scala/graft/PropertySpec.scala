@@ -267,4 +267,65 @@ class PropertySpec extends SparkTestBase {
     val m2 = l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m1 == m2)
   }
+
+  test("z-value matches a straightforward scala reference for arbitrary shapes") {
+    // the Column-algebra Morton pipeline (min/max scale then bit
+    // interleave) must equal the same arithmetic written naively in
+    // scala — same IEEE ops, so the comparison is bit-exact
+    val caseGen = for {
+      k <- Gen.choose(1, 3)
+      bits <- Gen.choose(2, 8)
+      n <- Gen.choose(2, 60)
+      rows <- Gen.listOfN(n, Gen.listOfN(k, Gen.choose(-1000L, 1000L)))
+    } yield (k, bits, rows)
+    for (seed <- 1L to 8L) {
+      val (k, bits, rows) = sample(caseGen, seed)
+      val cols = (0 until k).map(j => s"c$j")
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(org.apache.spark.sql.Row.fromSeq(_)), 2),
+        org.apache.spark.sql.types.StructType(cols.map(c =>
+          org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.LongType))))
+      val got = graft.ops.ScaleOps.withZValue(df, cols, bits)
+        .collect().map(r => cols.map(c => r.getAs[Long](c)).toList -> r.getAs[Long]("__z")).toMap
+      val lim = (1L << bits) - 1
+      val lo = (0 until k).map(j => rows.map(_(j)).min.toDouble)
+      val hi = (0 until k).map(j => rows.map(_(j)).max.toDouble)
+      def scaledRef(x: Long, j: Int): Long =
+        if (hi(j) <= lo(j)) 0L
+        else math.min(lim, math.max(0L,
+          math.floor((x.toDouble - lo(j)) / (hi(j) - lo(j)) * lim.toDouble).toLong))
+      def zRef(vals: List[Long]): Long =
+        (0 until bits).flatMap { i =>
+          vals.zipWithIndex.map { case (v, j) =>
+            ((scaledRef(v, j) >> i) & 1L) << (i * k + j)
+          }
+        }.sum
+      rows.foreach { r =>
+        assert(got(r) == zRef(r), s"seed=$seed k=$k bits=$bits row=$r")
+      }
+    }
+  }
+
+  test("MergeTable: arbitrary delta sequences equal a driver-side map fold") {
+    val deltaGen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0L, 30L), Gen.alphaStr.map(_.take(6))))
+    for (seed <- 1L to 4L) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-mtprop").toString + "/t"
+      val model = scala.collection.mutable.Map.empty[Long, String]
+      for (round <- 0 until 4) {
+        // unique keys within a delta (mergeDeterministic's within-source
+        // tie-break is value-lexicographic, not arrival-order — a model
+        // with last-write-wins within one delta would diverge)
+        val delta = sample(deltaGen, seed * 100 + round)
+          .groupBy(_._1).map { case (key, vs) => (key, vs.map(_._2).max) }.toSeq
+        graft.merge.MergeTable.merge(
+          delta.toDF("k", "v"), path, Seq("k"), nBuckets = 4)
+        delta.foreach { case (key, v) => model(key) = v }
+        val got = graft.merge.MergeTable.read(spark, path)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(got == model.toMap, s"seed=$seed round=$round")
+      }
+    }
+  }
 }
