@@ -54,15 +54,22 @@ object Bench {
     val errJson = errors.map { case (k, v) => js(k) + ":" + js(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""n_errors":${errors.size},"errors":$errJson,""" +
-      s""""loadavg":${js(loadavg)},"iterations":2,"sf":"$sfDir"}""")
+      s""""loadavg":${js(loadavg)},"iterations":2,"sf":"$sfDir"}"""
+    println(line)
     // Durability line: the full per-query JSON above can exceed a bounded
     // log tail (BENCH_r04 lost its total that way). Repeat the headline
     // numbers compactly LAST so any tail window catches them.
     println(s"""{"metric":"total_compact","value":$total,"unit":"sec",""" +
       s""""n_queries":${names.size},"n_errors":${errors.size},""" +
       s""""loadavg":${js(loadavg)},"sf":"$sfDir"}""")
+    // Machine-readable artifact: stdout tails get truncated and parsers
+    // drift (BENCH_r05 `parsed: null`); the full JSON line also lands in
+    // a file so the round's numbers never depend on tail regexes.
+    scala.util.Try(java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+      (line + "\n").getBytes("UTF-8")))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -34,6 +34,14 @@ import org.apache.spark.sql.functions._
 object MergeTable {
   val BucketCol = "__bucket"
 
+  /** Bucketing metadata persisted with the table. A merge invoked with a
+    * different nBuckets (or key set) than the write-time values would
+    * compute different bucket assignments and silently land keys in wrong
+    * bucket dirs — duplicate keys on read. The `_meta` file makes that a
+    * loud error instead.
+    */
+  private val MetaFile = "_meta"
+
   private def bucketOf(keys: Seq[String], nBuckets: Int) =
     pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int")
 
@@ -41,6 +49,44 @@ object MergeTable {
     val p = new org.apache.hadoop.fs.Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
+
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, keys: Seq[String], nBuckets: Int): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, MetaFile), true)
+    // one line per field; keys are column names (newline-free by Spark's
+    // own identifier rules)
+    try out.write(s"nBuckets=$nBuckets\nkeys=${keys.mkString(",")}\n"
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[(Int, Seq[String])] = {
+    val f = new org.apache.hadoop.fs.Path(p, MetaFile)
+    if (!fs.exists(f)) return None
+    val in = fs.open(f)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val fields = text.linesIterator.filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+    Some((fields("nBuckets").toInt,
+      fields("keys").split(",", -1).toSeq.filter(_.nonEmpty)))
+  }
+
+  /** Validate caller bucketing against the persisted `_meta`; tables
+    * created before `_meta` existed are stamped with the caller's values
+    * (first merge claims them — subsequent mismatches then fail loudly).
+    */
+  private def checkMeta(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, keys: Seq[String], nBuckets: Int): Unit =
+    readMeta(fs, p) match {
+      case Some((mb, mk)) =>
+        require(mb == nBuckets && mk == keys,
+          s"MergeTable: table at $p was written with nBuckets=$mb " +
+            s"keys=[${mk.mkString(",")}] but merge was invoked with " +
+            s"nBuckets=$nBuckets keys=[${keys.mkString(",")}] — mismatched " +
+            "bucketing would land keys in wrong bucket dirs")
+      case None => writeMeta(fs, p, keys, nBuckets)
+    }
 
   /** Recover any bucket dir a crashed merge left only in `.old`. Called
     * by the WRITER (merge) only — a reader must never mutate the table,
@@ -69,10 +115,14 @@ object MergeTable {
     * bucket-clustered like merge's staged write: one file per bucket
     * dir, not one per (task, bucket) pair. */
   def write(df: DataFrame, path: String, keys: Seq[String],
-      nBuckets: Int): Unit =
+      nBuckets: Int): Unit = {
     df.withColumn(BucketCol, bucketOf(keys, nBuckets))
       .repartition(col(BucketCol))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(path)
+    // stamp AFTER the data write: overwrite mode clears the dir first
+    val (fs, p) = fsOf(df.sparkSession, path)
+    writeMeta(fs, p, keys, nBuckets)
+  }
 
   /** Read the table (bucket column dropped — layout is an implementation
     * detail of the merge, not part of the row schema).
@@ -94,8 +144,12 @@ object MergeTable {
     * rather than returning a possibly-torn view. A reader whose
     * DEFERRED scan then loses the race (its chosen `.old` path deleted
     * before the job executes) fails loudly with a missing-file error —
-    * the caller retries by re-invoking read(); it can never corrupt the
-    * writer or see a half-bucket.
+    * it can never corrupt the writer or see a half-bucket. read() itself
+    * CANNOT retry that for you: the frame is lazy, so the race happens at
+    * job time, after read() returned. Callers deployed against a
+    * concurrent writer must wrap read-AND-consume in a retry —
+    * [[readRetrying]] packages exactly that; single-writer callers
+    * (streaming sinks, Verify, specs) don't need it.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val (fs, p) = fsOf(spark, path)
@@ -124,6 +178,27 @@ object MergeTable {
       .map(n => new org.apache.hadoop.fs.Path(p, n).toString): _*)
   }
 
+  /** Read-and-consume with a bounded retry: re-invokes [[read]] AND the
+    * caller's consuming action when a concurrent merge's swap deletes a
+    * chosen `.old` dir between listing and job execution (surfaces as a
+    * missing-file failure inside the Spark job). The consume function must
+    * EXECUTE the frame (collect/write/count) — returning a lazy frame
+    * defeats the point.
+    */
+  def readRetrying[T](spark: SparkSession, path: String, attempts: Int = 3)(
+      consume: DataFrame => T): T = {
+    def missingFile(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[java.io.FileNotFoundException] ||
+        missingFile(t.getCause))
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return consume(read(spark, path))
+      catch { case t: Throwable if missingFile(t) => last = t; i += 1 }
+    }
+    throw last
+  }
+
   /** MERGE: upsert `delta` into the table at `path`, delta-wins per key,
     * touching only the partition dirs whose buckets appear in the delta.
     * Creates the table if absent.
@@ -141,7 +216,7 @@ object MergeTable {
     *    Within one bucket's two-rename swap the reader's listing falls
     *    back to the `.old` backup; if the concurrent swap deletes that
     *    backup before the reader's scan executes, the read fails loudly
-    *    and retries (snapshot isolation across that window is what a
+    *    and [[readRetrying]] re-runs it (snapshot isolation across that window is what a
     *    manifest-based table format adds — out of scope per BUILD_NOTES).
     *  - A merge killed between bucket swaps leaves a half-merged table
     *    that is complete and consistent (some buckets new, the rest old);
@@ -162,6 +237,7 @@ object MergeTable {
     val (fs, p) = fsOf(spark, path)
     recover(spark, path)
     if (!fs.exists(p)) { write(delta, path, keys, nBuckets); return }
+    checkMeta(fs, p, keys, nBuckets)
     val d = delta.withColumn(BucketCol, bucketOf(keys, nBuckets))
     // bounded by nBuckets rows — metadata-scale, never data-scale
     val affected = d.select(col(BucketCol)).distinct()

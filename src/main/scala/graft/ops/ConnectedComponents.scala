@@ -58,10 +58,14 @@ object ConnectedComponents {
 
   def label(edges: DataFrame, maxIter: Int = 50,
       driverMaxEdges: Long = DriverSolveMaxEdges): DataFrame = {
+    // canonicalize ids to long up front so BOTH solve paths emit one
+    // schema — node/label LongType regardless of graph size (the driver
+    // union-find always produced long; the distributed loop used to
+    // preserve the input type, making the output schema size-dependent)
     var e = edges
       .filter(col("a") =!= col("b"))
-      .select(greatest(col("a"), col("b")).as("u"),
-        least(col("a"), col("b")).as("p"))
+      .select(greatest(col("a"), col("b")).cast("long").as("u"),
+        least(col("a"), col("b")).cast("long").as("p"))
       .distinct()
       .localCheckpoint(true)
     var prev = checksum(e)

@@ -29,14 +29,29 @@ object Similarity {
   /** cells: (vec_id, cell, q, norm); centroids: (cell, cq, cnorm). */
   case class IvfIndex(cells: DataFrame, centroids: DataFrame)
 
-  /** Build the IVF index over (vec_id, embedding array<float>). */
+  /** Build the IVF index over (vec_id, embedding array<float>).
+    *
+    * The coarse quantizer trains on a bounded sample (~`trainTarget`
+    * rows, exact below it): a full-collection KMeans fit at 100 TB is an
+    * iterative ML job over every vector just to build an index, while
+    * quantizer quality saturates at O(100k) training vectors regardless
+    * of collection size — standard IVF practice. ASSIGNMENT still covers
+    * every vector (`transform` below), so the index is total either way.
+    */
   def buildIvfIndex(emb: DataFrame, k: Int, seed: Long = 42L,
-      maxIter: Int = 5): IvfIndex = {
+      maxIter: Int = 5, trainTarget: Long = 100000L): IvfIndex = {
     val spark = emb.sparkSession
     val feat = emb.withColumn("fv", array_to_vector(col("embedding")))
+    val n = emb.count()
+    val train =
+      if (n <= trainTarget) feat
+      else feat.sample(withReplacement = false,
+        // 10% headroom: the Bernoulli sample must (almost surely) keep
+        // at least k rows; only boundedness matters, not exactness
+        math.min(1.0, trainTarget.toDouble * 1.1 / n), seed)
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(feat)
+      .fit(train)
     val cells = model.transform(feat)
       .select(col("vec_id"), col("cell"), quantize(col("embedding")).as("q"))
       .withColumn("norm", sqrt(longDot("q", "q").cast("double")))

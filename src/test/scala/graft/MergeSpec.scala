@@ -198,6 +198,53 @@ class MergeSpec extends SparkTestBase {
     assert(!new java.io.File(path + "__staging").exists())
   }
 
+  test("MergeTable: _meta pins bucketing — mismatched nBuckets/keys fail loudly") {
+    import graft.merge.MergeTable
+    val path = Files.createTempDirectory("graft-mtm").toString + "/t"
+    val base = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    MergeTable.write(base, path, Seq("k"), nBuckets = 8)
+    assert(new java.io.File(path, "_meta").exists(), "_meta written at creation")
+    val d = Seq((1L, "NEW1")).toDF("k", "v")
+    // a different nBuckets would compute different bucket assignments and
+    // silently land keys in wrong dirs — must be a loud error instead
+    val e1 = intercept[IllegalArgumentException] {
+      MergeTable.merge(d, path, Seq("k"), nBuckets = 16)
+    }
+    assert(e1.getMessage.contains("nBuckets"))
+    val e2 = intercept[IllegalArgumentException] {
+      MergeTable.merge(d, path, Seq("v"), nBuckets = 8)
+    }
+    assert(e2.getMessage.contains("keys"))
+    // matching params still merge, and the table stays readable
+    MergeTable.merge(d, path, Seq("k"), nBuckets = 8)
+    val got = MergeTable.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 100 && got(1L) == "NEW1")
+  }
+
+  test("MergeTable.readRetrying survives a swap completing under a deferred scan") {
+    import graft.merge.MergeTable
+    val path = Files.createTempDirectory("graft-mtrr").toString + "/t"
+    val base = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    MergeTable.write(base, path, Seq("k"), nBuckets = 4)
+    // strand one bucket in .old so the reader's listing chooses the backup
+    val victim = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith(MergeTable.BucketCol + "=")).head
+    val bak = new java.io.File(victim.getParent, victim.getName + ".old")
+    assert(victim.renameTo(bak))
+    var attempts = 0
+    val rows = MergeTable.readRetrying(spark, path) { df =>
+      attempts += 1
+      // the concurrent writer completes its swap AFTER read() listed but
+      // BEFORE the scan executes: the chosen .old path vanishes
+      if (attempts == 1) assert(bak.renameTo(victim))
+      df.collect()
+    }
+    assert(attempts == 2, s"expected one retry, saw $attempts attempts")
+    assert(rows.map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      (1L to 100L).map(i => i -> s"v$i").toMap)
+  }
+
   test("MergeTable read prefers live over a stale .old; merge drops the backup") {
     import graft.merge.MergeTable
     val path = Files.createTempDirectory("graft-mts").toString + "/t"
