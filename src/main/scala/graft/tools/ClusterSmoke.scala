@@ -8,16 +8,21 @@ import org.apache.spark.sql.functions._
   * per-batch path of `clusterSink`), assert fold-equals-batch against
   * q58's one-shot clustering, and print per-batch timings.
   *
-  *   sbt "runMain graft.tools.ClusterSmoke /root/testdata/sf0.1 10"
+  *   sbt "runMain graft.tools.ClusterSmoke /root/testdata/sf0.1 50 8"
   *
   * The timings are the evidence for the incremental-cost claim: per-batch
   * time must stay roughly flat as the accumulated corpus grows (cost ∝
-  * batch + touched clusters), not grow linearly with it.
+  * batch + touched clusters), not grow linearly with it. The state-dir
+  * counts are the evidence for the bounded-state claim: with
+  * `compactEvery` = K, docs/ and bandkeys/ each hold ≤ K + 2 entries
+  * (base + up to K unfolded priors + the current batch) no matter how
+  * many micro-batches have run.
   */
 object ClusterSmoke {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
+    val compactEvery = args.lift(2).map(_.toInt).getOrElse(8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,12 +33,20 @@ object ClusterSmoke {
     spark.sparkContext.setLogLevel("WARN")
     val state = java.nio.file.Files.createTempDirectory("graft-csmoke").toString
     val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    def stateDirs(sub: String): Int =
+      Option(new java.io.File(s"$state/$sub").listFiles())
+        .map(_.count(f => f.isDirectory && !f.getName.endsWith(".next") &&
+          !f.getName.endsWith(".old"))).getOrElse(0)
     val tAll = System.nanoTime()
     val perBatch = (0 until nBatches).map { b =>
       val t = System.nanoTime()
       graft.streaming.Streaming.clusterBatch(
         docs.filter(col("doc_id") % nBatches === b), b.toLong, state,
-        graft.queries.ClusterOps.clusterJaccard, nBuckets = 16)
+        graft.queries.ClusterOps.clusterJaccard, nBuckets = 16,
+        compactEvery = compactEvery)
+      val dd = stateDirs("docs")
+      require(dd <= compactEvery + 2 && stateDirs("bandkeys") <= compactEvery + 2,
+        s"state dirs unbounded: docs=$dd after batch $b")
       (System.nanoTime() - t) / 1e9
     }
     val foldSec = (System.nanoTime() - tAll) / 1e9
@@ -47,6 +60,7 @@ object ClusterSmoke {
     println(f"CLUSTERSMOKE equal=${got == batch} n=${got.size} " +
       f"nontrivial=${got.count { case (d, c) => d != c }} " +
       f"fold=${foldSec}%.2fs batch=${batchSec}%.2fs " +
+      f"docsDirs=${stateDirs("docs")} bkDirs=${stateDirs("bandkeys")} " +
       "perBatch=" + perBatch.map(s => f"$s%.2f").mkString(","))
     require(got == batch, "fold-equals-batch violated")
     spark.stop()

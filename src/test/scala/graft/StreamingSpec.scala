@@ -243,6 +243,64 @@ class StreamingSpec extends SparkTestBase {
       .count(_.getName.startsWith("batch=")) == 2)
   }
 
+  test("clustering state folds into base: bounded dirs, same membership, replay across fold") {
+    import graft.queries.ClusterOps
+    val dir = java.nio.file.Files.createTempDirectory("graft-cfold").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val n = 6
+    def run(state: String, every: Int): Unit =
+      (0 until n).foreach { b =>
+        Streaming.clusterBatch(docs.filter($"doc_id" % n === b), b.toLong,
+          state, ClusterOps.clusterJaccard, nBuckets = 4, compactEvery = every)
+      }
+    run(s"$dir/folded", 2)
+    run(s"$dir/plain", 0) // folding disabled: one dir per batch (old shape)
+    def members(state: String) = Streaming.clusterMembership(spark, state)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = members(s"$dir/plain")
+    assert(want.nonEmpty && members(s"$dir/folded") == want,
+      "folded state must produce the unfolded membership")
+    // bounded state: a base segment + at most `every` unfolded priors +
+    // the current batch, for BOTH state dirs
+    Seq("docs", "bandkeys").foreach { sub =>
+      val names = new java.io.File(s"$dir/folded/$sub").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSeq
+      assert(names.contains("base"), s"$sub: no base segment after $n batches")
+      assert(names.count(_.startsWith("batch=")) <= 3,
+        s"$sub: unfolded dirs not bounded: $names")
+      assert(new java.io.File(s"$dir/plain/$sub").listFiles()
+        .count(_.getName.startsWith("batch=")) == n,
+        s"$sub: unfolded twin should keep one dir per batch")
+    }
+    // replay of the latest batch (the only replayable id — never folded)
+    // across folded state converges to the same membership
+    Streaming.clusterBatch(docs.filter($"doc_id" % n === (n - 1)),
+      (n - 1).toLong, s"$dir/folded", ClusterOps.clusterJaccard,
+      nBuckets = 4, compactEvery = 2)
+    assert(members(s"$dir/folded") == want)
+    // checkpoint reset against retained state: batch id 0 arriving with
+    // DIFFERENT content must fail with the remedy, not orphan the old
+    // incarnation's docs — both when batch 0 was folded into base...
+    val boomFolded = intercept[IllegalStateException] {
+      Streaming.clusterBatch(docs.filter($"doc_id" % n === 1), 0L,
+        s"$dir/folded", ClusterOps.clusterJaccard, nBuckets = 4,
+        compactEvery = 2)
+    }
+    assert(boomFolded.getMessage.contains("incarnation"))
+    // ...and when its batch dir is still in place (fingerprint mismatch)
+    val boomPlain = intercept[IllegalStateException] {
+      Streaming.clusterBatch(docs.filter($"doc_id" % n === 1), 0L,
+        s"$dir/plain", ClusterOps.clusterJaccard, nBuckets = 4,
+        compactEvery = 0)
+    }
+    assert(boomPlain.getMessage.contains("incarnation"))
+    // a genuine replay (same id, same content) still proceeds on both
+    Streaming.clusterBatch(docs.filter($"doc_id" % n === (n - 1)),
+      (n - 1).toLong, s"$dir/plain", ClusterOps.clusterJaccard,
+      nBuckets = 4, compactEvery = 0)
+    assert(members(s"$dir/plain") == want)
+  }
+
   test("clustering sink: replay after a crash mid-members-merge converges (durable delta)") {
     import graft.queries.ClusterOps
     val dir = java.nio.file.Files.createTempDirectory("graft-ccrash").toString
