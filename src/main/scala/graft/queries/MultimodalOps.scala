@@ -16,15 +16,16 @@ object MultimodalOps {
     * ([[Multimodal.ImageCodec]]); audio rows are REAL planted PCM WAV
     * payloads decoded through `javax.sound.sampled`
     * ([[Multimodal.AudioCodec]] — width/height/n_frames carry sample
-    * rate/channels/frame count for audio). The oracle predicts what a
-    * correct decode of each planted payload must return (parameters were
-    * derived from the text at encode time), so the hash match proves the
-    * decode chain reads genuine image and RIFF headers. Video metadata is
-    * the declared stub arithmetic over utf-8 byte lengths (texts are
-    * ascii, so octet_length == length). n_bytes is projected out: encoded
-    * payload size is a codec artifact (deflate/DCT/RIFF framing) no SQL
-    * engine can predict — the field stays on [[Multimodal.DecodedRow]]
-    * and is spec-checked instead.
+    * rate/channels/frame count for audio); video rows are REAL planted
+    * MP4 containers parsed by the pure-JVM ISO-BMFF box walker
+    * ([[Multimodal.VideoCodec]] — width/height from tkhd, frame count
+    * from stsz). The oracle predicts what a correct decode of each
+    * planted payload must return (parameters were derived from the text
+    * at encode time), so the hash match proves the decode chain reads
+    * genuine image, RIFF, and MP4 box headers. n_bytes is projected out:
+    * encoded payload size is a codec artifact (deflate/DCT/RIFF/box
+    * framing) no SQL engine can predict — the field stays on
+    * [[Multimodal.DecodedRow]] and is spec-checked instead.
     */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -66,8 +67,11 @@ object MultimodalOps {
     * reported dimensions are read back from actual image bytes. For audio
     * the decode is REAL (RIFF header) and the per-4 sampling decimates
     * genuine PCM frame counts; "resize" does not apply to audio (its dims
-    * are rate/channels, not pixels) so they pass through. Video runs the
-    * declared metadata-only stub. One `mapPartitions` pass, no shuffles
+    * are rate/channels, not pixels) so they pass through. For video the
+    * decode is REAL (MP4 tkhd/stsz box parse) and resize/frame-sample are
+    * METADATA-PLANE planning over the parsed dimensions — transcoding
+    * would need a codec binding, and a 100 TB pipeline plans its sampling
+    * from container headers anyway. One `mapPartitions` pass, no shuffles
     * until the final aggregation; the oracle replays the scale arithmetic
     * the visual paths share (IEEE double divide/multiply then truncation,
     * computed bit-identically by both engines).
@@ -82,16 +86,16 @@ object MultimodalOps {
               val resized = Multimodal.ImageCodec.resize(r.content, 256)
               val m = Multimodal.ImageCodec.decodeMeta(resized)
               (r.media_type, m.width, m.height,
-                Multimodal.FakeDecoder.sampleFrames(m, 4).size)
+                Multimodal.sampleFrames(m.n_frames, 4).size)
             case "audio" =>
               val m = Multimodal.AudioCodec.decodeMeta(r.content)
               (r.media_type, m.width, m.height,
-                Multimodal.FakeDecoder.sampleFrames(m, 4).size)
+                Multimodal.sampleFrames(m.n_frames, 4).size)
             case _ =>
-              val d = Multimodal.FakeDecoder.decode(r.media_type, r.content)
-              val rm = Multimodal.FakeDecoder.resize(d, 256)
-              (r.media_type, rm.width, rm.height,
-                Multimodal.FakeDecoder.sampleFrames(rm, 4).size)
+              val m = Multimodal.VideoCodec.decodeMeta(r.content)
+              val (rw, rh) = Multimodal.scaledDims(m.width, m.height, 256)
+              (r.media_type, rw, rh,
+                Multimodal.sampleFrames(m.n_frames, 4).size)
           }
         }
       }.toDF("media_type", "rw", "rh", "n_sampled")

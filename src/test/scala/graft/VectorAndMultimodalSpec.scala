@@ -96,19 +96,21 @@ class VectorAndMultimodalSpec extends SparkTestBase {
     assert(got(1).toSeq == Seq(10f, 20f))
   }
 
-  test("multimodal decode: real image+audio headers + stub video, batch plumbing") {
+  test("multimodal decode: real image+audio+video headers, batch plumbing") {
     val png = Multimodal.ImageCodec.encode(20, 10, seed = 1, "png")
     val wav = Multimodal.AudioCodec.encode(nSamples = 77, sampleRateHz = 8200, seed = 3)
+    val mp4 = Multimodal.VideoCodec.encode(640, 360, nFrames = 19, seed = 4)
     val rows = Seq(
       Multimodal.MediaRow(1, "image", png),
-      Multimodal.MediaRow(2, "video", "abcde".getBytes),
+      Multimodal.MediaRow(2, "video", mp4),
       Multimodal.MediaRow(3, "audio", wav)).toDS()
     val out = Multimodal.decodeMeta(rows).collect().map(r => r.media_id -> r).toMap
     // image metadata comes from the actual PNG header via javax.imageio
     assert(out(1).n_bytes == png.length && out(1).format == "png")
     assert(out(1).width == 20 && out(1).height == 10 && out(1).n_frames == 1)
-    assert(out(2).format == "mp4" && out(2).n_frames == 6)
-    assert(out(2).width == 64 + 5 % 577)
+    // video metadata comes from actual MP4 tkhd/stsz boxes
+    assert(out(2).n_bytes == mp4.length && out(2).format == "mp4")
+    assert(out(2).width == 640 && out(2).height == 360 && out(2).n_frames == 19)
     // audio metadata comes from the actual RIFF header via javax.sound
     assert(out(3).n_bytes == wav.length && out(3).format == "wav")
     assert(out(3).width == 8200 && out(3).height == 1 && out(3).n_frames == 77)
@@ -170,11 +172,64 @@ class VectorAndMultimodalSpec extends SparkTestBase {
     assert(jm.format == "jpeg" && jm.width == 150 && jm.height == 50)
   }
 
-  test("multimodal stubs: a/v resize and frame sampling") {
-    val m = Multimodal.MediaMeta(1000, "mp4", 640, 480, 24)
-    val r = Multimodal.FakeDecoder.resize(m, 320)
-    assert(r.width == 320 && r.height == 240)
-    assert(Multimodal.FakeDecoder.sampleFrames(m, 6) == Seq(0, 6, 12, 18))
+  test("metadata-plane resize planning and frame sampling") {
+    assert(Multimodal.scaledDims(640, 480, 320) == ((320, 240)))
+    assert(Multimodal.scaledDims(100, 50, 320) == ((100, 50))) // no upscale
+    assert(Multimodal.sampleFrames(24, 6) == Seq(0, 6, 12, 18))
+    assert(Multimodal.sampleFrames(3, 1) == Seq(0, 1, 2))
+  }
+
+  test("VideoCodec: MP4 box structure byte-for-byte + decode round trip") {
+    val mp4 = Multimodal.VideoCodec.encode(1280, 720, nFrames = 24, seed = 11)
+    // box grammar straight from the bytes (ISO-BMFF: [size][type][payload])
+    def be32(off: Int): Long =
+      ((mp4(off) & 0xffL) << 24) | ((mp4(off + 1) & 0xffL) << 16) |
+        ((mp4(off + 2) & 0xffL) << 8) | (mp4(off + 3) & 0xffL)
+    assert(new String(mp4.slice(4, 8), "US-ASCII") == "ftyp")
+    assert(new String(mp4.slice(8, 12), "US-ASCII") == "isom") // major brand
+    val ftypLen = be32(0).toInt
+    assert(new String(mp4.slice(ftypLen + 4, ftypLen + 8), "US-ASCII") == "moov")
+    // the three top-level boxes tile the file exactly
+    val moovLen = be32(ftypLen).toInt
+    val mdatOff = ftypLen + moovLen
+    assert(new String(mp4.slice(mdatOff + 4, mdatOff + 8), "US-ASCII") == "mdat")
+    assert(mdatOff + be32(mdatOff) == mp4.length)
+    // planted parameters round-trip through a real box walk
+    val m = Multimodal.VideoCodec.decodeMeta(mp4)
+    assert(m.format == "mp4" && m.width == 1280 && m.height == 720)
+    assert(m.n_frames == 24 && m.n_bytes == mp4.length)
+  }
+
+  test("VideoCodec parser: version-1 tkhd and fixed-sample-size stsz") {
+    // hand-build variants the generator doesn't emit: a v1 tkhd (64-bit
+    // times shift the dimension offset) and an stsz with sample_size != 0
+    // (no per-sample table; count still at payload offset 8)
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def box(tpe: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.flatten.toArray
+      be32(body.length + 8L) ++ tpe.getBytes("US-ASCII") ++ body
+    }
+    val matrix = (Seq(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L, 0x40000000L))
+      .flatMap(v => be32(v)).toArray
+    val tkhdV1 = box("tkhd",
+      Array(1.toByte, 0.toByte, 0.toByte, 7.toByte), // version 1
+      be64(0), be64(0), be32(1), be32(0), be64(960), // 64-bit times/duration
+      new Array[Byte](8), be16(0), be16(0), be16(0), be16(0), matrix,
+      be32(864L << 16), be32(486L << 16))
+    val stszFixed = box("stsz", be32(0), be32(1400) /* fixed size */, be32(57))
+    val mp4 = box("ftyp", "mp42".getBytes("US-ASCII"), be32(0)) ++
+      box("moov", box("trak", tkhdV1,
+        box("mdia", box("minf", box("stbl", stszFixed)))))
+    val m = Multimodal.VideoCodec.decodeMeta(mp4)
+    assert(m.format == "mp4" && m.width == 864 && m.height == 486)
+    assert(m.n_frames == 57)
+    // torn/garbage payloads fail loudly rather than fabricate metadata
+    intercept[IllegalArgumentException] {
+      Multimodal.VideoCodec.decodeMeta("abcde".getBytes)
+    }
   }
 
   test("TopK aggregator equals sort-take under any partitioning") {
