@@ -205,11 +205,20 @@ object ScaleOps {
     */
   def withZValue(df: DataFrame, colNames: Seq[String], bits: Int = 8,
       zCol: String = "__z"): DataFrame = {
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
     val k = colNames.size
     require(k >= 1 && k * bits <= 63,
       s"zvalue: $k cols x $bits bits must fit a signed long")
-    val statCols = colNames.flatMap(c =>
-      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    // temporal columns interleave on their epoch value: DATE and
+    // TIMESTAMP_NTZ have no direct double cast, so route them through
+    // TIMESTAMP (session-UTC, order-preserving) first
+    val numeric: Map[String, Column] = colNames.map { c =>
+      c -> (df.schema(c).dataType match {
+        case DateType | TimestampNTZType => col(c).cast(TimestampType).cast("double")
+        case _ => col(c).cast("double")
+      })
+    }.toMap
+    val statCols = colNames.flatMap(c => Seq(min(numeric(c)), max(numeric(c))))
     val row = df.agg(statCols.head, statCols.tail: _*).head()
     val lim = (1L << bits) - 1
     val scaled = colNames.zipWithIndex.map { case (c, j) =>
@@ -220,7 +229,7 @@ object ScaleOps {
         val (lo, hi) = (row.getDouble(2 * j), row.getDouble(2 * j + 1))
         if (hi <= lo) lit(0L) // constant column
         else least(lit(lim), greatest(lit(0L),
-          floor((coalesce(col(c).cast("double"), lit(lo)) - lit(lo)) /
+          floor((coalesce(numeric(c), lit(lo)) - lit(lo)) /
             lit(hi - lo) * lit(lim.toDouble)).cast("long")))
       }
     }

@@ -248,4 +248,45 @@ class ScaleOpsSpec extends SparkTestBase {
     // layout change loses no rows
     assert(spark.read.parquet(s"$base/zorder").count() == 65536L)
   }
+
+  test("q72 layout: the declared box scan reads fewer files than the table holds") {
+    import graft.queries.LayoutOps
+    val dir = LayoutOps.zorderedLineitem(spark, sf)
+    val files = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files >= 8, s"expected a multi-file layout, got $files files")
+    // footer technique: a file is READ only if its per-file stats overlap
+    // the box on BOTH dimensions — everything else is skipped by parquet
+    // row-group stats pruning (same stats the Spark scan consults)
+    val shipLoUs = java.time.LocalDate.parse(LayoutOps.ShipLo)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+    val shipHiUs = java.time.LocalDate.parse(LayoutOps.ShipHi)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+    val pkStats = ScaleOps.fileStats(spark, dir, "l_partkey")
+      .map { case (f, lo, hi) => f -> (lo, hi) }.toMap
+    val sdStats = ScaleOps.fileStats(spark, dir, "l_shipdate")
+      .map { case (f, lo, hi) => f -> (lo, hi) }.toMap
+    assert(pkStats.size == files && sdStats.size == files)
+    val read = pkStats.keys.count { f =>
+      val (plo, phi) = pkStats(f)
+      val (slo, shi) = sdStats(f)
+      phi >= LayoutOps.PartLo && plo <= LayoutOps.PartHi &&
+        shi >= shipLoUs && slo < shipHiUs
+    }
+    assert(read < files, s"box scan would read all $files files — no pruning")
+    // and the layout changes I/O only: the box aggregate over the
+    // clustered copy equals the same aggregate over the plain table
+    val got = LayoutOps.zorderBoxScan(spark, sf).collect().map(_.toSeq).toSeq
+    val want = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= to_timestamp(lit(LayoutOps.ShipLo)) &&
+        col("l_shipdate") < to_timestamp(lit(LayoutOps.ShipHi)) &&
+        col("l_partkey").between(LayoutOps.PartLo, LayoutOps.PartHi))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Exact.sumD(col("l_quantity")).as("sum_qty"),
+        graft.queries.Exact.sumD(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+  }
 }
