@@ -114,6 +114,12 @@ object Merge {
       val len = fs.getFileStatus(part).getLen
       val entry = new TarArchiveEntry(csvName)
       entry.setSize(len)
+      // reproducible artifact: a fresh TarArchiveEntry stamps wall-clock
+      // mtime, making two runs over identical data publish different
+      // bytes. Epoch-0 mtime (gzip already writes MTIME=0) means same
+      // content -> same artifact — what lets a restarted pipeline prove
+      // it converged to the uninterrupted run's output.
+      entry.setModTime(0L)
       tar.putArchiveEntry(entry)
       val in = fs.open(part)
       try org.apache.hadoop.io.IOUtils.copyBytes(in, tar, 65536, false)

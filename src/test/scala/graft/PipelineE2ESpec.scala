@@ -58,6 +58,93 @@ class PipelineE2ESpec extends SparkTestBase {
     assert(again.count() == 3)
   }
 
+  test("full DAG equivalent with a mid-ingest crash: restart converges to the uninterrupted artifact") {
+    // The reference DAG re-runs scrape -> ingest -> merge -> publish and
+    // destroys the Kafka topic for progress tracking (kafka_stream_dag.py:
+    // 41-45,85). Here the checkpoint replaces topic destruction: the same
+    // two-stage drive is killed MID-INGEST (after batch 0 committed,
+    // during batch 1), restarted from its checkpoint, and must publish a
+    // season tgz BYTE-identical to an uninterrupted run's.
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe-k").toString
+    val day1 = Seq(
+      ("k0", envelopeJson("g1", "Cleveland", "Boston",
+        "1st Q, 10:00.0 remaining<br>Donovan Mitchell made 2-pointer from 8 ft<br>Cleveland leads 2-0")),
+      ("k1", envelopeJson("g1", "Cleveland", "Boston",
+        "2nd Q, 5:30.0 remaining<br>Jayson Tatum missed 3-pointer from 26 ft<br>Boston trails 40-48")))
+    val day2 = Seq(
+      ("k2", envelopeJson("g2", "LA Lakers", "Miami",
+        "4th Q, 0:01.2 remaining<br>LeBron James made 3-pointer from 30 ft<br>LA Lakers now leads 101-99")),
+      ("k3", envelopeJson("g2", "LA Lakers", "Miami",
+        "4th Q, 0:00.4 remaining<br>Jimmy Butler missed 2-pointer from 15 ft<br>Miami trails 99-101")))
+    // stage each day as one source file with ordered mtimes so
+    // maxFilesPerTrigger=1 delivers day 1 as batch 0, day 2 as batch 1
+    val in = java.nio.file.Paths.get(dir, "in")
+    java.nio.file.Files.createDirectories(in)
+    Seq(day1, day2).zipWithIndex.foreach { case (rows, i) =>
+      val tmp = s"$dir/stage$i"
+      rows.toDF("key", "value").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = in.resolve(s"day$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    // day-0 season artifact both runs merge into
+    val season0 = s"$dir/season0.tgz"
+    Merge.publishTgz(Ingest.transform(Seq(
+      ("z0", envelopeJson("g0", "Utah", "Chicago",
+        "3rd Q, 2:15.0 remaining<br>Lauri Markkanen made 3-pointer from 24 ft<br>Utah leads 70-60"))
+    ).toDF("key", "value")), s"$dir/t0", season0, "shots-2025.csv")
+    // crash injection: day-2 rows throw while the flag file exists —
+    // spec-only fault injection (the product path stays UDF-free)
+    val flag = new java.io.File(dir, "crashflag")
+    val flagPath = flag.getAbsolutePath
+    val crashOn = udf { (g: String) =>
+      if (g == "g2" && new java.io.File(flagPath).exists())
+        throw new RuntimeException("injected mid-ingest crash")
+      true
+    }
+    def drive(ongoing: String, ckpt: String): Unit =
+      Ingest.streamToCsv(
+        Ingest.transform(spark.readStream.schema("key STRING, value STRING")
+            .option("maxFilesPerTrigger", 1).parquet(in.toString))
+          .filter(crashOn($"game_id")),
+        s"$dir/$ongoing", s"$dir/$ckpt")
+    def mergePublish(ongoing: String, tgz: String): Unit = {
+      val merged = Merge.mergeDeterministic(
+        Merge.readSeasonTgz(spark, season0),
+        Merge.readCsv(spark, s"$dir/$ongoing"))
+      Merge.publishTgz(merged.orderBy(Merge.dedupKeys.map(col): _*),
+        s"$dir/t-$ongoing", s"$dir/$tgz", "shots-2025.csv")
+    }
+    // interrupted run: batch 0 (day 1) commits, batch 1 (day 2) crashes
+    assert(flag.createNewFile())
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drive("ongoing-a", "ckpt-a")
+    }
+    assert(boom.getMessage.contains("injected mid-ingest crash"))
+    // the committed prefix is exactly day 1 (sink log excludes the torn batch)
+    assert(Merge.readCsv(spark, s"$dir/ongoing-a").count() == 2)
+    // restart from the same checkpoint: only the unacked batch replays
+    assert(flag.delete())
+    drive("ongoing-a", "ckpt-a")
+    assert(Merge.readCsv(spark, s"$dir/ongoing-a").count() == 4)
+    mergePublish("ongoing-a", "season-a.tgz")
+    // uninterrupted control run: fresh checkpoint, same input
+    drive("ongoing-b", "ckpt-b")
+    mergePublish("ongoing-b", "season-b.tgz")
+    val a = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "season-a.tgz"))
+    val b = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "season-b.tgz"))
+    assert(a.sameElements(b),
+      "restarted pipeline must publish a byte-identical season artifact")
+    // and the artifact carries the full merged season
+    val back = Merge.readSeasonTgz(spark, s"$dir/season-a.tgz")
+    assert(back.count() == 5) // 1 day-0 + 2 day-1 + 2 day-2
+    assert(back.filter($"game_id" === "g2").count() == 2)
+  }
+
   test("streaming flavor: envelope file stream -> transform -> csv sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pipe-s").toString
     Seq(("k1", envelopeJson("g9", "Utah", "Chicago",
