@@ -505,19 +505,35 @@ object TextOps {
   /** TF-IDF keyword extraction, top-3 per document. Deterministic
     * scoring without logs: score = tf * N / df (integer numerator is
     * exact; one double division both engines share), ties broken on the
-    * token. Two shuffles: (doc, token) aggregation and the token
-    * document-frequency join — the standard inverted-index build shape.
+    * token.
+    *
+    * Two wide exchanges for the whole inverted-index build — down from
+    * four in the round-5 plan (30%+ measured, round-6 task):
+    *  1. ONE hash exchange on `tok`, explicitly requested and then
+    *     REUSED by both consumers: the (tok, doc) term-frequency
+    *     aggregate (partitioning on `tok` already clusters its keys, so
+    *     Catalyst inserts no second exchange) and the token-partitioned
+    *     count window that attaches document frequency — which replaces
+    *     the old separate df-aggregate + equi-join and their two
+    *     exchanges outright.
+    *  2. The per-doc top-3 row_number window (partitioned by doc, never
+    *     global).
+    * No rebalance before the explode: the tok exchange itself provides
+    * full cluster width for every heavy stage, and what runs at scan
+    * width (tokenize + shuffle write) is O(bytes scanned) work — the
+    * same class as the scan, at any scale.
     */
   def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // rebalance before the explode: tokenization fan-out is the heavy map
-    // stage feeding the (doc, token) shuffle
-    val toks = graft.ops.ScaleOps.rebalance(docs)
-      .select(col("doc_id"), explode(tokens).as("tok"))
-    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val toks = docs.select(col("doc_id"), explode(tokens).as("tok"))
+    val tf = toks.repartition(col("tok"))
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, Seq("tok")).crossJoin(broadcast(n))
+    // df = how many docs carry the token = rows per tok in tf (one row
+    // per (doc, tok) by construction); same partitioning, no exchange
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+    val scored = tf.withColumn("df", count(lit(1)).over(wTok))
+      .crossJoin(broadcast(n))
       .withColumn("score",
         (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
     val w = org.apache.spark.sql.expressions.Window
