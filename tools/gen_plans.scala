@@ -10,7 +10,9 @@ val picks = Seq(
   ("q56_quality_deciles_scale", "Scale-safe deciles: per-value counts + two-level prefix sums, windows all PARTITIONED (no global Window.orderBy anywhere)."),
   ("q58_dup_clusters", "Pairs -> connected components -> membership: band equi-join edges feed the labeling (small graphs solve on the driver - the plan shows a LocalRelation join; at corpus scale the O(log n) star loop takes over), then one cluster-partitioned window."),
   ("q69_source_cap", "Per-source cap via the bounded TopK Aggregator: map-side partial ObjectHashAggregate with k-row buffers - no per-source global window, skew-safe."),
-  ("q67_regional_supply", "TPC-H Q5 shape: at this tiny SF Catalyst elects broadcast for every dimension AND the filtered fact sides (all under the 10m threshold); at scale the lineitem/orders/customer joins become the only wide shuffles. Date + region filters are pushed to the scans."))
+  ("q67_regional_supply", "TPC-H Q5 shape: at this tiny SF Catalyst elects broadcast for every dimension AND the filtered fact sides (all under the 10m threshold); at scale the lineitem/orders/customer joins become the only wide shuffles. Date + region filters are pushed to the scans."),
+  ("q31_tfidf_keywords", "TF-IDF on two reused exchanges: one explicit hash exchange on tok feeds BOTH the (tok, doc) term-frequency aggregate (no second exchange - partitioning already clusters the keys) and the token-partitioned df count window; then the per-doc top-3 window, with WindowGroupLimit shipping at most 3 rows per doc per partition into the doc exchange."),
+  ("q72_zorder_scan", "2-D box over the Z-ordered lineitem copy: both box predicates are pushed to the parquet scan (PushedFilters on l_shipdate AND l_partkey), where the Morton-clustered file layout turns them into file/row-group skips instead of a full scan."))
 val out = new PrintWriter("/tmp/PLANS.md")
 out.println("# PLANS - formatted physical plans for flagship queries")
 out.println()
