@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.ScaleOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared-surface proofs for the remaining scale operators: the oracle
+  * gate runs each scale technique end to end and hash-matches a plain
+  * DuckDB formulation, so "row-preserving under the rewrite" is checked
+  * per round rather than asserted in a spec alone (the same move q72
+  * made for the Z-order layout).
+  *
+  * - q73: bucketed exchange-free join — orders ⋈ customer both bucketed
+  *   on custkey at write time, so the join plans with zero Exchange on
+  *   either side (ScaleOpsSpec asserts the plan; the oracle proves the
+  *   result equals the plain join).
+  * - q74: salted two-stage aggregation ([[ScaleOps.saltedAggregate]]) —
+  *   the skewed-hot-key form whose stage-1 shuffle is balanced across
+  *   `buckets` sub-keys; the oracle states the plain GROUP BY.
+  * - q75: salted skew join ([[ScaleOps.saltedJoin]]) — lineitem ⋈ part
+  *   with the big side salted and the small side replicated per salt;
+  *   the oracle states the plain join + GROUP BY.
+  */
+object ScaleQueries {
+  import Exact.{sumD, sumDSql}
+
+  /** Bucket count for the q73 co-located layout: enough that the
+    * exchange-free property is meaningful, small enough that sf0.001
+    * buckets aren't empty. */
+  val Buckets = 8
+
+  /** Per-dir bucketed (orders, customer) tables, built once per session
+    * and cached; eviction deletes the backing files (stale catalog
+    * entries are overwritten on rebuild — table names are deterministic
+    * per input dir). */
+  private val bucketCache = new graft.ops.SessionLru[String](4,
+    st => scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(st))),
+    releaseOnRaceLoss = true)
+
+  private def tableSuffix(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
+  /** Build (once per session/dir) the custkey-bucketed twin tables and
+    * return their names. One file per bucket (repartition on the bucket
+    * key first) so bucket reads stay one-task-per-bucket and the
+    * write-time shuffle is the ONLY shuffle any later custkey join pays.
+    */
+  private[graft] def bucketedTables(spark: SparkSession, dir: String): (String, String) = {
+    val suf = tableSuffix(dir)
+    val (ordTbl, custTbl) = (s"graft_orders_bkt_$suf", s"graft_customer_bkt_$suf")
+    val fp = graft.ops.SessionLru.pathFingerprint(spark, s"$dir/orders.parquet") +
+      "|" + graft.ops.SessionLru.pathFingerprint(spark, s"$dir/customer.parquet")
+    bucketCache.getOrBuild(spark, "bucketed:" + dir, fp) {
+      val base = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+      def write(df: DataFrame, key: String, table: String): Unit =
+        df.repartition(Buckets, col(key))
+          .write.mode("overwrite")
+          .bucketBy(Buckets, key).sortBy(key)
+          .option("path", s"$base/$table")
+          .format("parquet").saveAsTable(table)
+      write(Tables.orders(spark, dir), "o_custkey", ordTbl)
+      write(Tables.customer(spark, dir), "c_custkey", custTbl)
+      base
+    }
+    (ordTbl, custTbl)
+  }
+
+  /** q73: revenue by market segment off the co-located layout. The join
+    * runs exchange-free (both sides pre-bucketed on custkey); only the
+    * 5-group segment aggregate shuffles, and it moves partial rows. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (ordTbl, custTbl) = bucketedTables(spark, dir)
+    spark.table(ordTbl)
+      .join(spark.table(custTbl), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sumD(col("o_totalprice")).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val bucketedJoinSql: String =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+       |  ${sumDSql("o_totalprice")} AS revenue
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** q74: per-event-type totals through the salted two-stage aggregate.
+    * Five hot keys over the whole events table is the shape where a
+    * single-stage plan funnels every row into five reducers; the salted
+    * form's first shuffle spreads each key over 32 sub-keys and its
+    * second moves 32 partial rows per key. (For sum/count Spark's own
+    * map-side partials already balance — the gate-visible point is that
+    * the rewrite is row-preserving for the aggregates it claims; the
+    * technique pays off when partial state is too big to combine
+    * map-side, e.g. large collect-style or high-cardinality-distinct
+    * buffers.) */
+  def saltedTypeTotals(spark: SparkSession, dir: String): DataFrame =
+    ScaleOps.saltedAggregate(Tables.events(spark, dir),
+      Seq(col("event_type")), buckets = 32,
+      partial = Seq(count(lit(1)).as("pc"),
+        sum(Exact.dec2(col("value"))).as("ps")),
+      fin = Seq(sum(col("pc")).as("n"),
+        sum(col("ps")).cast("double").as("total_value")))
+      .orderBy(col("event_type"))
+
+  val saltedTypeTotalsSql: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  ${sumDSql("value")} AS total_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q75: brand revenue through the salted skew join — lineitem salted
+    * per row, part replicated once per salt, equi-join on
+    * (partkey, salt). The plain-join oracle proves replication+salting
+    * changes the schedule, never the rows. */
+  def saltedBrandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("partkey"), col("l_extendedprice"))
+    val pt = Tables.part(spark, dir)
+      .select(col("p_partkey").as("partkey"), col("p_brand"))
+    ScaleOps.saltedJoin(li, pt, "partkey", buckets = 16)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), sumD(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  val saltedBrandRevenueSql: String =
+    s"""SELECT p_brand, COUNT(*) AS n_items,
+       |  ${sumDSql("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_bucketed_join" -> (bucketedJoin _),
+    "q74_salted_agg" -> (saltedTypeTotals _),
+    "q75_salted_join" -> (saltedBrandRevenue _))
+
+  val oracle: Map[String, String] = Map(
+    "q73_bucketed_join" -> bucketedJoinSql,
+    "q74_salted_agg" -> saltedTypeTotalsSql,
+    "q75_salted_join" -> saltedBrandRevenueSql)
+}

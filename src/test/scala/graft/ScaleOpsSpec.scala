@@ -75,6 +75,38 @@ class ScaleOpsSpec extends SparkTestBase {
       li.join(o, col("l_orderkey") === col("o_orderkey")).count())
   }
 
+  test("q73 bucketed-join query: only the segment aggregate shuffles") {
+    val q = graft.queries.ScaleQueries.bucketedJoin(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // one hash exchange for the 5-group aggregate; the custkey join itself
+    // is exchange-free because both tables are pre-bucketed on its key
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1, s"expected 1 exchange (the aggregate):\n$plan")
+    // and the result equals the plain-table formulation bit for bit
+    val plain = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.queries.Exact.sumD(col("o_totalprice")).as("revenue"))
+    assert(q.exceptAll(plain).count() == 0 && plain.exceptAll(q).count() == 0)
+  }
+
+  test("q74/q75 salted query entries equal their plain formulations") {
+    val q74 = graft.queries.ScaleQueries.saltedTypeTotals(spark, sf)
+    val plain74 = Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Exact.sumD(col("value")).as("total_value"))
+    assert(q74.exceptAll(plain74).count() == 0 && plain74.exceptAll(q74).count() == 0)
+
+    val q75 = graft.queries.ScaleQueries.saltedBrandRevenue(spark, sf)
+    val plain75 = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.queries.Exact.sumD(col("l_extendedprice")).as("revenue"))
+    assert(q75.exceptAll(plain75).count() == 0 && plain75.exceptAll(q75).count() == 0)
+  }
+
   test("cappedBandJoin drops super-frequent buckets, keeps the rest exactly") {
     import spark.implicits._
     // bucket "hot" holds 50 ids (C(50,2)=1225 junk pairs), two small
