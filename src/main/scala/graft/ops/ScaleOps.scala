@@ -29,14 +29,25 @@ object ScaleOps {
     stage1.groupBy(keys: _*).agg(fin.head, fin.tail: _*)
   }
 
-  /** Skew-proof equi-join of a large skewed frame against a small frame:
-    * the big side gets a deterministic-per-row salt, the small side is
-    * replicated once per salt value, and the join key becomes
-    * (key, salt) — hot keys spread over `buckets` tasks. Use when the
-    * small side is too big to broadcast but the key histogram is spiky.
+  /** Skew-proof equi-join of a large skewed frame against a small frame.
+    * Hybrid form: a cheap sampled histogram of the big side's key column
+    * finds the keys hot enough to choke a single task
+    * (≥ `hotRowThreshold` estimated rows); ONLY those rows get a
+    * deterministic-per-row salt, with the matching small-side slice
+    * replicated once per salt value and joined on (key, salt). Every
+    * cold key takes the plain equi-join — no salt column, no
+    * replication — and the two branches union. With no hot keys at all
+    * the call degenerates to the plain join and pays only the sample.
+    *
+    * Salting every row (the naive form) taxes the common case to fix the
+    * rare one: the small side shuffles `buckets`× its size even when the
+    * histogram is flat. Use when the small side is too big to broadcast
+    * but the key histogram is (or might be) spiky.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-      buckets: Int, joinType: String = "inner"): DataFrame = {
+      buckets: Int, joinType: String = "inner",
+      hotRowThreshold: Long = 4L << 20, sampleFraction: Double = 0.01,
+      maxHotKeys: Int = 1024): DataFrame = {
     // right/full outer would emit each unmatched small-side row once per
     // salt replica — only join types that never null-pad the small side
     // are sound under replication.
@@ -45,12 +56,42 @@ object ScaleOps {
       .contains(joinType.toLowerCase),
       s"saltedJoin: joinType '$joinType' would duplicate unmatched " +
         "small-side rows across salt replicas; use inner/left/semi/anti")
-    val bigSalted = big.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
-    val smallExploded = small.withColumn("__salt",
-      explode(sequence(lit(0L), lit(buckets - 1L))))
-    bigSalted.join(smallExploded, Seq(key, "__salt"), joinType)
+    val hot = sampleHotKeys(big, key, hotRowThreshold, sampleFraction, maxHotKeys)
+    if (hot.isEmpty) return big.join(small, Seq(key), joinType)
+    // null-safe split: isin(null) yields NULL, and big-side null-key rows
+    // belong in the cold branch (they never equi-match but left/anti must
+    // keep them exactly once)
+    val isHot = coalesce(col(key).isin(hot: _*), lit(false))
+    val hotJoined = big.filter(isHot)
+      .withColumn("__salt",
+        pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+      .join(small.filter(coalesce(col(key).isin(hot: _*), lit(false)))
+        .withColumn("__salt", explode(sequence(lit(0L), lit(buckets - 1L)))),
+        Seq(key, "__salt"), joinType)
       .drop("__salt")
+    val coldJoined = big.filter(!isHot)
+      .join(small.filter(!coalesce(col(key).isin(hot: _*), lit(false))),
+        Seq(key), joinType)
+    hotJoined.unionByName(coldJoined)
+  }
+
+  /** Estimated-hot keys of `df.key`: sample `fraction` of the column,
+    * keep keys whose sampled count extrapolates to ≥ `rowThreshold` full
+    * rows, cap at the `maxKeys` most frequent (a driver-bounded handful
+    * of scalars — the histogram itself never leaves the executors).
+    * Seeded sample → deterministic across retries of the same plan.
+    */
+  private[graft] def sampleHotKeys(df: DataFrame, key: String,
+      rowThreshold: Long, fraction: Double, maxKeys: Int): Seq[Any] = {
+    require(fraction > 0 && fraction <= 1, s"sampleFraction $fraction not in (0,1]")
+    val minSampled = math.max(1L, math.round(rowThreshold * fraction))
+    df.select(col(key)).filter(col(key).isNotNull)
+      .sample(withReplacement = false, fraction, seed = 7L)
+      .groupBy(col(key)).count()
+      .filter(col("count") >= minSampled)
+      .orderBy(col("count").desc, col(key))
+      .limit(maxKeys)
+      .collect().map(_.get(0)).toSeq
   }
 
   /** Rebalance a skinny source before CPU-heavy per-row work. A scan's
@@ -336,14 +377,35 @@ object ScaleOps {
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
     if (!fs.exists(p) && fs.exists(bak)) fs.rename(bak, p) // crash recovery
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    val bytes = fs.getContentSummary(p).getLength
-    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(path).repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
+    val (frame, nFiles) = compactFrame(spark, path, targetBytes)
+    frame.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(bak)) fs.delete(bak, true)
     fs.rename(p, bak)
     fs.rename(tmp, p)
     fs.delete(bak, true)
     nFiles
+  }
+
+  /** The rewrite plan [[compact]] executes: (frame to write, target file
+    * count). The common case — merging MANY near-uniform small files into
+    * fewer — takes `coalesce`: a shuffle-free merge of scan partitions
+    * that halves the I/O (read once, write once — `repartition` also
+    * shuffles every byte through the exchange). `repartition` remains for
+    * the shapes coalesce handles badly: growing the file count (coalesce
+    * cannot), or skewed inputs (one file ≥ 2× the mean), where merging
+    * neighbors without redistribution would just re-emit the skew.
+    */
+  private[graft] def compactFrame(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetBytes: Long): (org.apache.spark.sql.DataFrame, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+    val bytes = files.map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path)
+    val shrinkUniform = files.length > nFiles &&
+      files.map(_.getLen).max.toDouble <= 2.0 * bytes / files.length
+    (if (shrinkUniform) df.coalesce(nFiles) else df.repartition(nFiles), nFiles)
   }
 }

@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   * - q74: salted two-stage aggregation ([[ScaleOps.saltedAggregate]]) —
   *   the skewed-hot-key form whose stage-1 shuffle is balanced across
   *   `buckets` sub-keys; the oracle states the plain GROUP BY.
-  * - q75: salted skew join ([[ScaleOps.saltedJoin]]) — lineitem ⋈ part
-  *   with the big side salted and the small side replicated per salt;
-  *   the oracle states the plain join + GROUP BY.
+  * - q75: hybrid skew join ([[ScaleOps.saltedJoin]]) — lineitem ⋈ part;
+  *   with a flat key histogram the sampled probe finds no hot keys and
+  *   the plan degenerates to the plain join. Oracle: plain join + GROUP BY.
+  * - q76: the hybrid's salted branch on planted hot/cold keys — the hot
+  *   key salts over 8 buckets, cold keys plain-join, union must equal
+  *   the plain formulation (oracle states it in SQL).
   */
 object ScaleQueries {
   import Exact.{sumD, sumDSql}
@@ -31,12 +34,21 @@ object ScaleQueries {
   val Buckets = 8
 
   /** Per-dir bucketed (orders, customer) tables, built once per session
-    * and cached; eviction deletes the backing files (stale catalog
-    * entries are overwritten on rebuild — table names are deterministic
-    * per input dir). */
-  private val bucketCache = new graft.ops.SessionLru[String](4,
-    st => scala.util.Try(org.apache.commons.io.FileUtils
-      .deleteDirectory(new java.io.File(st))),
+    * and cached. Eviction drops the catalog entries BEFORE deleting the
+    * backing files — deleting files alone would leave dangling external
+    * tables whose `spark.table()` reads fail until a same-dir rebuild
+    * happened to overwrite them. (Stopped sessions skip the drop: their
+    * in-memory catalog dies with them.) */
+  private case class BucketedTables(spark: SparkSession, base: String,
+      tables: Seq[String])
+  private val bucketCache = new graft.ops.SessionLru[BucketedTables](4,
+    e => {
+      if (!e.spark.sparkContext.isStopped)
+        e.tables.foreach(t =>
+          scala.util.Try(e.spark.sql(s"DROP TABLE IF EXISTS `$t`")))
+      scala.util.Try(org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(e.base)))
+    },
     releaseOnRaceLoss = true)
 
   private def tableSuffix(dir: String): String =
@@ -63,7 +75,7 @@ object ScaleQueries {
           .format("parquet").saveAsTable(table)
       write(Tables.orders(spark, dir), "o_custkey", ordTbl)
       write(Tables.customer(spark, dir), "c_custkey", custTbl)
-      base
+      BucketedTables(spark, base, Seq(ordTbl, custTbl))
     }
     (ordTbl, custTbl)
   }
@@ -110,10 +122,13 @@ object ScaleQueries {
        |  ${sumDSql("value")} AS total_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** q75: brand revenue through the salted skew join — lineitem salted
-    * per row, part replicated once per salt, equi-join on
-    * (partkey, salt). The plain-join oracle proves replication+salting
-    * changes the schedule, never the rows. */
+  /** q75: brand revenue through the hybrid skew join. lineitem's partkey
+    * histogram is flat, so the sampled hot-key probe finds nothing and
+    * the call degenerates to the plain equi-join — the hybrid's designed
+    * behavior for non-skewed data (the naive all-rows salting this
+    * replaced paid a 16× small-side replication here for no benefit).
+    * The plain-join oracle proves the probe+branch machinery changes the
+    * schedule, never the rows; q76 gates the salted branch itself. */
   def saltedBrandRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("partkey"), col("l_extendedprice"))
@@ -131,13 +146,45 @@ object ScaleQueries {
        |FROM lineitem JOIN part ON l_partkey = p_partkey
        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** q76: the hybrid skew join's SALTED branch under the oracle gate, on
+    * genuinely mixed hot/cold keys. Events collapse to a skewed key
+    * (users 0..9 keep their id ≈67 rows each at every SF; everyone else
+    * collapses to -1, holding 30–99% of the table). With
+    * hotRowThreshold=150 and an exact histogram (fraction 1.0 — the
+    * events table is the small end of the bench), key -1 salts across 8
+    * buckets while keys 0..9 plain-join, and the union must reproduce
+    * the plain formulation row for row. */
+  def hybridSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(when(col("user_id") < 10, col("user_id")).otherwise(lit(-1L))
+        .cast("long").as("k"), col("value"))
+    val dim = ev.select(col("k")).distinct()
+      .withColumn("grp", concat(lit("grp_"), col("k").cast("string")))
+    ScaleOps.saltedJoin(ev, dim, "k", buckets = 8,
+        hotRowThreshold = 150L, sampleFraction = 1.0)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sumD(col("value")).as("total_value"))
+      .orderBy(col("grp"))
+  }
+
+  val hybridSkewJoinSql: String =
+    s"""WITH ev AS (
+       |  SELECT CASE WHEN user_id < 10 THEN user_id ELSE -1 END AS k, value
+       |  FROM events),
+       |dim AS (SELECT DISTINCT k, concat('grp_', CAST(k AS VARCHAR)) AS grp FROM ev)
+       |SELECT grp, COUNT(*) AS n, ${sumDSql("value")} AS total_value
+       |FROM ev JOIN dim USING (k)
+       |GROUP BY grp ORDER BY grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_bucketed_join" -> (bucketedJoin _),
     "q74_salted_agg" -> (saltedTypeTotals _),
-    "q75_salted_join" -> (saltedBrandRevenue _))
+    "q75_salted_join" -> (saltedBrandRevenue _),
+    "q76_skew_join_hybrid" -> (hybridSkewJoin _))
 
   val oracle: Map[String, String] = Map(
     "q73_bucketed_join" -> bucketedJoinSql,
     "q74_salted_agg" -> saltedTypeTotalsSql,
-    "q75_salted_join" -> saltedBrandRevenueSql)
+    "q75_salted_join" -> saltedBrandRevenueSql,
+    "q76_skew_join_hybrid" -> hybridSkewJoinSql)
 }

@@ -31,6 +31,62 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(salted.exceptAll(plain).count() == 0)
   }
 
+  test("sampleHotKeys finds exactly the planted hot key") {
+    // key 0 holds 9000 of 10000 rows; every other key ≤ ~150
+    val hot = ScaleOps.sampleHotKeys(skewed, "k",
+      rowThreshold = 1000L, fraction = 1.0, maxKeys = 16)
+    assert(hot == Seq(0L), s"hot set: $hot")
+    // threshold above every key's count: nothing is hot
+    assert(ScaleOps.sampleHotKeys(skewed, "k", 20000L, 1.0, 16).isEmpty)
+  }
+
+  test("hybrid saltedJoin: only the hot branch carries the salt; cold joins plain") {
+    val dim = (0L to 6L).map(k => (k, s"name_$k")).toDF("k", "name")
+    val hybrid = ScaleOps.saltedJoin(skewed, dim, "k", 8,
+      hotRowThreshold = 1000L, sampleFraction = 1.0)
+    val planJoins = hybrid.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Join")).toSeq
+    // two join branches union'd: exactly one joins on (k, __salt), the
+    // cold branch joins on k alone — no salt column, no replication
+    assert(planJoins.count(_.contains("__salt")) == 1,
+      s"expected exactly one salted join:\n${planJoins.mkString("\n")}")
+    assert(planJoins.exists(l => !l.contains("__salt")),
+      s"expected a plain cold-branch join:\n${planJoins.mkString("\n")}")
+    val plain = skewed.join(dim, Seq("k")).select("k", "v", "name")
+    val got = hybrid.select("k", "v", "name")
+    assert(got.count() == plain.count())
+    assert(got.exceptAll(plain).count() == 0 && plain.exceptAll(got).count() == 0)
+  }
+
+  test("hybrid saltedJoin preserves left/semi/anti semantics across the branch split") {
+    import spark.implicits._
+    // dim misses key 3 and the null key; big has null-key rows that the
+    // cold branch must keep exactly once under left/anti
+    val big = (skewed.select($"k".cast("long").as("k"), $"v") union
+      Seq((null.asInstanceOf[java.lang.Long], -1.0)).toDF("k", "v")
+        .select($"k".cast("long").as("k"), $"v"))
+    val dim = Seq(0L, 1L, 2L, 4L, 5L, 6L).map(k => (k, s"name_$k")).toDF("k", "name")
+    for (jt <- Seq("left", "left_semi", "left_anti")) {
+      val plain = big.join(dim, Seq("k"), jt)
+      val hybrid = ScaleOps.saltedJoin(big, dim, "k", 8,
+        joinType = jt, hotRowThreshold = 1000L, sampleFraction = 1.0)
+      assert(hybrid.count() == plain.count(), s"$jt count")
+      assert(hybrid.exceptAll(plain).count() == 0 &&
+        plain.exceptAll(hybrid).count() == 0, s"$jt rows")
+    }
+  }
+
+  test("q76 hybrid skew query equals its plain formulation") {
+    val q76 = graft.queries.ScaleQueries.hybridSkewJoin(spark, sf)
+    val ev = Tables.events(spark, sf)
+      .select(when(col("user_id") < 10, col("user_id")).otherwise(lit(-1L))
+        .cast("long").as("k"), col("value"))
+    val plain = ev.groupBy(concat(lit("grp_"), col("k").cast("string")).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Exact.sumD(col("value")).as("total_value"))
+    assert(q76.exceptAll(plain).count() == 0 && plain.exceptAll(q76).count() == 0)
+  }
+
   test("compact: many small files -> few files, same rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
     val df = (1 to 5000).map(i => (i.toLong, s"row_$i")).toDF("id", "payload")
@@ -43,6 +99,27 @@ class ScaleOpsSpec extends SparkTestBase {
     val back = spark.read.parquet(dir)
     assert(back.count() == 5000)
     assert(back.agg(sum("id")).head().getLong(0) == 5000L * 5001 / 2)
+  }
+
+  test("compact shrink plans shuffle-free (coalesce); grow/skew keep repartition") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cplan").toString
+    val df = (1 to 5000).map(i => (i.toLong, s"row_$i")).toDF("id", "payload")
+    // shrink, near-uniform files -> coalesce: no exchange in the plan
+    df.repartition(64).write.parquet(s"$base/uniform")
+    val (shrink, n1) = ScaleOps.compactFrame(spark, s"$base/uniform", 1L << 20)
+    assert(n1 < 64)
+    val shrinkPlan = shrink.queryExecution.executedPlan.toString
+    assert(!shrinkPlan.contains("Exchange"), s"shrink should not shuffle:\n$shrinkPlan")
+    assert(shrinkPlan.contains("Coalesce"), shrinkPlan)
+    // growing the file count cannot coalesce -> repartition (exchange)
+    df.coalesce(1).write.parquet(s"$base/one")
+    val (grow, _) = ScaleOps.compactFrame(spark, s"$base/one", 1L)
+    assert(grow.queryExecution.executedPlan.toString.contains("Exchange"))
+    // skewed inputs (one file far over the mean) redistribute too
+    df.repartition(40).write.parquet(s"$base/skew")
+    df.limit(4000).coalesce(1).write.mode("append").parquet(s"$base/skew")
+    val (skew, _) = ScaleOps.compactFrame(spark, s"$base/skew", 1L << 20)
+    assert(skew.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
   test("hive-partitioned write prunes partitions at scan time") {
