@@ -89,19 +89,22 @@ object Relational2 {
       |ORDER BY kind, c_custkey""".stripMargin
 
   /** As-of join: each event matched to the user's latest order with
-    * o_orderdate <= ts. Orders are first deduped to one per
-    * (custkey, orderdate) so the as-of match is unique — DuckDB's ASOF
-    * JOIN picks an arbitrary row among equal keys otherwise.
+    * o_orderdate <= ts, ties on orderdate broken toward the max
+    * orderkey (DuckDB's ASOF JOIN picks an arbitrary row among equal
+    * keys, so the oracle dedupes explicitly — see [[asofJoinSql]]).
     *
-    * Plan shape: the merge form — union both sides, one sort per user
-    * key, last-observation-carried-forward window. Intermediate size is
-    * O(events + orders); the equi-join + range-filter alternative
-    * materializes O(events × orders-per-user) rows before its aggregate
-    * (10M+ at sf0.1, unbounded at 100 TB for active keys), so the union
-    * + window IS the scale-correct as-of and results are verified
-    * identical. Sort key (t, kind, okey) with orders as kind=0 makes an
-    * order dated exactly at ts eligible (<=) and picks the max orderkey
-    * among same-date orders deterministically.
+    * Plan shape: the merge form — union both sides, ONE shuffle on the
+    * user key, last-observation-carried-forward window. Intermediate
+    * size is O(events + orders); the equi-join + range-filter
+    * alternative materializes O(events × orders-per-user) rows before
+    * its aggregate (10M+ at sf0.1, unbounded at 100 TB for active
+    * keys), so the union + window IS the scale-correct as-of and
+    * results are verified identical. No separate orders dedup pass: the
+    * window's ascending (t, kind, okey) sort makes `last(...)` see the
+    * max-orderkey row of a tied (custkey, orderdate) group LAST, so the
+    * tie-break happens inside the one sort the window pays anyway
+    * (the pre-aggregate this replaces cost a second shuffle of the
+    * orders side on a key the window couldn't reuse).
     */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -110,10 +113,9 @@ object Relational2 {
       .withColumn("okey", lit(null).cast("long"))
       .withColumn("odate", lit(null).cast("long"))
     val o = Tables.orders(spark, dir)
-      .groupBy(col("o_custkey"), col("o_orderdate"))
-      .agg(max(col("o_orderkey")).as("okey"))
       .select(col("o_custkey").as("user_id"),
-        unix_micros(col("o_orderdate").cast("timestamp")).as("t"), col("okey"))
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+        col("o_orderkey").as("okey"))
       .withColumn("kind", lit(0))
       .withColumn("event_id", lit(null).cast("long"))
       .withColumn("odate", col("t"))
