@@ -10,27 +10,55 @@ import org.apache.spark.sql.functions._
 object Profiling {
   import Exact._
 
-  /** Sketch-based profile: HLL++ distinct counts and approximate
-    * quantiles. No portable oracle exists (DuckDB's approx algorithms
-    * differ), so this is a rows-only query by design — the exact twins
-    * are q20/q33/q35. Output is all-scalar: the driver's comparator
-    * sorts every column even for rows-only queries, and array cells
-    * break that sort.
+  /** Sketch-based profile under an oracle-checkable CONTRACT. The raw
+    * HLL++ / approximate-quantile outputs have no portable oracle
+    * (DuckDB's approx algorithms differ), so the query emits the
+    * accuracy contract instead: each sketch value is compared against
+    * its exact twin computed in the same aggregation, and the booleans
+    * must all be true — which DuckDB can state literally, making the
+    * query hash-comparable (the q57 recall-gate move). A sketch
+    * implementation regression (or a tolerance violation at scale) flips
+    * a boolean and fails the gate. Tolerances: HLL++ at default
+    * rsd=0.05 → 10% (2σ); at rsd=0.01 → 3% (3σ); quantile sketches at
+    * accuracy 10000 (rank error ≤ 0.01%) → median inside the exact IQR,
+    * p25/p75 within 5% relative of their exact values.
     */
   def sketchProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_median_qty"),
+        approx_count_distinct(col("l_orderkey")).as("ao"),
+        countDistinct(col("l_orderkey")).as("eo"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+        countDistinct(col("l_partkey")).as("ep"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("amq"),
+        percentile(col("l_quantity"), lit(0.25)).as("eq25"),
+        percentile(col("l_quantity"), lit(0.75)).as("eq75"),
         percentile_approx(col("l_extendedprice"),
-          array(lit(0.25), lit(0.75)), lit(10000)).as("pq"))
-      .select(col("l_returnflag"), col("approx_orders"), col("approx_parts"),
-        col("approx_median_qty"),
-        col("pq").getItem(0).as("approx_p25_price"),
-        col("pq").getItem(1).as("approx_p75_price"))
+          array(lit(0.25), lit(0.75)), lit(10000)).as("apq"),
+        percentile(col("l_extendedprice"), lit(0.25)).as("ep25"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("ep75"))
+      .select(col("l_returnflag"),
+        (abs(col("ao") - col("eo")) <= col("eo") * 0.10)
+          .as("approx_orders_within_10pct"),
+        (abs(col("ap") - col("ep")) <= col("ep") * 0.03)
+          .as("approx_parts_within_3pct"),
+        col("amq").between(col("eq25"), col("eq75"))
+          .as("approx_median_qty_in_iqr"),
+        (abs(col("apq").getItem(0) - col("ep25")) <= abs(col("ep25")) * 0.05)
+          .as("approx_p25_price_within_5pct"),
+        (abs(col("apq").getItem(1) - col("ep75")) <= abs(col("ep75")) * 0.05)
+          .as("approx_p75_price_within_5pct"))
       .orderBy(col("l_returnflag"))
+
+  val sketchProfileSql: String =
+    """SELECT l_returnflag,
+      |  TRUE AS approx_orders_within_10pct,
+      |  TRUE AS approx_parts_within_3pct,
+      |  TRUE AS approx_median_qty_in_iqr,
+      |  TRUE AS approx_p25_price_within_5pct,
+      |  TRUE AS approx_p75_price_within_5pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Exact second moments: variance, stddev, and correlation computed
     * from decimal sums (order-independent), combined in double with the
@@ -272,6 +300,7 @@ object Profiling {
   val oracle: Map[String, String] = Map(
     "q65_column_profile" -> columnProfileSql,
     "q66_histogram" -> histogramSql,
+    "q32_sketch_profile" -> sketchProfileSql,
     "q33_stats_moments" -> statsMomentsSql,
     "q34_snapshot_diff" -> snapshotDiffSql,
     "q35_quantiles" -> quantilesSql)

@@ -412,6 +412,37 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q77: the fast (xxhash64) MinHash family's agreement with the md5
+    * family as an oracle-checked contract. q48 itself stays rows-only
+    * (xxhash64 has no DuckDB twin), but both families verify EXACT
+    * shingle-set jaccard, so their >= 0.5 outputs are subsets of the
+    * same true pair set and may differ only by candidate-generation
+    * recall. The gate emits the md5 family's pair count (oracle states
+    * it exactly via the q12 CTE) and an overlap boolean the oracle
+    * states as TRUE: common pairs must cover >= 90% of the larger
+    * family (measured: the sets are identical at every test SF; the
+    * margin absorbs banding-recall drift at scale). A fast-path
+    * regression — wrong hash wiring, broken banding, a bad cap — now
+    * fails CORRECTNESS instead of only a spec.
+    */
+  def minhashFamilyGate(spark: SparkSession, dir: String): DataFrame = {
+    val md5P = neardupPairs(spark, dir).filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val fastP = minhashPairsFast(spark, dir).select(col("doc_a"), col("doc_b"))
+    md5P.agg(count(lit(1)).as("n_pairs_md5"))
+      .crossJoin(fastP.agg(count(lit(1)).as("nf")))
+      .crossJoin(md5P.intersect(fastP).agg(count(lit(1)).as("nc")))
+      .select(col("n_pairs_md5"),
+        (col("nc") >= greatest(col("n_pairs_md5"), col("nf")) * 0.9)
+          .as("families_agree_90pct"))
+  }
+
+  val minhashFamilyGateSql: String =
+    s"""WITH $pairsCte
+       |SELECT count(*) FILTER (jaccard >= 0.5) AS n_pairs_md5,
+       |  TRUE AS families_agree_90pct
+       |FROM pairs""".stripMargin
+
   // -------------------------------------------------------------- simhash
   /** 32-bit SimHash over whitespace tokens. Portable bit extraction: bit i
     * of a token's hash = bit (3 - i%4) of hex digit i/4 of md5(token), so
@@ -659,6 +690,7 @@ object TextOps {
     "q13_simhash" -> (simhash _),
     "q45_minhash_est" -> (minhashEstimatedJaccard _),
     "q48_minhash_fast" -> (minhashPairsFast _),
+    "q77_minhash_family_gate" -> (minhashFamilyGate _),
     "q60_top_bigrams" -> (topBigrams _),
     "q62_repetition" -> (repetitionStats _))
 
@@ -672,6 +704,7 @@ object TextOps {
     "q12_minhash_pairs" -> minhashPairsSql,
     "q13_simhash" -> simhashSql,
     "q45_minhash_est" -> minhashEstimatedJaccardSql,
+    "q77_minhash_family_gate" -> minhashFamilyGateSql,
     "q60_top_bigrams" -> topBigramsSql,
     "q62_repetition" -> repetitionStatsSql)
 }

@@ -205,24 +205,16 @@ class PipelineOpsSpec extends SparkTestBase {
   }
 
   test("sketch profile approximations stay within documented error of exact") {
-    val approx = graft.queries.Profiling.sketchProfile(spark, sf).collect()
-      .map(r => r.getString(0) -> r).toMap
-    val exact = Tables.lineitem(spark, sf)
-      .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_orderkey")).as("orders"),
-        countDistinct(col("l_partkey")).as("parts"),
-        percentile(col("l_quantity"), lit(0.5)).as("median_qty"))
-      .collect().map(r => r.getString(0) -> r).toMap
-    exact.foreach { case (flag, e) =>
-      val a = approx(flag)
-      // HLL++ default rsd 5%, parts built at 1%; allow 3x headroom
-      assert(math.abs(a.getLong(1) - e.getLong(1)).toDouble / e.getLong(1) < 0.15)
-      assert(math.abs(a.getLong(2) - e.getLong(2)).toDouble / e.getLong(2) < 0.03)
-      // percentile_approx with accuracy 10000 on ~20k rows/group: near-
-      // exact (returns the input's integral type; exact percentile is
-      // interpolated double)
-      assert(math.abs(a.getAs[Number](3).doubleValue -
-        e.getAs[Number](3).doubleValue) <= 1.0)
+    // q32 emits its accuracy contract directly (sketch vs exact twin in
+    // one aggregation, booleans the oracle states as TRUE) — the spec
+    // asserts every contract bit holds per group
+    val rows = graft.queries.Profiling.sketchProfile(spark, sf).collect()
+    assert(rows.length == 3) // one per l_returnflag
+    rows.foreach { r =>
+      (1 until r.length).foreach { i =>
+        assert(r.getBoolean(i),
+          s"contract column $i false for flag ${r.getString(0)}")
+      }
     }
   }
 
