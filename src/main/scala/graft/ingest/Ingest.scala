@@ -24,25 +24,55 @@ object Ingest {
     .add("x", StringType).add("y", StringType)
     .add("play", StringType)
 
+  /** Kafka scan options shared by both source flavors — a pure function
+    * so the wiring is unit-testable without a broker on the classpath
+    * (this environment ships no Kafka jars; see BUILD_NOTES "Kafka
+    * verification boundary").
+    *
+    * Scale knobs for a multi-partition topic at 100 TB/day rates:
+    *  - `minPartitions`: Spark's Kafka scan defaults to one input
+    *    partition per topic-partition. A topic carved into fewer
+    *    partitions than the cluster has cores (the reference's topic has
+    *    ONE — dags/kafka_stream_dag.py:44) serializes the read;
+    *    minPartitions > #topic-partitions makes the scan split offset
+    *    ranges so every core pulls concurrently. Left unset when <= 0.
+    *  - `maxOffsetsPerTrigger`: caps records per micro-batch so a
+    *    first drain of a deep topic (or a catch-up after downtime)
+    *    becomes N bounded batches instead of one giant batch that must
+    *    fit executor memory/spill budgets. With AvailableNow the drain
+    *    still runs to completion — in bounded steps, each
+    *    checkpointed. Left unset when <= 0 (batch reads ignore it).
+    */
+  private[graft] def kafkaOptions(servers: String, topic: String,
+      minPartitions: Int = 0, maxOffsetsPerTrigger: Long = 0L): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> servers,
+      "subscribe" -> topic,
+      "startingOffsets" -> "earliest") ++
+      (if (minPartitions > 0) Map("minPartitions" -> minPartitions.toString)
+       else Map.empty) ++
+      (if (maxOffsetsPerTrigger > 0L)
+        Map("maxOffsetsPerTrigger" -> maxOffsetsPerTrigger.toString)
+       else Map.empty)
+
   /** S1, batch flavor: drain the topic earliest→latest once
     * (spark_processing.py:53-59). */
-  def kafkaBatchSource(spark: SparkSession, servers: String, topic: String): DataFrame =
+  def kafkaBatchSource(spark: SparkSession, servers: String, topic: String,
+      minPartitions: Int = 0): DataFrame =
     spark.read.format("kafka")
-      .option("kafka.bootstrap.servers", servers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
+      .options(kafkaOptions(servers, topic, minPartitions))
       .load()
 
   /** S1, idiomatic flavor: Structured Streaming with Trigger.AvailableNow
     * — "drain everything currently in the topic, then stop", restart-safe
     * via checkpointed offsets (replaces the reference DAG's destroy-the-
-    * topic progress tracking, kafka_stream_dag.py:41-45).
+    * topic progress tracking, kafka_stream_dag.py:41-45). See
+    * [[kafkaOptions]] for the multi-partition scale knobs.
     */
-  def kafkaStreamSource(spark: SparkSession, servers: String, topic: String): DataFrame =
+  def kafkaStreamSource(spark: SparkSession, servers: String, topic: String,
+      minPartitions: Int = 0, maxOffsetsPerTrigger: Long = 0L): DataFrame =
     spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", servers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
+      .options(kafkaOptions(servers, topic, minPartitions, maxOffsetsPerTrigger))
       .load()
 
   /** P1→P4: the full transform chain (spark_processing.py:68-135). Works

@@ -18,6 +18,25 @@ class PipelineE2ESpec extends SparkTestBase {
        |"winner":"$winner","loser":"$loser","x":"10","y":"20",
        |"play":"$play"}""".stripMargin.replace("\n", "")
 
+  test("kafka option wiring: envelope options + scale knobs set iff requested") {
+    // no broker exists in this environment (and no Kafka connector jar),
+    // so the option-construction seam is what's verifiable: the exact
+    // map both source flavors hand to the kafka format
+    val base = Ingest.kafkaOptions("b1:9092,b2:9092", "shots")
+    assert(base == Map(
+      "kafka.bootstrap.servers" -> "b1:9092,b2:9092",
+      "subscribe" -> "shots",
+      "startingOffsets" -> "earliest"))
+    // scale knobs appear only when positive — Spark rejects
+    // minPartitions=0 and maxOffsetsPerTrigger=0 outright
+    val scaled = Ingest.kafkaOptions("b:9092", "shots",
+      minPartitions = 64, maxOffsetsPerTrigger = 5000000L)
+    assert(scaled("minPartitions") == "64")
+    assert(scaled("maxOffsetsPerTrigger") == "5000000")
+    assert(Ingest.kafkaOptions("b:9092", "shots", -1, -1L) == base +
+      ("kafka.bootstrap.servers" -> "b:9092"))
+  }
+
   test("ingest -> delta csv -> merge with season tgz -> republish") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pipe").toString
 
