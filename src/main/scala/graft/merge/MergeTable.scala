@@ -50,12 +50,19 @@ object MergeTable {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  // Key names are percent-encoded before the comma-join so a column name
+  // containing a comma (legal in Spark via backticks) round-trips as ONE
+  // key instead of silently splitting into two and failing every later
+  // checkMeta comparison for identical parameters.
+  private def encKey(k: String): String =
+    java.net.URLEncoder.encode(k, "UTF-8")
+  private def decKey(k: String): String =
+    java.net.URLDecoder.decode(k, "UTF-8")
+
   private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, keys: Seq[String], nBuckets: Int): Unit = {
     val out = fs.create(new org.apache.hadoop.fs.Path(p, MetaFile), true)
-    // one line per field; keys are column names (newline-free by Spark's
-    // own identifier rules)
-    try out.write(s"nBuckets=$nBuckets\nkeys=${keys.mkString(",")}\n"
+    try out.write(s"nBuckets=$nBuckets\nkeys=${keys.map(encKey).mkString(",")}\n"
       .getBytes("UTF-8"))
     finally out.close()
   }
@@ -64,12 +71,24 @@ object MergeTable {
       p: org.apache.hadoop.fs.Path): Option[(Int, Seq[String])] = {
     val f = new org.apache.hadoop.fs.Path(p, MetaFile)
     if (!fs.exists(f)) return None
-    val in = fs.open(f)
-    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    val fields = text.linesIterator.filter(_.contains("="))
-      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
-    Some((fields("nBuckets").toInt,
-      fields("keys").split(",", -1).toSeq.filter(_.nonEmpty)))
+    try {
+      val in = fs.open(f)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val fields = text.linesIterator.filter(_.contains("="))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+      val nBuckets = fields.getOrElse("nBuckets",
+        throw new IllegalStateException("missing nBuckets field")).toInt
+      val keys = fields.getOrElse("keys",
+        throw new IllegalStateException("missing keys field"))
+        .split(",", -1).toSeq.filter(_.nonEmpty).map(decKey)
+      Some((nBuckets, keys))
+    } catch {
+      // name the file: a truncated/corrupt _meta should read as "this
+      // table's metadata is damaged", not a bare NoSuchElement/NumberFormat
+      case e: Exception => throw new IllegalStateException(
+        s"MergeTable: unreadable bucketing metadata at $f — delete or " +
+          s"restore it to merge into this table (${e.getMessage})", e)
+    }
   }
 
   /** Validate caller bucketing against the persisted `_meta`; tables

@@ -39,16 +39,30 @@ object Similarity {
     * every vector (`transform` below), so the index is total either way.
     */
   def buildIvfIndex(emb: DataFrame, k: Int, seed: Long = 42L,
-      maxIter: Int = 5, trainTarget: Long = 100000L): IvfIndex = {
+      maxIter: Int = 5, trainTarget: Long = 100000L,
+      knownCount: Long = -1L): IvfIndex = {
+    require(trainTarget >= k,
+      s"buildIvfIndex: trainTarget=$trainTarget must be >= k=$k — the " +
+        "quantizer cannot fit k centroids on fewer training rows")
     val spark = emb.sparkSession
     val feat = emb.withColumn("fv", array_to_vector(col("embedding")))
-    val n = emb.count()
+    // `knownCount` spares the cardinality job when the caller already
+    // tracks its collection size (a catalog stat, a prior count) — the
+    // count() fallback is one extra pass whose only purpose is sizing
+    // the training sample.
+    val n = if (knownCount >= 0) knownCount else emb.count()
     val train =
       if (n <= trainTarget) feat
-      else feat.sample(withReplacement = false,
-        // 10% headroom: the Bernoulli sample must (almost surely) keep
-        // at least k rows; only boundedness matters, not exactness
-        math.min(1.0, trainTarget.toDouble * 1.1 / n), seed)
+      else {
+        // 10% headroom: the Bernoulli sample must (almost surely) keep at
+        // least k rows; only boundedness matters, not exactness
+        val sampled = feat.sample(withReplacement = false,
+          math.min(1.0, trainTarget.toDouble * 1.1 / n), seed)
+        // trainTarget >= k (required above) makes an under-k sample all
+        // but impossible, but a wrong knownCount could still starve the
+        // fit — top up deterministically rather than fail inside KMeans
+        if (sampled.limit(k).count() < k) feat.limit(k) else sampled
+      }
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(train)

@@ -298,18 +298,35 @@ object Streaming {
       // overwrite (or shadow, if already folded into base) the previous
       // incarnation's docs/band keys while their membership rows persist
       // in members/ — later duplicates of those docs could never link to
-      // them. Fail with the remedy instead. A matching fingerprint (or a
-      // missing stamp — crash before the stamp write) is a genuine replay
-      // of this same batch and proceeds; the overwrite repairs torn state.
-      val docStamp = new org.apache.hadoop.fs.Path(
-        s"$docsDir/batch=$batchId", "_fingerprint")
+      // them. Fail with the remedy instead. A matching fingerprint is a
+      // genuine replay of this same batch and proceeds. A COMPLETE
+      // partition with no stamp is ambiguous — crash in the write→stamp
+      // window (replay, safe) or state written before stamping existed
+      // (different incarnation, the exact orphaning this guard prevents) —
+      // so recompute the fingerprint from the partition's own rows and
+      // decide; the read costs one batch-sized scan in a case that occurs
+      // at most once per crash/upgrade. Only a torn partition (no
+      // _SUCCESS) proceeds unchecked: the overwrite below repairs it.
+      val docPart = new org.apache.hadoop.fs.Path(s"$docsDir/batch=$batchId")
+      val docStamp = new org.apache.hadoop.fs.Path(docPart, "_fingerprint")
       def incarnationError() = throw new IllegalStateException(
         s"clusterSink: batch $batchId already holds state from a different " +
           s"stream incarnation under $statePath (checkpoint reset against " +
           "retained state). Either restore the original checkpoint or " +
           "start from an empty statePath.")
       if (batchId <= foldedUpto(fs, docsDir)) incarnationError()
-      if (smallFileRead(fs, docStamp).exists(_ != batchFp)) incarnationError()
+      smallFileRead(fs, docStamp) match {
+        case Some(fp) => if (fp != batchFp) incarnationError()
+        case None =>
+          if (fs.exists(new org.apache.hadoop.fs.Path(docPart, "_SUCCESS"))) {
+            val r = spark.read.parquet(docPart.toString)
+              .agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id, text))"))
+              .head()
+            val fp = r.getLong(0) + ":" +
+              (if (r.isNullAt(1)) 0L else r.getLong(1))
+            if (fp != batchFp) incarnationError()
+          }
+      }
       val fpFile = new org.apache.hadoop.fs.Path(thisDelta, "_fingerprint")
       // Replay fast path: this batch already durably CHOSE its membership
       // delta (crash after the delta write, possibly mid-way through the

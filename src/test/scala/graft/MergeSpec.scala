@@ -222,6 +222,28 @@ class MergeSpec extends SparkTestBase {
     assert(got.size == 100 && got(1L) == "NEW1")
   }
 
+  test("MergeTable: _meta survives comma-bearing key names and names corrupt files") {
+    import graft.merge.MergeTable
+    // a column literally named "a,b" must round-trip as ONE key — an
+    // unescaped comma-join would re-read it as two keys and fail every
+    // later identical-parameter merge
+    val path = Files.createTempDirectory("graft-mtc").toString + "/t"
+    val base = (1L to 20L).map(i => (i, s"v$i")).toDF("a,b", "v")
+    MergeTable.write(base, path, Seq("a,b"), nBuckets = 4)
+    MergeTable.merge(Seq((1L, "NEW")).toDF("a,b", "v"), path,
+      Seq("a,b"), nBuckets = 4) // same params: must NOT trip checkMeta
+    assert(MergeTable.read(spark, path).collect().length == 20)
+    // a truncated _meta fails with the file's path in the message, not a
+    // bare NoSuchElementException
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_meta"), "nBuck".getBytes("UTF-8"))
+    val boom = intercept[IllegalStateException] {
+      MergeTable.merge(Seq((2L, "X")).toDF("a,b", "v"), path,
+        Seq("a,b"), nBuckets = 4)
+    }
+    assert(boom.getMessage.contains("_meta"), boom.getMessage)
+  }
+
   test("MergeTable.readRetrying survives a swap completing under a deferred scan") {
     import graft.merge.MergeTable
     val path = Files.createTempDirectory("graft-mtrr").toString + "/t"

@@ -299,6 +299,25 @@ class StreamingSpec extends SparkTestBase {
       (n - 1).toLong, s"$dir/plain", ClusterOps.clusterJaccard,
       nBuckets = 4, compactEvery = 0)
     assert(members(s"$dir/plain") == want)
+    // STAMP-LESS retained state (written before fingerprint stamping
+    // existed, or a crash in the write→stamp window): the guard decides
+    // from the partition's own content — same rows proceed (and get
+    // re-stamped), different rows fail instead of silently orphaning
+    val lastStamp = new java.io.File(
+      s"$dir/plain/docs/batch=${n - 1}/_fingerprint")
+    assert(lastStamp.delete(), "fixture: stamp should exist")
+    Streaming.clusterBatch(docs.filter($"doc_id" % n === (n - 1)),
+      (n - 1).toLong, s"$dir/plain", ClusterOps.clusterJaccard,
+      nBuckets = 4, compactEvery = 0)
+    assert(members(s"$dir/plain") == want)
+    assert(lastStamp.exists(), "replay should restore the stamp")
+    assert(lastStamp.delete())
+    val boomStampless = intercept[IllegalStateException] {
+      Streaming.clusterBatch(docs.filter($"doc_id" % n === 1),
+        (n - 1).toLong, s"$dir/plain", ClusterOps.clusterJaccard,
+        nBuckets = 4, compactEvery = 0)
+    }
+    assert(boomStampless.getMessage.contains("incarnation"))
   }
 
   test("clustering sink: replay after a crash mid-members-merge converges (durable delta)") {
