@@ -56,10 +56,18 @@ object Ingest {
        else Map.empty)
 
   /** S1, batch flavor: drain the topic earliest→latest once
-    * (spark_processing.py:53-59). */
+    * (spark_processing.py:53-59).
+    *
+    * `format` defaults to the real Kafka connector; tests pass
+    * [[graft.sources.KafkaLog.Format]] (a DSv2 source implementing the
+    * same option/envelope/offset contract over a local segmented log) so
+    * this exact wiring executes end-to-end in an environment that ships
+    * no Kafka jars — swapping back to the broker is a format-string
+    * change only.
+    */
   def kafkaBatchSource(spark: SparkSession, servers: String, topic: String,
-      minPartitions: Int = 0): DataFrame =
-    spark.read.format("kafka")
+      minPartitions: Int = 0, format: String = "kafka"): DataFrame =
+    spark.read.format(format)
       .options(kafkaOptions(servers, topic, minPartitions))
       .load()
 
@@ -67,11 +75,13 @@ object Ingest {
     * — "drain everything currently in the topic, then stop", restart-safe
     * via checkpointed offsets (replaces the reference DAG's destroy-the-
     * topic progress tracking, kafka_stream_dag.py:41-45). See
-    * [[kafkaOptions]] for the multi-partition scale knobs.
+    * [[kafkaOptions]] for the multi-partition scale knobs and
+    * [[kafkaBatchSource]] for the `format` seam.
     */
   def kafkaStreamSource(spark: SparkSession, servers: String, topic: String,
-      minPartitions: Int = 0, maxOffsetsPerTrigger: Long = 0L): DataFrame =
-    spark.readStream.format("kafka")
+      minPartitions: Int = 0, maxOffsetsPerTrigger: Long = 0L,
+      format: String = "kafka"): DataFrame =
+    spark.readStream.format(format)
       .options(kafkaOptions(servers, topic, minPartitions, maxOffsetsPerTrigger))
       .load()
 

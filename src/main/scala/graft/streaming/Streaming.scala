@@ -28,6 +28,12 @@ object Streaming {
 
   /** File-based streaming source over the events schema — the
     * broker-free twin of the Kafka source (same frame shape downstream).
+    *
+    * TEST/FIXTURE ONLY: it copies the single-file fixture through the
+    * driver's tmp dir to satisfy the file source's directory contract.
+    * Real deployments point `readStream.parquet` at the data's own
+    * directory (or use [[graft.ingest.Ingest.kafkaStreamSource]]) —
+    * never route production data through this driver-side copy.
     */
   def fileEventSource(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

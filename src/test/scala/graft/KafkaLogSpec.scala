@@ -1,0 +1,217 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.ingest.Ingest
+import graft.sources.{KafkaLog, KafkaLogOffset, LogRange}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Drives the Kafka source contract end-to-end through the REAL
+  * `Ingest.kafkaBatchSource`/`kafkaStreamSource` wiring, using the
+  * kafka-log DSv2 source (same options, envelope schema, offset JSON,
+  * admission control) — the closest executable stand-in for a broker in
+  * an environment with no Kafka jars (BUILD_NOTES "Kafka verification
+  * boundary"; reference behavior: scripts/spark_processing.py:53-59 +
+  * topic lifecycle dags/kafka_stream_dag.py:41-45).
+  */
+class KafkaLogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def envelopeJson(gameId: String, play: String): String =
+    s"""{"game_id":"$gameId","year":"2025","month":"01","day":"15",
+       |"winner":"Cleveland","loser":"Boston","x":"10","y":"20",
+       |"play":"$play"}""".stripMargin.replace("\n", "")
+
+  private def mkPlay(i: Int): String =
+    s"1st Q, 10:0$i.0 remaining<br>Player$i made 2-pointer from $i ft<br>Cleveland leads ${2 * i}-0"
+
+  /** n reference-shaped records, deterministic round-robin over parts. */
+  private def produceShots(root: String, topic: String, n: Int, parts: Int,
+      idFrom: Int = 0): Unit = {
+    KafkaLog.createTopic(root, topic, parts)
+    (0 until parts).foreach { p =>
+      val recs = (idFrom until idFrom + n).filter(_ % parts == p).map { i =>
+        KafkaLog.Record(s"k$i", envelopeJson(s"g$i", mkPlay(i % 10)), 1700000000000L + i)
+      }
+      KafkaLog.produce(root, topic, p, recs)
+    }
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("batch read via Ingest.kafkaBatchSource: envelope schema, offsets, parity with in-memory twin") {
+    val root = tmp("klog")
+    produceShots(root, "shots", 12, parts = 3)
+
+    val env = Ingest.kafkaBatchSource(spark, root, "shots", format = KafkaLog.Format)
+    assert(env.schema == KafkaLog.schema)
+
+    // offsets are contiguous from 0 within each partition
+    val offs = env.select($"partition", $"offset").as[(Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(offs.keySet == Set(0, 1, 2))
+    offs.values.foreach(o => assert(o == (0L until o.size).toSeq))
+
+    // the full transform chain over the log equals the same chain over an
+    // in-memory envelope frame (the proven twin)
+    val viaLog = Ingest.transform(env).orderBy($"game_id")
+    val twin = Ingest.transform(
+      (0 until 12).map(i => (s"k$i", envelopeJson(s"g$i", mkPlay(i % 10))))
+        .toDF("key", "value")).orderBy($"game_id")
+    assert(viaLog.collect().toSeq == twin.collect().toSeq)
+
+    // timestamps surface as real TimestampType (micros under the hood;
+    // cast to long = epoch seconds, producer ts = 1700000000000+i ms)
+    val ts = env.select(max($"timestamp").cast("long")).as[Long].head()
+    assert(ts == 1700000000L)
+  }
+
+  test("minPartitions splits offset ranges without changing results") {
+    val root = tmp("klog")
+    produceShots(root, "shots", 40, parts = 2)
+
+    val plain = Ingest.kafkaBatchSource(spark, root, "shots", format = KafkaLog.Format)
+    val split = Ingest.kafkaBatchSource(spark, root, "shots", minPartitions = 8,
+      format = KafkaLog.Format)
+    assert(plain.rdd.getNumPartitions == 2)
+    assert(split.rdd.getNumPartitions == 8)
+
+    def rows(df: DataFrame) = df
+      .select($"partition", $"offset", $"value".cast("string"))
+      .as[(Int, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(rows(split) == rows(plain) && rows(plain).size == 40)
+  }
+
+  test("AvailableNow + maxOffsetsPerTrigger drains in bounded admission-controlled batches") {
+    val root = tmp("klog")
+    produceShots(root, "shots", 25, parts = 2)
+
+    val env = Ingest.kafkaStreamSource(spark, root, "shots",
+      maxOffsetsPerTrigger = 10L, format = KafkaLog.Format)
+    val out = tmp("klog-out")
+    val q = Ingest.transform(env).writeStream
+      .format("parquet").option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val drained = spark.read.parquet(s"$out/data")
+    assert(drained.count() == 25)
+    assert(drained.select("game_id").distinct().count() == 25)
+
+    // the admission cap bounded every micro-batch: 25 rows at <=10/batch
+    // is >=3 batches, visible in the engine's own progress records
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3, s"expected >=3 bounded batches, saw ${batches.length}")
+    assert(batches.forall(_.numInputRows <= 10),
+      batches.map(_.numInputRows).mkString(","))
+
+    // the engine checkpointed OUR offset JSON in Kafka's shape
+    val off0 = new String(Files.readAllBytes(
+      Paths.get(s"$out/ckpt/offsets/0")), "UTF-8")
+    assert(off0.contains(""""shots":{"0":"""),
+      s"checkpointed offset not in Kafka JSON shape: $off0")
+  }
+
+  test("checkpoint resume: a second AvailableNow drain reads only records produced after the first") {
+    val root = tmp("klog")
+    produceShots(root, "shots", 10, parts = 2)
+    val out = tmp("klog-out")
+
+    def drain(): Unit = {
+      val env = Ingest.kafkaStreamSource(spark, root, "shots", format = KafkaLog.Format)
+      val q = Ingest.transform(env).writeStream
+        .format("parquet").option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    drain()
+    assert(spark.read.parquet(s"$out/data").count() == 10)
+
+    // day-2 produce lands mid-lifecycle; same checkpoint picks up exactly
+    // the delta — this replaces the reference DAG's destroy-and-recreate
+    // topic bookkeeping (dags/kafka_stream_dag.py:41-45)
+    produceShots(root, "shots", 7, parts = 2, idFrom = 10)
+    drain()
+    val all = spark.read.parquet(s"$out/data")
+    assert(all.count() == 17)
+    assert(all.select("game_id").distinct().count() == 17, "duplicate replay on resume")
+  }
+
+  test("mid-drain crash and restart: offsets resume, no loss, no duplication") {
+    val root = tmp("klog")
+    produceShots(root, "shots", 24, parts = 2)
+    val out = tmp("klog-out")
+    val sink = s"$out/data"
+
+    @volatile var crashed = false
+    def run(crashOnSecondBatch: Boolean): Unit = {
+      val env = Ingest.kafkaStreamSource(spark, root, "shots",
+        maxOffsetsPerTrigger = 8L, format = KafkaLog.Format)
+      val q = Ingest.transform(env).writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (crashOnSecondBatch && batchId == 1) {
+            crashed = true
+            throw new RuntimeException("injected crash before batch 1 write")
+          }
+          batch.write.mode("append").parquet(sink)
+        }
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      catch { case e: Exception if crashOnSecondBatch => () }
+    }
+
+    run(crashOnSecondBatch = true)
+    assert(crashed, "crash injection never fired")
+    val afterCrash = spark.read.parquet(sink).count()
+    assert(afterCrash == 8, s"exactly batch 0 should have committed, saw $afterCrash")
+
+    run(crashOnSecondBatch = false)
+    val all = spark.read.parquet(sink)
+    assert(all.count() == 24, s"resume lost or replayed rows: ${all.count()}")
+    assert(all.select("game_id").distinct().count() == 24)
+  }
+
+  test("startingOffsets=latest: batch scan of existing data is empty") {
+    val root = tmp("klog")
+    produceShots(root, "shots", 6, parts = 2)
+    val df = spark.read.format(KafkaLog.Format)
+      .option("kafka.bootstrap.servers", root)
+      .option("subscribe", "shots")
+      .option("startingOffsets", "latest")
+      .load()
+    assert(df.count() == 0)
+  }
+
+  test("splitRanges: covers the same offsets, no overlap, deterministic") {
+    val base = Seq(LogRange("r", "t", 0, 0L, 100L), LogRange("r", "t", 1, 0L, 10L))
+    val split = KafkaLog.splitRanges(base, 8)
+    assert(split.size == 8)
+    assert(split == KafkaLog.splitRanges(base, 8), "non-deterministic split")
+    // per partition: contiguous, non-overlapping, full coverage
+    base.foreach { r =>
+      val rs = split.filter(_.partition == r.partition).sortBy(_.start)
+      assert(rs.head.start == r.start && rs.last.end == r.end)
+      rs.sliding(2).foreach {
+        case Seq(a, b) => assert(a.end == b.start)
+        case _ =>
+      }
+    }
+    // unsplittable ranges stay whole
+    assert(KafkaLog.splitRanges(Seq(LogRange("r", "t", 0, 5L, 6L)), 4).size == 1)
+  }
+
+  test("offset JSON round-trips in Kafka's shape, numeric topic names included") {
+    val o = KafkaLogOffset("shots", Map(1 -> 7L, 0 -> 5L))
+    assert(o.json() == """{"shots":{"0":5,"1":7}}""")
+    assert(KafkaLogOffset.fromJson("shots", o.json()) == o)
+    val numeric = KafkaLogOffset("123", Map(0 -> 42L))
+    assert(KafkaLogOffset.fromJson("123", numeric.json()) == numeric)
+  }
+}
