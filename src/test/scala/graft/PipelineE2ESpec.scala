@@ -164,6 +164,70 @@ class PipelineE2ESpec extends SparkTestBase {
     assert(back.filter($"game_id" === "g2").count() == 2)
   }
 
+  test("reference DAG on the kafka-shaped source: produce -> drain -> csv delta -> merge -> republish, two days on one checkpoint") {
+    // The complete reference workflow (SURVEY.md §3) with the INGEST leg
+    // on the kafka-log DSv2 source instead of the file twin: the envelope
+    // now enters through the real `Ingest.kafkaStreamSource` wiring
+    // (options, offset JSON, AvailableNow snapshot), so every stage of
+    // the DAG — topic → transform → ongoing/ CSV → tgz merge → publish —
+    // executes with no stand-in frames anywhere.
+    import graft.sources.KafkaLog
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe-klog").toString
+    val root = s"$dir/log"
+    KafkaLog.createTopic(root, "shots", 2)
+    def rec(i: Int, json: String) = KafkaLog.Record(s"k$i", json, 1700000000000L + i)
+    val tatumPlay =
+      "2nd Q, 5:30.0 remaining<br>Jayson Tatum missed 3-pointer from 26 ft<br>Boston trails 40-48"
+
+    // day-0 season artifact the DAG merges into
+    val season = s"$dir/shots-2025.tgz"
+    Merge.publishTgz(Ingest.transform(Seq(
+      ("z0", envelopeJson("g0", "Utah", "Chicago",
+        "3rd Q, 2:15.0 remaining<br>Lauri Markkanen made 3-pointer from 24 ft<br>Utah leads 70-60"))
+    ).toDF("key", "value")), s"$dir/t0", season, "shots-2025.csv")
+
+    def drain(): Unit = Ingest.streamToCsv(
+      Ingest.transform(Ingest.kafkaStreamSource(spark, root, "shots",
+        format = KafkaLog.Format)),
+      s"$dir/ongoing", s"$dir/ckpt")
+    def mergePublish(): Unit = {
+      val merged = Merge.mergeDeterministic(
+        Merge.readSeasonTgz(spark, season),
+        Merge.readCsv(spark, s"$dir/ongoing"))
+      Merge.publishTgz(merged.orderBy(Merge.dedupKeys.map(col): _*),
+        s"$dir/tpub", season, "shots-2025.csv")
+    }
+
+    // day-1 scrape lands in the topic; DAG run 1
+    KafkaLog.produce(root, "shots", 0, Seq(rec(0, envelopeJson("g1", "Cleveland", "Boston",
+      "1st Q, 10:00.0 remaining<br>Donovan Mitchell made 2-pointer from 8 ft<br>Cleveland leads 2-0"))))
+    KafkaLog.produce(root, "shots", 1, Seq(rec(1, envelopeJson("g1", "Cleveland", "Boston", tatumPlay))))
+    drain(); mergePublish()
+    assert(Merge.readSeasonTgz(spark, season).count() == 3)
+
+    // day-2 scrape: a replay of the Tatum play (overlapping scrape
+    // window, same dedup key) + one genuinely new play. The SAME
+    // checkpoint drains exactly the delta — the offset log replaces the
+    // reference DAG's destroy-and-recreate topic bookkeeping
+    // (dags/kafka_stream_dag.py:41-45).
+    KafkaLog.produce(root, "shots", 0, Seq(
+      rec(2, envelopeJson("g1", "Cleveland", "Boston", tatumPlay)),
+      rec(3, envelopeJson("g2", "LA Lakers", "Miami",
+        "4th Q, 0:01.2 remaining<br>LeBron James made 3-pointer from 30 ft<br>LA Lakers now leads 101-99"))))
+    drain(); mergePublish()
+    val back = Merge.readSeasonTgz(spark, season)
+    assert(back.count() == 4, "replayed play must dedup, new play must land")
+    val g2 = back.filter($"game_id" === "g2").collect()(0)
+    assert(g2.getAs[String]("team") == "LA Lakers")
+    assert(g2.getAs[String]("winner_score") == "101")
+    assert(g2.getAs[String]("loser_score") == "99")
+
+    // DAG run 3 with nothing new in the topic: drain is empty, merge is
+    // idempotent — the season artifact is unchanged
+    drain(); mergePublish()
+    assert(Merge.readSeasonTgz(spark, season).count() == 4)
+  }
+
   test("streaming flavor: envelope file stream -> transform -> csv sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pipe-s").toString
     Seq(("k1", envelopeJson("g9", "Utah", "Chicago",
