@@ -233,7 +233,12 @@ object TextOps {
       bandKeysOf(signatureTable(docs, md5Sig),
         (a, b) => md5(concat_ws("|", a, b))),
       sourcePath = s"$dir/documents.parquet")
-    exactJaccard(docs, bandPairs(bandKeys))
+    // verify-stage restriction: exact jaccard only shingles PAIR-INVOLVED
+    // docs (semi-join through the candidate ids), not the whole corpus —
+    // candidates << corpus by LSH design, so the verify cost scales with
+    // the duplicate rate, never the collection size. On warm band-key
+    // cache hits this removes the only remaining full-corpus re-shingle.
+    verifyPairs(Tables.documents(spark, dir), bandPairs(bandKeys))
   }
 
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
@@ -246,7 +251,9 @@ object TextOps {
     val sh = shingleTableOf(docs)
     val bandKeys = bandKeysOf(signatureTable(sh, md5Sig),
       (a, b) => md5(concat_ws("|", a, b)))
-    exactJaccard(sh, bandPairs(bandKeys))
+    // same verify-stage restriction as [[neardupPairs]]: shingle only
+    // pair-involved docs for the exact check
+    verifyPairs(docs, bandPairs(bandKeys))
   }
 
   /** Narrow (doc_id, band_idx, band_hash) LSH index rows for an arbitrary
@@ -407,7 +414,9 @@ object TextOps {
     val survivors = pairSigs(withSig, pairs)
       .filter(sigAgreeFraction >= 0.35)
       .select(col("doc_a"), col("doc_b"))
-    exactJaccard(docs, survivors)
+    // estimate-first already thinned the candidates; the exact check then
+    // shingles only survivor-involved docs (cost ∝ survivors, not corpus)
+    verifyPairs(Tables.documents(spark, dir), survivors)
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
