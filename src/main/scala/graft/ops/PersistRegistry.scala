@@ -48,6 +48,19 @@ object PersistRegistry {
     lru.getOrBuild(df.sparkSession, tag, fp)(df.persist(level))
   }
 
+  private val uniq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Persist-and-register `df` under a fresh, never-reused tag — for
+    * frames consumed several times within ONE query evaluation (e.g. a
+    * candidate-pair frame feeding both id-restriction sides and the final
+    * score join) where no stable cross-call cache key exists. Each call
+    * creates its own entry, so nothing is ever shared or fingerprinted;
+    * the LRU bound alone keeps the live persisted set finite.
+    */
+  def cachedUnique(tagPrefix: String, df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    cached(s"$tagPrefix#${uniq.incrementAndGet()}", df, level)
+
   /** Eagerly release every entry whose tag starts with `prefix` for this
     * session — call after rewriting the files a cached frame reads (the
     * cache serves the materialized data, not the files, until released).

@@ -269,9 +269,14 @@ object TextOps {
     * an arbitrary corpus frame. Only pair-involved docs are shingled
     * (semi-join restriction), so cost is ∝ candidates, never ∝ corpus. */
   private[graft] def verifyPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val ids = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    exactJaccard(shingleTableOf(docs.join(ids, Seq("doc_id"), "left_semi")), pairs)
+    // The candidate frame feeds three consumers (the id restriction and
+    // both sides of the score join); persist it once or the entire
+    // upstream banding/estimate DAG re-evaluates per consumer — measured
+    // 4-6x on q48/q77 when left lazy. Unique tag: candidates are
+    // ephemeral per evaluation, there is no stable cross-call key.
+    val p = graft.ops.PersistRegistry.cachedUnique("verifyPairs", pairs)
+    val ids = p.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    exactJaccard(shingleTableOf(docs.join(ids, Seq("doc_id"), "left_semi")), p)
   }
 
   /** The full DuckDB CTE chain ending in a `pairs(doc_a, doc_b, jaccard)`
