@@ -36,14 +36,21 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    // Branch on what the reader produced: NANOS columns surface as long
-    // (convert by truncation, same as DuckDB's ns→µs cast); micro/milli
-    // files arrive as native timestamps and pass through unchanged.
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** Branch on what the parquet reader produced for `ts`: NANOS columns
+    * surface as long (convert by truncation, same as DuckDB's ns→µs cast);
+    * micro/milli files arrive as native timestamps and pass through with a
+    * plain cast. Shared by the batch reader above and the streaming file
+    * source ([[graft.streaming.Streaming.fileEventSource]]) so a fixture
+    * regenerated with a different timestamp physical type can never break
+    * one path but not the other.
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
     }
-  }
 }

@@ -52,8 +52,8 @@ object Streaming {
     java.nio.file.Files.copy(src, dst,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val schema = spark.read.parquet(dst.toString).schema
-    spark.readStream.schema(schema).parquet(staged.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(staged.toString))
   }
 
   /** D2: streaming dedup — exactly-one-row-per-key across micro-batches,

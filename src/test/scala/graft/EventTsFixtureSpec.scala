@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Regression guard for the events-fixture timestamp physical type.
+  *
+  * The driver's fixture generator has shipped the `ts` column both as
+  * TIMESTAMP(NANOS) (which Spark reads as long under
+  * `spark.sql.legacy.parquet.nanosAsLong`) and as timestamp[us] (native
+  * TimestampType). Round 7 broke because the streaming file source
+  * normalized only the first shape. Both [[Tables.events]] and
+  * [[Streaming.fileEventSource]] now share [[Tables.normalizeEventTs]];
+  * this spec drives BOTH entry points over BOTH fixture shapes so the
+  * drift can never silently recur.
+  */
+class EventTsFixtureSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 2024-01-01T00:00:00Z .. +3 events, microsecond-precision instants
+  private val baseUs = 1704067200000000L
+
+  private def rows = Seq(
+    (1L, baseUs, 7L, "click", 1.5),
+    (2L, baseUs + 90L * 1000000L, 7L, "view", 2.0),
+    (3L, baseUs + 3600L * 1000000L, 8L, "click", 0.5))
+
+  /** Write a single-file events.parquet under its own sf-style dir. */
+  private def writeFixture(name: String, micros: Boolean): String = {
+    val dir = Files.createTempDirectory(s"graft-evfix-$name")
+    val df =
+      if (micros)
+        rows.toDF("event_id", "us", "user_id", "event_type", "value")
+          .withColumn("ts", timestamp_micros(col("us")))
+          .select("event_id", "ts", "user_id", "event_type", "value")
+      else
+        // nanos-as-long is exactly what the legacy reader produces for a
+        // TIMESTAMP(NANOS) file; a plain long column named ts exercises the
+        // same post-read branch
+        rows.toDF("event_id", "us", "user_id", "event_type", "value")
+          .withColumn("ts", col("us") * 1000L)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+    val stage = Files.createTempDirectory(s"graft-evfix-stage-$name")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.copy(part, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  private def assertNormalized(df: DataFrame): Unit = {
+    assert(df.schema("ts").dataType == TimestampType)
+    val got = df.select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == rows.map(r => r._1 -> r._2).toMap)
+  }
+
+  for ((label, micros) <- Seq(("timestamp[us]", true), ("nanos-as-long", false))) {
+    test(s"Tables.events normalizes a $label fixture") {
+      assertNormalized(Tables.events(spark, writeFixture(s"b$micros", micros)))
+    }
+
+    test(s"fileEventSource normalizes a $label fixture") {
+      val streamed = Streaming.fileEventSource(spark, writeFixture(s"s$micros", micros))
+      assert(streamed.schema("ts").dataType == TimestampType)
+      assertNormalized(
+        Streaming.drainToBatch(streamed, s"evfix_$micros"))
+    }
+  }
+}
