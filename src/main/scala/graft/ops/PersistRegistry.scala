@@ -48,6 +48,21 @@ object PersistRegistry {
     lru.getOrBuild(df.sparkSession, tag, fp)(df.persist(level))
   }
 
+  /** By-name variant of [[cached]] for expensive-to-CONSTRUCT frames: on a
+    * registry hit the builder never runs, so any nested registry entries
+    * the build would create (e.g. verifyPairs' per-evaluation candidate
+    * persist) are not churned through the LRU on every call. Semantics are
+    * otherwise identical to [[cached]], including the sourcePath
+    * fingerprint staleness check.
+    */
+  def cachedLazy(spark: SparkSession, tag: String, sourcePath: String = "",
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      (build: => DataFrame): DataFrame = {
+    val fp = if (sourcePath.isEmpty) ""
+      else SessionLru.pathFingerprint(spark, sourcePath)
+    lru.getOrBuild(spark, tag, fp)(build.persist(level))
+  }
+
   private val uniq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Persist-and-register `df` under a fresh, never-reused tag — for

@@ -292,7 +292,9 @@ object Relational2 {
   def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), substring(col("text"), 1, 64).as("prefix"))
-    TextOps.minhashPairs(spark, dir)
+    // consume the shared cached pair frame (same materialization as q12/
+    // q58/q77), unsorted — this query's own ORDER BY is the only sort
+    TextOps.neardupPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"))
       .join(docs.select(col("doc_id").as("doc_a"), col("prefix").as("pa")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("prefix").as("pb")), Seq("doc_b"))
