@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{ClusterOps, EventOps, KafkaLogQueries, LayoutOps, MultimodalOps, PipelineOps, PlayParse, PrivacyOps, Profiling, Relational, Relational2, ScaleQueries, TextOps, VectorOps}
+import graft.queries.{ClusterOps, EventOps, KafkaLogQueries, LayoutOps, MultimodalOps, PipelineOps, PlayParse, PrivacyOps, Profiling, Relational, Relational2, ScaleQueries, StreamingQueries, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,7 +29,8 @@ object SparkEntry {
       (PrivacyOps.queries, PrivacyOps.oracle),
       (LayoutOps.queries, LayoutOps.oracle),
       (ScaleQueries.queries, ScaleQueries.oracle),
-      (KafkaLogQueries.queries, KafkaLogQueries.oracle))
+      (KafkaLogQueries.queries, KafkaLogQueries.oracle),
+      (StreamingQueries.queries, StreamingQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
