@@ -30,20 +30,33 @@ object Bench {
         -1.0
       }
     }
-    // Steady-state timing: one untimed warm run per query (JVM/JIT,
-    // codegen compilation, parquet footer caches), then two timed
-    // iterations reporting the min — a single contended iteration (GC
-    // pause, machine noise) no longer poisons the round's number.
-    names.foreach(runOnce)
-    errors.clear()
+    // Load guard (round-8 verdict item 7): a 1-min loadavg far above this
+    // run's own footprint means external contention and suspect numbers
+    // (r3/r7 produced contaminated artifacts). Measured BEFORE the run so
+    // the run's own load doesn't trip it; annotated, not refused — the
+    // round must always produce a BENCH artifact.
+    def load1(): Double = scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim.split(" ")(0).toDouble)
+      .getOrElse(-1.0)
+    val loadBefore = load1()
+    val loadContaminated = loadBefore > 8.0
+    // Steady-state timing, per query: one untimed warm run (JVM/JIT,
+    // codegen compilation, parquet footer caches, registry cache builds)
+    // immediately followed by two timed iterations, min reported. The
+    // warm and timed runs are ADJACENT on purpose: a warm-sweep-then-
+    // timed-sweep order times the head queries under the accumulated
+    // cache/GC pressure of the whole tail sweep — measured 2-5x on
+    // q01-q07 vs their isolated steady state (r8 bench head audit).
     val results = names.map { n =>
+      runOnce(n)
+      errors.remove(n)
       val a = runOnce(n)
       val b = if (a < 0) a else { val x = runOnce(n); if (x < 0) x else math.min(a, x) }
       n -> b
     }
-    // Contention self-identification: 1-minute loadavg at measurement
-    // time. A 32-core box reading far above the Spark run's own footprint
-    // means the numbers are suspect (see round-3 BENCH noise adjudication).
+    // Contention self-identification: full loadavg at measurement END
+    // (comparable with earlier rounds' artifacts).
     val loadavg = scala.util.Try(
       new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).trim.split(" ").take(3)
@@ -56,14 +69,16 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""n_errors":${errors.size},"errors":$errJson,""" +
-      s""""loadavg":${js(loadavg)},"iterations":2,"sf":"$sfDir"}"""
+      s""""loadavg":${js(loadavg)},"load_before":$loadBefore,""" +
+      s""""load_contaminated":$loadContaminated,"iterations":2,"sf":"$sfDir"}"""
     println(line)
     // Durability line: the full per-query JSON above can exceed a bounded
     // log tail (BENCH_r04 lost its total that way). Repeat the headline
     // numbers compactly LAST so any tail window catches them.
     println(s"""{"metric":"total_compact","value":$total,"unit":"sec",""" +
       s""""n_queries":${names.size},"n_errors":${errors.size},""" +
-      s""""loadavg":${js(loadavg)},"sf":"$sfDir"}""")
+      s""""loadavg":${js(loadavg)},"load_contaminated":$loadContaminated,""" +
+      s""""sf":"$sfDir"}""")
     // Machine-readable artifact: stdout tails get truncated and parsers
     // drift (BENCH_r05 `parsed: null`); the full JSON line also lands in
     // a file so the round's numbers never depend on tail regexes.
