@@ -46,9 +46,12 @@ class EventTsFixtureSpec extends SparkTestBase {
           .select("event_id", "ts", "user_id", "event_type", "value")
     val stage = Files.createTempDirectory(s"graft-evfix-stage-$name")
     df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    val part = Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet"))
-      .findFirst().get()
-    Files.copy(part, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    scala.util.Using.resource(Files.list(stage)) { listing =>
+      val part = listing.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, dir.resolve("events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     dir.toString
   }
 
@@ -57,6 +60,26 @@ class EventTsFixtureSpec extends SparkTestBase {
     val got = df.select(col("event_id"), unix_micros(col("ts")).as("us"))
       .as[(Long, Long)].collect().toMap
     assert(got == rows.map(r => r._1 -> r._2).toMap)
+  }
+
+  // The synthetic nanos-as-long fixture above exercises the POST-read
+  // LongType branch; the driver-generated testdata carries a genuine
+  // TIMESTAMP(NANOS) physical type, so driving both entry points over it
+  // covers the `spark.sql.legacy.parquet.nanosAsLong` READER config
+  // end-to-end too (Spark cannot write nanos parquet itself).
+  test("real TIMESTAMP(NANOS) testdata normalizes through both entry points") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = Tables.events(spark, dir)
+    assert(batch.schema("ts").dataType == TimestampType)
+    val streamed = Streaming.fileEventSource(spark, dir)
+    assert(streamed.schema("ts").dataType == TimestampType)
+    val batchUs = batch.select(col("event_id"), unix_micros(col("ts")))
+      .as[(Long, Long)].collect().toMap
+    val streamUs = Streaming.drainToBatch(streamed, "evfix_real")
+      .select(col("event_id"), unix_micros(col("ts")))
+      .as[(Long, Long)].collect().toMap
+    assert(batchUs.nonEmpty)
+    assert(streamUs == batchUs)
   }
 
   for ((label, micros) <- Seq(("timestamp[us]", true), ("nanos-as-long", false))) {
