@@ -52,9 +52,63 @@ object StreamingQueries {
     * so the SQL is shared, not copied. */
   val streamedHourlyRollupSql: String = EventOps.hourlyRollupSql
 
+  /** q80: the session-window STATE path under the oracle gate — q79
+    * covers the tumbling-window state store; this covers the
+    * merging-session store (`session_window` sessions grow and MERGE as
+    * micro-batches arrive, a different state-store code path). Complete
+    * output mode again: the final emit carries every merged session.
+    *
+    * Output in q19's epoch-micros shape. Semantics note (the one
+    * deliberate difference from q19's gaps-and-islands): session_window
+    * windows are end-EXCLUSIVE `[min_ts, max_ts + gap)`, so an event
+    * exactly `gap` after its predecessor starts a NEW session — the
+    * oracle mirrors that with `>=` where q19's SQL uses `>`, and states
+    * `session_end_us = max(us) + gap` (the window end), not q19's
+    * last-event `end_us`.
+    */
+  def streamedSessionRollup(spark: SparkSession, dir: String): DataFrame = {
+    val rolled = Streaming.sessionWindowRollup(
+      Streaming.fileEventSource(spark, dir), gap = "30 minutes")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try Streaming.drainToBatch(rolled,
+        s"q80_drain_${drainId.incrementAndGet()}", outputMode = "complete")
+      .select(col("user_id"),
+        unix_micros(col("start")).as("start_us"),
+        unix_micros(col("end")).as("session_end_us"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("start_us"))
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  val streamedSessionRollupSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+      |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+      |  FROM events
+      |), flagged AS (
+      |  -- >= : mirror session_window's end-exclusive [min, max+gap) windows
+      |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+      |                 THEN 1 ELSE 0 END AS is_new
+      |  FROM ev
+      |), sess AS (
+      |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+      |  FROM flagged
+      |)
+      |SELECT user_id, min(us) AS start_us,
+      |  max(us) + 1800000000 AS session_end_us,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM sess GROUP BY user_id, grp
+      |ORDER BY user_id, start_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q79_streamed_rollup" -> (streamedHourlyRollup _))
+    "q79_streamed_rollup" -> (streamedHourlyRollup _),
+    "q80_streamed_sessions" -> (streamedSessionRollup _))
 
   val oracle: Map[String, String] = Map(
-    "q79_streamed_rollup" -> streamedHourlyRollupSql)
+    "q79_streamed_rollup" -> streamedHourlyRollupSql,
+    "q80_streamed_sessions" -> streamedSessionRollupSql)
 }
