@@ -94,6 +94,45 @@ object PipelineOps {
        |GROUP BY 1, 2
        |ORDER BY split, lang""".stripMargin
 
+  /** q81: deterministic global shuffle-and-shard — the training-order
+    * randomization step before tokenizer sharding. Every doc gets a
+    * seeded pseudo-random rank (the same md5-of-key u8 the sampling
+    * family uses: reproducible across runs, engines, partitionings),
+    * a shard from the rank's first hex digit, and a position within its
+    * shard. At 100 TB this is one hash exchange on `shard` plus
+    * shard-partitioned row_number windows — there is never a GLOBAL sort
+    * or a single-reducer window; `nShards` scales to thousands and each
+    * shard's writer streams its rows in position order. The hex-digit →
+    * int mapping is the same `instr` trick q13's simhash oracle proved
+    * portable, so the whole assignment is oracle-exact.
+    */
+  val nShards = 8
+
+  def shuffleShard(spark: SparkSession, dir: String): DataFrame = {
+    val shard = (expr("instr('0123456789abcdef', substring(u8, 1, 1))") - 1) % nShards
+    val w = Window.partitionBy(col("shard")).orderBy(col("u8"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), u8Col.as("u8"))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val shuffleShardSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, $u8Sql AS u8 FROM documents
+       |), s AS (
+       |  SELECT doc_id, u8,
+       |    CAST((instr('0123456789abcdef', substring(u8, 1, 1)) - 1) % $nShards
+       |         AS INT) AS shard
+       |  FROM h
+       |)
+       |SELECT doc_id, shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY u8, doc_id) AS INT)
+       |    AS pos
+       |FROM s ORDER BY shard, pos""".stripMargin
+
   /** Token-budget sequence packing (approximate): per language, documents
     * in doc_id order accumulate into packs of ~2048 tokens — pack_id is
     * the preceding cumulative token count integer-divided by the budget,
@@ -612,6 +651,7 @@ object PipelineOps {
     "q46_curation_pipeline" -> (curationPipeline _),
     "q54_dataset_split" -> (datasetSplit _),
     "q55_sequence_pack" -> (sequencePack _),
+    "q81_shuffle_shard" -> (shuffleShard _),
     "q56_quality_deciles_scale" -> (qualityBucketsAtScale _),
     "q61_mix_weights" -> (mixWeights _))
 
@@ -629,5 +669,6 @@ object PipelineOps {
     "q46_curation_pipeline" -> curationPipelineSql,
     "q54_dataset_split" -> datasetSplitSql,
     "q55_sequence_pack" -> sequencePackSql,
+    "q81_shuffle_shard" -> shuffleShardSql,
     "q61_mix_weights" -> mixWeightsSql)
 }
