@@ -58,13 +58,16 @@ object StreamingQueries {
     * micro-batches arrive, a different state-store code path). Complete
     * output mode again: the final emit carries every merged session.
     *
-    * Output in q19's epoch-micros shape. Semantics note (the one
-    * deliberate difference from q19's gaps-and-islands): session_window
-    * windows are end-EXCLUSIVE `[min_ts, max_ts + gap)`, so an event
-    * exactly `gap` after its predecessor starts a NEW session — the
-    * oracle mirrors that with `>=` where q19's SQL uses `>`, and states
-    * `session_end_us = max(us) + gap` (the window end), not q19's
-    * last-event `end_us`.
+    * Output in q19's epoch-micros shape with `session_end_us =
+    * max(us) + gap` (the window end), not q19's last-event `end_us`.
+    * Boundary semantics: session_window windows MERGE when they touch —
+    * an event exactly `gap` after its predecessor lands on the previous
+    * window's end and joins it — so a new session starts only when the
+    * inter-event gap is STRICTLY greater than `gap`, the same `>`
+    * boundary as q19's gaps-and-islands. (A `>=` oracle passes on every
+    * SF fixture — microsecond-random data never produces an exact-gap
+    * spacing — but SessionBoundaryPropertySpec's boundary-adversarial
+    * generator distinguishes the two and pins the merge behavior.)
     */
   def streamedSessionRollup(spark: SparkSession, dir: String): DataFrame = {
     val rolled = Streaming.sessionWindowRollup(
@@ -88,8 +91,9 @@ object StreamingQueries {
       |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
       |  FROM events
       |), flagged AS (
-      |  -- >= : mirror session_window's end-exclusive [min, max+gap) windows
-      |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+      |  -- strict > : touching session windows merge, so an exact-gap
+      |  -- spacing stays in the same session (see the Scaladoc note)
+      |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
       |                 THEN 1 ELSE 0 END AS is_new
       |  FROM ev
       |), sess AS (

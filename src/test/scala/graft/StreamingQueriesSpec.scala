@@ -28,7 +28,7 @@ class StreamingQueriesSpec extends AnyFunSuite {
   }
 
   test("q80 streamed sessions match the batch gaps-and-islands sessions") {
-    // same >= boundary and end = max+gap shape as q80's oracle SQL
+    // same strict-> boundary and end = max+gap shape as q80's oracle SQL
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val byUser = Window.partitionBy(col("user_id"))
@@ -37,7 +37,7 @@ class StreamingQueriesSpec extends AnyFunSuite {
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("prev_us", lag(col("us"), 1).over(byUser))
       .withColumn("is_new",
-        when(col("prev_us").isNull || col("us") - col("prev_us") >= 1800000000L, 1)
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1)
           .otherwise(0))
       .withColumn("grp",
         sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
