@@ -22,7 +22,16 @@ import org.apache.spark.sql.functions._
   * spec-covered.
   */
 object StreamingQueries {
-  private val drainId = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Stable per-(query, dir) memory-sink name: a re-drain REPLACES the
+    * previous drain's temp view instead of accumulating a new driver-side
+    * table per call (Bench alone drains each streaming query 3×; unique
+    * names would pin every drain's rows for the session's lifetime).
+    * Queries are sequential within a session per the driver contract, so
+    * name reuse never races a live query.
+    */
+  private def drainName(q: String, dir: String): String =
+    q + "_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
 
   /** q79: hourly event-type rollup computed BY THE STREAMING ENGINE.
     * Complete output mode: AvailableNow drains the fixture in bounded
@@ -42,7 +51,7 @@ object StreamingQueries {
     // captured at stream START, so scoping it around start() is safe and
     // is restored before any other query plans.
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try Streaming.drainToBatch(rolled, s"q79_drain_${drainId.incrementAndGet()}",
+    try Streaming.drainToBatch(rolled, drainName("q79_drain", dir),
         outputMode = "complete")
       .orderBy(col("hour"), col("event_type"))
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -74,8 +83,8 @@ object StreamingQueries {
       Streaming.fileEventSource(spark, dir), gap = "30 minutes")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try Streaming.drainToBatch(rolled,
-        s"q80_drain_${drainId.incrementAndGet()}", outputMode = "complete")
+    try Streaming.drainToBatch(rolled, drainName("q80_drain", dir),
+        outputMode = "complete")
       .select(col("user_id"),
         unix_micros(col("start")).as("start_us"),
         unix_micros(col("end")).as("session_end_us"),
