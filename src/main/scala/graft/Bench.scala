@@ -30,39 +30,78 @@ object Bench {
         -1.0
       }
     }
-    // Load guard (round-8 verdict item 7): a 1-min loadavg far above this
-    // run's own footprint means external contention and suspect numbers
-    // (r3/r7 produced contaminated artifacts). Measured BEFORE the run so
-    // the run's own load doesn't trip it; annotated, not refused — the
-    // round must always produce a BENCH artifact.
     def load1(): Double = scala.util.Try(
       new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).trim.split(" ")(0).toDouble)
       .getOrElse(-1.0)
+    // Contamination guard, per-query (round-9 verdict item 1: the r9
+    // artifact was poisoned by a MID-run load spike that a single
+    // before-the-run sample sailed past). Three layers:
+    //  1. loadavg sampled at every query's start and recorded per entry,
+    //     so a contaminated window is identifiable post-hoc;
+    //  2. a query whose timed min lands far above its own warm run (the
+    //     warm run carries all one-time JIT/codegen cost, so timed >>
+    //     warm is contention, not code) is automatically re-timed, with
+    //     a bounded per-query and whole-run retry budget;
+    //  3. the contamination flag derives from the run's own expected
+    //     footprint (cpus + margin) instead of a hard-coded constant,
+    //     and trips if ANY sampled window exceeded it.
+    val nCpus = scala.util.Try(cpus.toInt).getOrElse(4)
+    val loadThresh = nCpus.toDouble + 4.0
     val loadBefore = load1()
-    val loadContaminated = loadBefore > 8.0
-    // Steady-state timing, per query: one untimed warm run (JVM/JIT,
-    // codegen compilation, parquet footer caches, registry cache builds)
-    // immediately followed by two timed iterations, min reported. The
-    // warm and timed runs are ADJACENT on purpose: a warm-sweep-then-
-    // timed-sweep order times the head queries under the accumulated
-    // cache/GC pressure of the whole tail sweep — measured 2-5x on
-    // q01-q07 vs their isolated steady state (r8 bench head audit).
-    val results = names.map { n =>
-      runOnce(n)
+    var loadMax = loadBefore
+    var retriesLeft = 24 // whole-run retry budget: bounds wall time
+    // One attempt = untimed warm run + two timed runs, ADJACENT on
+    // purpose: a warm-sweep-then-timed-sweep order times the head
+    // queries under the accumulated cache/GC pressure of the whole tail
+    // sweep — measured 2-5x on q01-q07 vs steady state (r8 head audit).
+    def attempt(n: String): (Double, Double) = {
+      val w = runOnce(n)
+      if (w < 0) return (w, -1.0)
       errors.remove(n)
       val a = runOnce(n)
-      val b = if (a < 0) a else { val x = runOnce(n); if (x < 0) x else math.min(a, x) }
-      n -> b
+      if (a < 0) return (w, -1.0)
+      val x = runOnce(n)
+      if (x < 0) return (w, -1.0)
+      (w, math.min(a, x))
     }
-    // Contention self-identification: full loadavg at measurement END
-    // (comparable with earlier rounds' artifacts).
+    val perLoad = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val retimed = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val results = names.map { n =>
+      val lq = load1()
+      perLoad(n) = lq
+      if (lq > loadMax) loadMax = lq
+      var (warm, best) = attempt(n)
+      // Suspect iff the timed min exceeds 3x the warm run (and is not
+      // trivially small): the warm run bounds the query's true cost
+      // from above, so a far-slower timed run means external load hit
+      // the timed window. Re-time up to twice; keep the overall best.
+      var tries = 1
+      while (best >= 0 && tries <= 2 && retriesLeft > 0 &&
+          best > 3.0 * warm && best > 0.3) {
+        retriesLeft -= 1
+        val (w2, b2) = attempt(n)
+        if (w2 >= 0 && w2 < warm) warm = w2
+        if (b2 >= 0 && b2 < best) best = b2
+        tries += 1
+        retimed(n) = tries - 1
+      }
+      val lEnd = load1()
+      if (lEnd > loadMax) loadMax = lEnd
+      n -> best
+    }
+    val loadContaminated = loadMax > loadThresh
     val loadavg = scala.util.Try(
       new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).trim.split(" ").take(3)
         .mkString(" ")).getOrElse("unknown")
     def js(s: String): String = JsonEscape(s)
+    def fmtLoad(v: Double): String = "%.2f".format(v)
     val qs = results.map { case (k, v) => js(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val loadJson = perLoad.map { case (k, v) => js(k) + ":" + fmtLoad(v) }
+      .mkString("{", ",", "}")
+    val retimedJson = retimed.map { case (k, v) => js(k) + ":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => js(k) + ":" + js(v) }
       .mkString("{", ",", "}")
@@ -70,6 +109,8 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""n_errors":${errors.size},"errors":$errJson,""" +
       s""""loadavg":${js(loadavg)},"load_before":$loadBefore,""" +
+      s""""load_per_query":$loadJson,"load_max":${fmtLoad(loadMax)},""" +
+      s""""load_threshold":${fmtLoad(loadThresh)},"retimed":$retimedJson,""" +
       s""""load_contaminated":$loadContaminated,"iterations":2,"sf":"$sfDir"}"""
     println(line)
     // Durability line: the full per-query JSON above can exceed a bounded
@@ -77,7 +118,9 @@ object Bench {
     // numbers compactly LAST so any tail window catches them.
     println(s"""{"metric":"total_compact","value":$total,"unit":"sec",""" +
       s""""n_queries":${names.size},"n_errors":${errors.size},""" +
-      s""""loadavg":${js(loadavg)},"load_contaminated":$loadContaminated,""" +
+      s""""loadavg":${js(loadavg)},"load_max":${fmtLoad(loadMax)},""" +
+      s""""n_retimed":${retimed.size},""" +
+      s""""load_contaminated":$loadContaminated,""" +
       s""""sf":"$sfDir"}""")
     // Machine-readable artifact: stdout tails get truncated and parsers
     // drift (BENCH_r05 `parsed: null`); the full JSON line also lands in
