@@ -72,8 +72,20 @@ object StreamingQueries {
   /** q80: the session-window STATE path under the oracle gate — q79
     * covers the tumbling-window state store; this covers the
     * merging-session store (`session_window` sessions grow and MERGE as
-    * micro-batches arrive, a different state-store code path). Complete
-    * output mode again: the final emit carries every merged session.
+    * micro-batches arrive, a different state-store code path).
+    *
+    * APPEND output mode through a parquet FILE sink (round-9 verdict:
+    * the previous complete-mode memory-sink drain materialized every
+    * merged session on the driver and retained all session state
+    * forever — unbounded with users×activity). Append mode emits a
+    * session exactly once, when the watermark passes its end, and the
+    * state store evicts it — state is bounded by the watermark, the
+    * sink writes from executors, the driver holds nothing. The closing
+    * sentinel ([[Streaming.fileEventSource]] with a 3 h horizon) pushes
+    * the drain's final watermark past every real session so the bounded
+    * AvailableNow drain still yields the COMPLETE result the oracle
+    * states; the sentinel's own pseudo-session stays unemitted in state
+    * and is filtered out pre-sink besides.
     *
     * Output in q19's epoch-micros shape with `session_end_us =
     * max(us) + gap` (the window end), not q19's last-event `end_us`.
@@ -88,10 +100,22 @@ object StreamingQueries {
     */
   def streamedSessionRollup(spark: SparkSession, dir: String): DataFrame = {
     val rolled = Streaming.sessionWindowRollup(
-      Streaming.fileEventSource(spark, dir), gap = "30 minutes")
+      Streaming.fileEventSource(spark, dir, sentinelHorizonHours = 3),
+        gap = "30 minutes")
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-drain-" + drainName("q80", dir)).toString
     withDrainPartitions(spark) {
-      Streaming.drainToBatch(rolled, drainName("q80_drain", dir),
-          outputMode = "complete")
+      // The sentinel filter runs on the drained BATCH output, not inside
+      // the stream: a pre-sink filter on the grouping key is pushed down
+      // below the watermark node by Catalyst, which would exclude the
+      // sentinel from the event-time stats and stall the closing
+      // watermark at real-max − delay (observed: the last sessions were
+      // withheld). Post-drain it is purely defensive anyway — the
+      // sentinel's own session ends past the final watermark and is
+      // never emitted.
+      Streaming.drainToFile(rolled, s"$base/out", s"$base/cp")
+        .filter(col("user_id") =!= lit(Streaming.SentinelUserId))
         .select(col("user_id"),
           unix_micros(col("start")).as("start_us"),
           unix_micros(col("end")).as("session_end_us"),

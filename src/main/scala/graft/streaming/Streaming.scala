@@ -35,25 +35,101 @@ object Streaming {
     * directory (or use [[graft.ingest.Ingest.kafkaStreamSource]]) —
     * never route production data through this driver-side copy.
     */
-  def fileEventSource(spark: SparkSession, dir: String): DataFrame = {
+  def fileEventSource(spark: SparkSession, dir: String): DataFrame =
+    fileEventSource(spark, dir, sentinelHorizonHours = 0)
+
+  /** Sentinel rows carry this user_id; consumers of a sentinel-closed
+    * drain filter it out (negative ids never occur in real data). */
+  val SentinelUserId: Long = -1L
+
+  /** [[fileEventSource]] with an optional CLOSING SENTINEL: when
+    * `sentinelHorizonHours > 0`, one extra event is staged whose event
+    * time lies that many hours past the fixture's max. A bounded
+    * AvailableNow drain then ends with its watermark PAST every real
+    * window/session/timeout (watermark = sentinel − watermark delay), so
+    * APPEND-mode sinks emit the complete result and stateful timeouts
+    * all fire — the scale-safe alternative to a complete-mode drain,
+    * whose memory sink materializes the whole result on the driver and
+    * whose state store retains every window forever. The sentinel's own
+    * row (user_id = [[SentinelUserId]], event_type "__sentinel") stays
+    * unemitted in state or is filtered by the consumer.
+    *
+    * The horizon must exceed watermark delay + any session gap (1 h +
+    * 30 min here); 3 h is the safe default for this schema's operators.
+    */
+  def fileEventSource(spark: SparkSession, dir: String,
+      sentinelHorizonHours: Int): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file stream source needs a directory; stage the single-file
     // fixture into one (testdata is read-only).
     val src = java.nio.file.Paths.get(dir, "events.parquet")
-    // stage dir keyed by the md5 of the full path: collision-proof,
-    // bounded length; always refreshed so a regenerated fixture is never
-    // streamed stale
+    // stage dir keyed by the md5 of the full path plus the sentinel
+    // variant: collision-proof, bounded length; always refreshed so a
+    // regenerated fixture is never streamed stale, and the sentinel and
+    // plain flavors never share a dir (a stale sentinel file would leak
+    // a bogus far-future event into the plain stream).
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest((dir + "#s" + sentinelHorizonHours).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     val staged = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft-events-$key")
     java.nio.file.Files.createDirectories(staged)
     val dst = staged.resolve("events.parquet")
     java.nio.file.Files.copy(src, dst,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val schema = spark.read.parquet(dst.toString).schema
+    val raw = spark.read.parquet(dst.toString)
+    val schema = raw.schema
+    if (sentinelHorizonHours > 0)
+      stageSentinel(spark, raw, staged, sentinelHorizonHours)
     graft.Tables.normalizeEventTs(
       spark.readStream.schema(schema).parquet(staged.toString))
+  }
+
+  /** Write the sentinel row next to the staged fixture, in the fixture's
+    * OWN raw ts shape (TIMESTAMP or legacy nanos-long — the sentinel must
+    * ride the same normalization branch as the real rows). Local-fs only,
+    * like the staging itself (TEST/FIXTURE ONLY per [[fileEventSource]]).
+    */
+  private def stageSentinel(spark: SparkSession, raw: DataFrame,
+      staged: java.nio.file.Path, horizonHours: Int): Unit = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import scala.jdk.CollectionConverters._
+    val maxUs = graft.Tables.normalizeEventTs(raw)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentUs = maxUs + horizonHours * 3600L * 1000000L
+    val tsValue: Any = raw.schema("ts").dataType match {
+      case LongType => java.lang.Long.valueOf(sentUs * 1000L) // legacy nanos
+      case TimestampNTZType => java.time.LocalDateTime.ofEpochSecond(
+        sentUs / 1000000L, ((sentUs % 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+      case _ => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        sentUs / 1000000L, (sentUs % 1000000L) * 1000L))
+    }
+    val values: Array[Any] = raw.schema.fields.map(_.name).map {
+      case "event_id" => java.lang.Long.valueOf(-1L): Any
+      case "ts" => tsValue
+      case "user_id" => java.lang.Long.valueOf(SentinelUserId): Any
+      case "event_type" => "__sentinel": Any
+      case "value" => java.lang.Double.valueOf(0.0): Any
+      case _ => null
+    }
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(values: _*)),
+      raw.schema)
+    // Leading "_" keeps the tmp dir invisible to the stream's file
+    // listing; only the copied zz-sentinel.parquet is ever picked up.
+    val tmpOut = staged.resolve("_sentinel_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val part = java.nio.file.Files.list(tmpOut).iterator().asScala
+      .find { p => val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet") }
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no part file in $tmpOut"))
+    java.nio.file.Files.copy(part, staged.resolve("zz-sentinel.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // recursive tmp cleanup (dir holds _SUCCESS + part + crc files)
+    java.nio.file.Files.walk(tmpOut).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
   }
 
   /** D2: streaming dedup — exactly-one-row-per-key across micro-batches,
@@ -602,8 +678,45 @@ object Streaming {
     if (fs.exists(bak)) fs.delete(bak, true)
   }
 
+  /** Drain a streaming frame through a parquet FILE sink (append mode)
+    * and read the result back — the scale-safe drain: executors write
+    * partitioned output directly, the driver never materializes a row,
+    * and state stays bounded by the watermark. Pair with a
+    * sentinel-closed source ([[fileEventSource]] with a horizon) so the
+    * final watermark emits every real window/session before the
+    * AvailableNow drain stops. `outDir`/`checkpoint` are recreated fresh
+    * each call: a drain is a full recomputation, not a resume.
+    */
+  def drainToFile(streamed: DataFrame, outDir: String,
+      checkpoint: String): DataFrame = {
+    def rmr(p: String): Unit = {
+      val d = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(d)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    rmr(outDir); rmr(checkpoint)
+    val q = streamed.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    streamed.sparkSession.read.parquet(outDir)
+  }
+
   /** Drain a streaming frame to an in-memory table and return the result —
     * AvailableNow semantics, used by tests and local verification.
+    *
+    * TEST/VERIFICATION ONLY: the memory sink materializes the drained
+    * result ON THE DRIVER (and complete mode re-materializes the whole
+    * result each drain), so peak driver memory is bounded only by the
+    * result size — fine for fixture/bench scale, wrong for production
+    * drains. Production paths use [[drainToFile]] / [[upsertSink]] /
+    * [[clusterSink]].
     */
   def drainToBatch(streamed: DataFrame, name: String,
       outputMode: String = "append"): DataFrame = {

@@ -97,7 +97,7 @@ class SessionBoundaryPropertySpec extends SparkTestBase {
       .collect().toSeq
   }
 
-  test("streamed session_window == >=-boundary gaps-and-islands on boundary-adversarial streams") {
+  test("streamed session_window == strict->-boundary gaps-and-islands on boundary-adversarial streams") {
     for (seed <- 1L to 3L) {
       val dir = writeFixture(sample(streamGen, seed), seed)
       val streamed = Streaming.drainToBatch(
