@@ -166,6 +166,63 @@ object Relational {
       |FROM ranked WHERE rn = 1
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q82: the REAL [[graft.merge.Merge.mergeDeterministic]] API under the
+    * oracle gate — q05 states the same priority-window shape inline, but
+    * this row executes the library entry point itself, including its
+    * full within-source tie-break (duplicate keys INSIDE the delta are
+    * resolved by the remaining orderable columns in lexicographic column
+    * order, so the winner never depends on shuffle order). The delta
+    * deliberately carries two conflicting rows per even key ('0-DELTA'
+    * beats '1-DELTA' on the o_orderpriority tie-break) plus a column the
+    * season lacks (allowMissingColumns null-fill).
+    */
+  def mergeDeterministicOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val season = o.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+    def deltaVariant(status: String, prio: String) =
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit(status).as("o_orderstatus"), col("o_totalprice"),
+          lit(prio).as("o_orderpriority"), lit("fresh").as("batch_tag"))
+    val delta = deltaVariant("U", "0-DELTA")
+      .unionByName(deltaVariant("V", "1-DELTA"))
+    graft.merge.Merge.mergeDeterministic(season, delta, Seq("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Mirrors mergeDeterministic's window exactly: priority (src) first,
+    * then the non-key orderable columns sorted BY NAME (batch_tag,
+    * o_custkey, o_orderpriority, o_orderstatus, o_totalprice). NULLS
+    * FIRST matches Spark's ascending default (DuckDB defaults to last).
+    */
+  val mergeDeterministicOrdersSql: String =
+    """WITH season AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |         o_orderpriority, CAST(NULL AS VARCHAR) AS batch_tag, 1 AS src
+      |  FROM orders WHERE o_orderkey % 3 <> 0
+      |), delta AS (
+      |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice,
+      |         '0-DELTA' AS o_orderpriority, 'fresh' AS batch_tag, 0 AS src
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, 'V', o_totalprice,
+      |         '1-DELTA', 'fresh', 0
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |), unioned AS (
+      |  SELECT * FROM season UNION ALL SELECT * FROM delta
+      |), ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+      |    ORDER BY src, batch_tag NULLS FIRST, o_custkey, o_orderpriority,
+      |             o_orderstatus, o_totalprice) AS rn
+      |  FROM unioned
+      |)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |       o_orderpriority, batch_tag
+      |FROM ranked WHERE rn = 1
+      |ORDER BY o_orderkey""".stripMargin
+
   /** unionByName with allowMissingColumns over schema-drifted inputs
     * (reference: scripts/spark_merge_dfs.py:83) — null-fill semantics.
     */
@@ -247,6 +304,7 @@ object Relational {
     "q03_revenue_by_nation" -> (revenueByNation _),
     "q04_top_customers" -> (topCustomers _),
     "q05_upsert_orders" -> (upsertOrders _),
+    "q82_merge_deterministic" -> (mergeDeterministicOrders _),
     "q06_union_by_name" -> (unionByNameDrift _))
 
   val oracle: Map[String, String] = Map(
@@ -256,5 +314,6 @@ object Relational {
     "q03_revenue_by_nation" -> revenueByNationSql,
     "q04_top_customers" -> topCustomersSql,
     "q05_upsert_orders" -> upsertOrdersSql,
+    "q82_merge_deterministic" -> mergeDeterministicOrdersSql,
     "q06_union_by_name" -> unionByNameDriftSql)
 }

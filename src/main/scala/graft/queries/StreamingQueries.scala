@@ -124,6 +124,89 @@ object StreamingQueries {
     }
   }
 
+  /** q83: the CUSTOM-STATE session path (flatMapGroupsWithState +
+    * event-time timeout) under the oracle gate — q80 gates the built-in
+    * session_window store; this gates the hand-rolled state machine
+    * ([[Streaming.statefulSessionize]]): explicit per-user state,
+    * in-batch closure on strict-> gaps, timeout-driven emission of each
+    * user's final session. Same closing-sentinel + append-mode file-sink
+    * drain as q80: the sentinel advances the watermark past every real
+    * timeout so all final sessions emit, and its own group's state is
+    * simply never emitted (its timeout lies past the final watermark)
+    * and is filtered on the drained output besides.
+    *
+    * The oracle is q19's strict-> gaps-and-islands with end = LAST EVENT
+    * time (statefulSessionize reports the session's own extent; q80's
+    * session_window reports end + gap) and the value summed exactly
+    * (state accumulates cents — see [[Streaming.SessionState]]).
+    */
+  def streamedStatefulSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Streaming.fileEventSource(spark, dir, sentinelHorizonHours = 3)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Streaming.Event]
+    val sess = Streaming.statefulSessionize(src).toDF()
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-drain-" + drainName("q83", dir)).toString
+    withDrainPartitions(spark) {
+      Streaming.drainToFile(sess, s"$base/out", s"$base/cp")
+        .filter(col("user_id") =!= lit(Streaming.SentinelUserId))
+        .orderBy(col("user_id"), col("start_us"))
+    }
+  }
+
+  val streamedStatefulSessionsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+      |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+      |  FROM events
+      |), flagged AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+      |                 THEN 1 ELSE 0 END AS is_new
+      |  FROM ev
+      |), sess AS (
+      |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+      |  FROM flagged
+      |)
+      |SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM sess GROUP BY user_id, grp
+      |ORDER BY user_id, start_us""".stripMargin
+
+  /** q84: the SLIDING-window streaming aggregate under the oracle gate —
+    * q79 gates slide == window (tumbling); this gates slide < window
+    * (each event lands in window/slide = 4 overlapping windows, a
+    * different state fan-out in the same store). Same closing-sentinel +
+    * append-mode file-sink drain: every real window's end precedes the
+    * sentinel-advanced watermark, so the bounded drain emits the
+    * complete q49 result with bounded state; the sentinel's own
+    * "__sentinel" windows end past the watermark, stay in state, and
+    * are filtered on the drained output besides.
+    */
+  def streamedSlidingRollup(spark: SparkSession, dir: String): DataFrame = {
+    val rolled = Streaming.windowedRollup(
+      Streaming.fileEventSource(spark, dir, sentinelHorizonHours = 3),
+      slide = "15 minutes")
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-drain-" + drainName("q84", dir)).toString
+    withDrainPartitions(spark) {
+      Streaming.drainToFile(rolled, s"$base/out", s"$base/cp")
+        .filter(col("event_type") =!= lit("__sentinel"))
+        .select(unix_micros(col("hour")).as("window_start_us"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("window_start_us"), col("event_type"))
+    }
+  }
+
+  /** Same statement as q49's oracle — shared, not copied. */
+  val streamedSlidingRollupSql: String = EventOps.slidingRollupSql
+
   val streamedSessionRollupSql: String =
     """WITH ev AS (
       |  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
@@ -150,9 +233,13 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_streamed_rollup" -> (streamedHourlyRollup _),
-    "q80_streamed_sessions" -> (streamedSessionRollup _))
+    "q80_streamed_sessions" -> (streamedSessionRollup _),
+    "q83_streamed_stateful_sessions" -> (streamedStatefulSessions _),
+    "q84_streamed_sliding_rollup" -> (streamedSlidingRollup _))
 
   val oracle: Map[String, String] = Map(
     "q79_streamed_rollup" -> streamedHourlyRollupSql,
-    "q80_streamed_sessions" -> streamedSessionRollupSql)
+    "q80_streamed_sessions" -> streamedSessionRollupSql,
+    "q83_streamed_stateful_sessions" -> streamedStatefulSessionsSql,
+    "q84_streamed_sliding_rollup" -> streamedSlidingRollupSql)
 }

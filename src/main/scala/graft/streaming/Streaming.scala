@@ -22,9 +22,13 @@ object Streaming {
       event_type: String, value: Double)
 
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
-      n_events: Int, total_value: Double)
+      n_events: Long, total_value: Double)
 
-  case class SessionState(startUs: Long, endUs: Long, n: Int, value: Double)
+  /** Value accumulates as exact CENTS (the monetary columns carry ≤2
+    * decimal digits — same rationale as [[graft.queries.Exact]]): a
+    * double running sum would be order-dependent and drift from the
+    * oracle's decimal sum in the last ulp. */
+  case class SessionState(startUs: Long, endUs: Long, n: Long, cents: Long)
 
   /** File-based streaming source over the events schema — the
     * broker-free twin of the Kafka source (same frame shape downstream).
@@ -191,10 +195,13 @@ object Streaming {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          def out(s: SessionState): SessionOut =
+            SessionOut(userId, s.startUs, s.endUs, s.n, s.cents / 100.0)
+          def cents(v: Double): Long = math.round(v * 100.0)
           if (rows.isEmpty && state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(SessionOut(userId, s.startUs, s.endUs, s.n, s.value))
+            Iterator.single(out(s))
           } else {
             var closed = List.empty[SessionOut]
             var cur = state.getOption.orNull
@@ -202,13 +209,13 @@ object Streaming {
               val us = micros(e.ts)
               cur match {
                 case null =>
-                  cur = SessionState(us, us, 1, e.value)
+                  cur = SessionState(us, us, 1, cents(e.value))
                 case s if us - s.endUs > gapUs =>
-                  closed ::= SessionOut(userId, s.startUs, s.endUs, s.n, s.value)
-                  cur = SessionState(us, us, 1, e.value)
+                  closed ::= out(s)
+                  cur = SessionState(us, us, 1, cents(e.value))
                 case s =>
                   cur = SessionState(s.startUs, math.max(s.endUs, us), s.n + 1,
-                    s.value + e.value)
+                    s.cents + cents(e.value))
               }
             }
             if (cur != null) {

@@ -105,7 +105,7 @@ class StreamingSpec extends SparkTestBase {
     // user 1's 2-event session (0..5min) emitted despite no closing event
     val u1 = got.filter($"user_id" === 1).collect()
     assert(u1.length == 1, got.collect().mkString(";"))
-    assert(u1(0).getAs[Int]("n_events") == 2)
+    assert(u1(0).getAs[Long]("n_events") == 2L)
     assert(u1(0).getAs[Long]("end_us") - u1(0).getAs[Long]("start_us") == 5L * 60 * 1000000)
   }
 
