@@ -1,0 +1,113 @@
+package graft.tools
+
+import graft.ingest.Ingest
+import graft.merge.Merge
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** The deployable two-stage pipeline CLI — entry-point parity with the
+  * reference's two spark-submit scripts (`scripts/spark_processing.py:
+  * 266-285` runs the ingest job, `scripts/spark_merge_dfs.py:131-160`
+  * runs the merge/publish job; the DAG invokes them in sequence,
+  * `dags/kafka_stream_dag.py:69-77`). Same division of labor here:
+  *
+  *  - `ingest`: topic → envelope transform → headered CSV delta, as a
+  *    checkpointed AvailableNow drain (restart-safe where the reference
+  *    destroyed the topic for progress tracking);
+  *  - `merge`: season tgz ∪ delta CSV → deterministic upsert → republish
+  *    the tgz artifact (sorted by the dedup keys so identical data
+  *    publishes identical bytes — what lets a restarted pipeline prove
+  *    convergence);
+  *  - `run`: both stages, one command.
+  *
+  * Usage (spark-submit provides the master/cluster conf; local runs fall
+  * back to local[*]):
+  * {{{
+  *   PipelineMain ingest --servers <brokers|kafka-log root> --topic shots \
+  *     --out /data/ongoing --checkpoint /data/ckpt \
+  *     [--format kafka|kafka-log] [--min-partitions N] [--max-offsets N]
+  *   PipelineMain merge --season /data/shots-2025.tgz --delta /data/ongoing \
+  *     [--publish <out tgz, default = --season>] [--csv-name shots-2025.csv]
+  *   PipelineMain run  <all of the above>
+  * }}}
+  *
+  * The stages are public methods so tests (PipelineE2ESpec) drive the
+  * SAME code the command line runs, not parallel plumbing.
+  */
+object PipelineMain {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, usage)
+    val cmd = args.head
+    val opts = parseOpts(args.tail)
+    val spark = SparkSession.builder()
+      .appName("graft-pipeline")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    cmd match {
+      case "ingest" => ingest(spark, opts)
+      case "merge" => mergePublish(spark, opts)
+      case "run" => ingest(spark, opts); mergePublish(spark, opts)
+      case other => throw new IllegalArgumentException(
+        s"unknown command '$other'\n$usage")
+    }
+  }
+
+  val usage: String =
+    """usage: PipelineMain <ingest|merge|run> [--key value ...]
+      |  ingest: --servers --topic --out --checkpoint
+      |          [--format kafka|kafka-log] [--min-partitions] [--max-offsets]
+      |  merge:  --season --delta [--publish] [--csv-name] [--tmp]""".stripMargin
+
+  private[graft] def parseOpts(args: Array[String]): Map[String, String] = {
+    require(args.length % 2 == 0, s"dangling flag in ${args.mkString(" ")}\n$usage")
+    args.grouped(2).map { pair =>
+      require(pair(0).startsWith("--"), s"expected --flag, got '${pair(0)}'\n$usage")
+      pair(0).stripPrefix("--") -> pair(1)
+    }.toMap
+  }
+
+  private def req(opts: Map[String, String], k: String): String =
+    opts.getOrElse(k, throw new IllegalArgumentException(
+      s"missing required --$k\n$usage"))
+
+  /** Stage 1: drain the topic through the envelope transform into the
+    * headered `ongoing/` CSV delta (spark_processing.py's job). The
+    * checkpoint makes re-runs drain only unseen offsets — an empty
+    * incremental drain leaves the delta as-is.
+    */
+  def ingest(spark: SparkSession, opts: Map[String, String]): Unit =
+    Ingest.streamToCsv(
+      Ingest.transform(Ingest.kafkaStreamSource(spark,
+        servers = req(opts, "servers"),
+        topic = req(opts, "topic"),
+        minPartitions = opts.getOrElse("min-partitions", "0").toInt,
+        maxOffsetsPerTrigger = opts.getOrElse("max-offsets", "0").toLong,
+        format = opts.getOrElse("format", "kafka"))),
+      req(opts, "out"), req(opts, "checkpoint"))
+
+  /** Stage 2: season tgz ∪ delta CSV → [[Merge.mergeDeterministic]] →
+    * republish (spark_merge_dfs.py's job). A missing season bootstraps
+    * from the delta alone (day-0 run). Rows are sorted by the dedup keys
+    * before packaging so the artifact is byte-reproducible.
+    */
+  def mergePublish(spark: SparkSession, opts: Map[String, String]): Unit = {
+    val seasonTgz = req(opts, "season")
+    val deltaDir = req(opts, "delta")
+    // "publish", not "out": `run` shares one opts map across both
+    // stages and --out is the ingest stage's CSV delta dir
+    val outTgz = opts.getOrElse("publish", seasonTgz)
+    val csvName = opts.getOrElse("csv-name",
+      new org.apache.hadoop.fs.Path(outTgz).getName.stripSuffix(".tgz") + ".csv")
+    val tmpDir = opts.getOrElse("tmp", outTgz + ".publish-tmp")
+    val delta = Merge.readCsv(spark, deltaDir)
+    val seasonPath = new org.apache.hadoop.fs.Path(seasonTgz)
+    val fs = seasonPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(seasonPath))
+        Merge.mergeDeterministic(Merge.readSeasonTgz(spark, seasonTgz), delta)
+      else delta.dropDuplicates(Merge.dedupKeys)
+    Merge.publishTgz(merged.orderBy(Merge.dedupKeys.map(col): _*),
+      tmpDir, outTgz, csvName)
+  }
+}

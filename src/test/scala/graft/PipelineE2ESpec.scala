@@ -186,17 +186,18 @@ class PipelineE2ESpec extends SparkTestBase {
         "3rd Q, 2:15.0 remaining<br>Lauri Markkanen made 3-pointer from 24 ft<br>Utah leads 70-60"))
     ).toDF("key", "value")), s"$dir/t0", season, "shots-2025.csv")
 
-    def drain(): Unit = Ingest.streamToCsv(
-      Ingest.transform(Ingest.kafkaStreamSource(spark, root, "shots",
-        format = KafkaLog.Format)),
-      s"$dir/ongoing", s"$dir/ckpt")
-    def mergePublish(): Unit = {
-      val merged = Merge.mergeDeterministic(
-        Merge.readSeasonTgz(spark, season),
-        Merge.readCsv(spark, s"$dir/ongoing"))
-      Merge.publishTgz(merged.orderBy(Merge.dedupKeys.map(col): _*),
-        s"$dir/tpub", season, "shots-2025.csv")
-    }
+    // both DAG legs run through the deployable CLI entry point itself
+    // (graft.tools.PipelineMain) — the same stages a spark-submit run
+    // invokes, not spec-private plumbing
+    import graft.tools.PipelineMain
+    def drain(): Unit = PipelineMain.ingest(spark, PipelineMain.parseOpts(
+      Array("--servers", root, "--topic", "shots",
+        "--format", KafkaLog.Format,
+        "--out", s"$dir/ongoing", "--checkpoint", s"$dir/ckpt")))
+    def mergePublish(): Unit = PipelineMain.mergePublish(spark,
+      PipelineMain.parseOpts(Array("--season", season,
+        "--delta", s"$dir/ongoing",
+        "--csv-name", "shots-2025.csv", "--tmp", s"$dir/tpub")))
 
     // day-1 scrape lands in the topic; DAG run 1
     KafkaLog.produce(root, "shots", 0, Seq(rec(0, envelopeJson("g1", "Cleveland", "Boston",
@@ -226,6 +227,40 @@ class PipelineE2ESpec extends SparkTestBase {
     // idempotent — the season artifact is unchanged
     drain(); mergePublish()
     assert(Merge.readSeasonTgz(spark, season).count() == 4)
+  }
+
+  test("PipelineMain `run`: one command from fixture topic to season tgz") {
+    // the CLI contract itself: argv in, season artifact out — including
+    // the day-0 bootstrap branch (no season tgz exists yet). main()'s
+    // getOrCreate resolves to the suite's session in-JVM; under
+    // spark-submit it builds the cluster session the same way.
+    import graft.sources.KafkaLog
+    import graft.tools.PipelineMain
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe-cli").toString
+    val root = s"$dir/log"
+    KafkaLog.createTopic(root, "shots", 1)
+    KafkaLog.produce(root, "shots", 0, Seq(
+      KafkaLog.Record("k0", envelopeJson("g1", "Cleveland", "Boston",
+        "1st Q, 10:00.0 remaining<br>Donovan Mitchell made 2-pointer from 8 ft<br>Cleveland leads 2-0"),
+        1700000000000L),
+      KafkaLog.Record("k1", envelopeJson("g2", "LA Lakers", "Miami",
+        "4th Q, 0:01.2 remaining<br>LeBron James made 3-pointer from 30 ft<br>LA Lakers now leads 101-99"),
+        1700000001000L)))
+    PipelineMain.main(Array("run",
+      "--servers", root, "--topic", "shots", "--format", KafkaLog.Format,
+      "--out", s"$dir/ongoing", "--checkpoint", s"$dir/ckpt",
+      "--season", s"$dir/shots-2025.tgz", "--delta", s"$dir/ongoing"))
+    val season = Merge.readSeasonTgz(spark, s"$dir/shots-2025.tgz")
+    assert(season.count() == 2)
+    assert(season.filter($"game_id" === "g2")
+      .select("winner_score").as[String].collect()(0) == "101")
+    // second run with nothing new: empty incremental drain, idempotent
+    // merge — the artifact still carries the full season
+    PipelineMain.main(Array("run",
+      "--servers", root, "--topic", "shots", "--format", KafkaLog.Format,
+      "--out", s"$dir/ongoing", "--checkpoint", s"$dir/ckpt",
+      "--season", s"$dir/shots-2025.tgz", "--delta", s"$dir/ongoing"))
+    assert(Merge.readSeasonTgz(spark, s"$dir/shots-2025.tgz").count() == 2)
   }
 
   test("streaming flavor: envelope file stream -> transform -> csv sink") {
