@@ -22,12 +22,12 @@ import org.apache.spark.sql.functions._
   * spec-covered.
   */
 object StreamingQueries {
-  /** Stable per-(query, dir) memory-sink name: a re-drain REPLACES the
-    * previous drain's temp view instead of accumulating a new driver-side
-    * table per call (Bench alone drains each streaming query 3×; unique
-    * names would pin every drain's rows for the session's lifetime).
-    * Queries are sequential within a session per the driver contract, so
-    * name reuse never races a live query.
+  /** Stable per-(query, dir) drain key, used to name each query's
+    * file-sink output/checkpoint dirs under java.io.tmpdir: a re-drain
+    * REPLACES the previous drain's dirs instead of accumulating new ones
+    * per call (Bench alone drains each streaming query 3×). Queries are
+    * sequential within a session per the driver contract, so name reuse
+    * never races a live query.
     */
   private def drainName(q: String, dir: String): String =
     q + "_" + java.security.MessageDigest.getInstance("MD5")
@@ -50,17 +50,25 @@ object StreamingQueries {
   }
 
   /** q79: hourly event-type rollup computed BY THE STREAMING ENGINE.
-    * Complete output mode: AvailableNow drains the fixture in bounded
-    * micro-batches and the final emit carries every window, exactly the
-    * batch q18 result (append mode would hold back windows the closing
-    * watermark never passed — correct for an unbounded stream, wrong for
-    * an oracle-compared bounded drain).
+    * Append output mode through a parquet file sink, like q80/q83/q84:
+    * each window emits exactly once when the watermark passes its end
+    * and its state evicts (complete mode — the pre-round-10 shape —
+    * would re-materialize every window on the driver each drain and
+    * retain all window state). The closing sentinel pushes the bounded
+    * AvailableNow drain's final watermark past every real window, so
+    * append mode still yields exactly the batch q18 result; the
+    * sentinel's own "__sentinel" windows end past the watermark, stay
+    * unemitted, and are filtered on the drained output besides.
     */
   def streamedHourlyRollup(spark: SparkSession, dir: String): DataFrame = {
-    val rolled = Streaming.windowedRollup(Streaming.fileEventSource(spark, dir))
+    val rolled = Streaming.windowedRollup(
+      Streaming.fileEventSource(spark, dir, sentinelHorizonHours = 3))
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-drain-" + drainName("q79", dir)).toString
     withDrainPartitions(spark) {
-      Streaming.drainToBatch(rolled, drainName("q79_drain", dir),
-          outputMode = "complete")
+      Streaming.drainToFile(rolled, s"$base/out", s"$base/cp")
+        .filter(col("event_type") =!= lit("__sentinel"))
         .orderBy(col("hour"), col("event_type"))
     }
   }
