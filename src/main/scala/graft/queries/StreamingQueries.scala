@@ -239,15 +239,86 @@ object StreamingQueries {
       |FROM sess GROUP BY user_id, grp
       |ORDER BY user_id, start_us""".stripMargin
 
+  /** q85: the STREAM-STREAM interval join under the oracle gate — each
+    * error event inner-joined to the same user's events in the preceding
+    * 10 minutes of event time, both sides streaming with watermarks and
+    * a two-ended time bound (the condition IS the state bound: Spark
+    * sizes and evicts the join state from it). Inner-join rows emit in
+    * the micro-batch that matches them — no watermark gate on emission,
+    * only on state cleanup — so no closing sentinel is needed; the
+    * bounded drain emits the complete matched set, which the oracle
+    * states as the equivalent batch self-join.
+    */
+  def streamedIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Streaming.errorContextJoin(
+      Streaming.fileEventSource(spark, dir))
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-drain-" + drainName("q85", dir)).toString
+    withDrainPartitions(spark) {
+      Streaming.drainToFile(joined, s"$base/out", s"$base/cp")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("c_ts")).as("ctx_us"), col("value"))
+        .orderBy(col("event_id"), col("ctx_us"), col("value"))
+    }
+  }
+
+  val streamedIntervalJoinSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events
+      |), err AS (
+      |  SELECT event_id, user_id, us AS e_us FROM ev
+      |  WHERE event_type = 'error'
+      |)
+      |SELECT err.event_id, err.user_id, c.us AS ctx_us, c.value
+      |FROM err JOIN ev c ON c.user_id = err.user_id
+      |  AND c.us >= err.e_us - 600000000 AND c.us < err.e_us
+      |ORDER BY err.event_id, ctx_us, c.value""".stripMargin
+
+  /** q86: STREAMING DEDUP (dropDuplicatesWithinWatermark) under the
+    * oracle gate, on an adversarial input: the fixture staged twice
+    * ([[Streaming.fileEventSourceDuplicated]]), so every event arrives
+    * as a duplicate pair and the deduped drain must reproduce the
+    * single-copy events table exactly — the oracle is a plain SELECT of
+    * the fixture. Dedup emits each first-seen key immediately (append
+    * mode, no watermark gate on emission; the watermark only bounds how
+    * long a key's fingerprint is retained), so no closing sentinel is
+    * needed.
+    */
+  def streamedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = Streaming.dedupWithinWatermark(
+      Streaming.fileEventSourceDuplicated(spark, dir), Seq("event_id"))
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-drain-" + drainName("q86", dir)).toString
+    withDrainPartitions(spark) {
+      Streaming.drainToFile(deduped, s"$base/out", s"$base/cp")
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .orderBy(col("event_id"))
+    }
+  }
+
+  val streamedDedupSql: String =
+    """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |  user_id, event_type, value, props
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_streamed_rollup" -> (streamedHourlyRollup _),
     "q80_streamed_sessions" -> (streamedSessionRollup _),
     "q83_streamed_stateful_sessions" -> (streamedStatefulSessions _),
-    "q84_streamed_sliding_rollup" -> (streamedSlidingRollup _))
+    "q84_streamed_sliding_rollup" -> (streamedSlidingRollup _),
+    "q85_streamed_interval_join" -> (streamedIntervalJoin _),
+    "q86_streamed_dedup" -> (streamedDedup _))
 
   val oracle: Map[String, String] = Map(
     "q79_streamed_rollup" -> streamedHourlyRollupSql,
     "q80_streamed_sessions" -> streamedSessionRollupSql,
     "q83_streamed_stateful_sessions" -> streamedStatefulSessionsSql,
-    "q84_streamed_sliding_rollup" -> streamedSlidingRollupSql)
+    "q84_streamed_sliding_rollup" -> streamedSlidingRollupSql,
+    "q85_streamed_interval_join" -> streamedIntervalJoinSql,
+    "q86_streamed_dedup" -> streamedDedupSql)
 }

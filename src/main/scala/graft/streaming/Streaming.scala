@@ -136,6 +136,31 @@ object Streaming {
       .foreach(java.nio.file.Files.delete)
   }
 
+  /** [[fileEventSource]] staging the fixture TWICE (two files, distinct
+    * names, ordered mtimes): every event arrives as a duplicate pair —
+    * the adversarial input for the streaming dedup gate (q86). Uses its
+    * own stage-dir key so the single-copy flavors never see the extra
+    * file. TEST/FIXTURE ONLY, like the base staging.
+    */
+  def fileEventSourceDuplicated(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((dir + "#dup").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val staged = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft-events-$key")
+    java.nio.file.Files.createDirectories(staged)
+    val dst1 = staged.resolve("events.parquet")
+    val dst2 = staged.resolve("events-replay.parquet")
+    java.nio.file.Files.copy(src, dst1,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.copy(src, dst2,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(dst1.toString).schema
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(staged.toString))
+  }
+
   /** D2: streaming dedup — exactly-one-row-per-key across micro-batches,
     * state bounded by the watermark.
     */
