@@ -740,6 +740,49 @@ object Streaming {
     streamed.sparkSession.read.parquet(outDir)
   }
 
+  /** The RocksDB state-store provider bundled with the Spark 4
+    * distribution (`rocksdbjni` ships in its jars). The default
+    * `HDFSBackedStateStoreProvider` keeps EVERY state row on the JVM
+    * heap of its executor — fine for bounded local state, a hard
+    * ceiling at 100 TB where session state for millions of users, dedup
+    * fingerprints for billions of keys, or a stream-stream join's
+    * buffered rows must outgrow executor heap. RocksDB keeps the
+    * working set in native memory + local SSD, so state capacity scales
+    * with executor disk instead of heap, and changelog checkpointing
+    * uploads per-batch deltas instead of full snapshots — the
+    * deployment shape for every stateful query in this library
+    * (q79/q80/q83–q86, `upsertSink` upstream aggs).
+    */
+  val RocksDBProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with streaming state backed by RocksDB + changelog
+    * checkpointing, restoring the previous provider after. The provider
+    * is captured when a stream STARTS, so scoping it around a drain is
+    * safe (same contract as the shuffle-partition scoping in
+    * `StreamingQueries.withDrainPartitions`); streams already running
+    * keep the provider they started with.
+    */
+  def withRocksDBState[A](spark: SparkSession)(body: => A): A = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val chgKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevProv = spark.conf.getOption(provKey)
+    val prevChg = spark.conf.getOption(chgKey)
+    spark.conf.set(provKey, RocksDBProvider)
+    spark.conf.set(chgKey, "true")
+    try body finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+      prevChg match {
+        case Some(v) => spark.conf.set(chgKey, v)
+        case None => spark.conf.unset(chgKey)
+      }
+    }
+  }
+
   /** Drain a streaming frame to an in-memory table and return the result —
     * AvailableNow semantics, used by tests and local verification.
     *
