@@ -306,13 +306,79 @@ object StreamingQueries {
       |  user_id, event_type, value, props
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** q87: the streaming UPSERT SINK under the oracle gate — the
+    * reference's signature "updating datasets" operation as continuous
+    * ingestion ([[Streaming.upsertSink]] → the partition-pruned
+    * [[graft.merge.MergeTable]] MERGE backend, `nBuckets = 16`), not
+    * just spec-covered. The season is seeded with three
+    * oracle-distinguishable row classes before the drain:
+    *
+    *  - STALE overlaps (every even event_id, value := −1): delta must
+    *    WIN — a surviving −1 means season-wins or no-op merge;
+    *  - SEED-ONLY rows (event_id % 97 == 0, offset +100 M, value −1):
+    *    must SURVIVE untouched — their loss means the sink overwrote
+    *    the season instead of merging;
+    *  - DELTA-ONLY rows (every odd event_id): must INSERT.
+    *
+    * The streamed delta is the full events fixture; the oracle states
+    * the exact post-merge table (events ∪ offset seed-only rows). The
+    * sink's exactly-once contract (checkpointed AvailableNow +
+    * idempotent per-key merge) is what makes re-drains reproducible.
+    */
+  def streamedUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-drain-" + drainName("q87", dir)).toString
+    // fresh season + checkpoint: each call is a full recomputation, and
+    // a leftover checkpoint would make the new drain a no-op resume
+    val root = java.nio.file.Paths.get(base)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    val season = s"$base/season"
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"), col("value"))
+    val stale = ev.filter(col("event_id") % 2 === 0)
+      .withColumn("value", lit(-1.0))
+    val seedOnly = ev.filter(col("event_id") % 97 === 0)
+      .withColumn("event_id", col("event_id") + lit(100000000L))
+      .withColumn("value", lit(-1.0))
+    graft.merge.MergeTable.write(stale.unionByName(seedOnly), season,
+      keys = Seq("event_id"), nBuckets = 16)
+    val delta = Streaming.fileEventSource(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"), col("value"))
+    withDrainPartitions(spark) {
+      Streaming.upsertSink(delta, season, s"$base/cp",
+        keys = Seq("event_id"), nBuckets = 16)
+    }
+    graft.merge.MergeTable.read(spark, season).orderBy(col("event_id"))
+  }
+
+  val streamedUpsertSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    user_id, event_type, value
+      |  FROM events
+      |)
+      |SELECT event_id, us, user_id, event_type, value FROM ev
+      |UNION ALL
+      |SELECT event_id + 100000000, us, user_id, event_type,
+      |  CAST(-1.0 AS DOUBLE) AS value
+      |FROM ev WHERE event_id % 97 = 0
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_streamed_rollup" -> (streamedHourlyRollup _),
     "q80_streamed_sessions" -> (streamedSessionRollup _),
     "q83_streamed_stateful_sessions" -> (streamedStatefulSessions _),
     "q84_streamed_sliding_rollup" -> (streamedSlidingRollup _),
     "q85_streamed_interval_join" -> (streamedIntervalJoin _),
-    "q86_streamed_dedup" -> (streamedDedup _))
+    "q86_streamed_dedup" -> (streamedDedup _),
+    "q87_streamed_upsert" -> (streamedUpsert _))
 
   val oracle: Map[String, String] = Map(
     "q79_streamed_rollup" -> streamedHourlyRollupSql,
@@ -320,5 +386,6 @@ object StreamingQueries {
     "q83_streamed_stateful_sessions" -> streamedStatefulSessionsSql,
     "q84_streamed_sliding_rollup" -> streamedSlidingRollupSql,
     "q85_streamed_interval_join" -> streamedIntervalJoinSql,
-    "q86_streamed_dedup" -> streamedDedupSql)
+    "q86_streamed_dedup" -> streamedDedupSql,
+    "q87_streamed_upsert" -> streamedUpsertSql)
 }
