@@ -222,19 +222,23 @@ object PipelineOps {
     */
   val contamN = 4
 
+  /** Distinct `contamN`-token shingles per doc. Filter BEFORE shingling:
+    * each side pays the explode only for its own subset (the benchmark
+    * side is ~2% of the corpus, not a re-scan of all of it). Tokens are
+    * materialized into a column first — an expression referenced inside
+    * a `transform` lambda is re-evaluated per element (loop-invariant
+    * split() isn't hoisted out of higher-order functions), which made
+    * the inline form 3x slower.
+    */
+  private def contamShingled(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), toks.as("t"))
+    .filter(size(col("t")) >= contamN)
+    .select(col("doc_id"), explode(array_distinct(transform(
+      sequence(lit(0), size(col("t")) - contamN),
+      i => array_join(slice(col("t"), i + 1, lit(contamN)), " ")))).as("sh"))
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    // filter BEFORE shingling: each side pays the explode only for its own
-    // subset (the benchmark side is ~2% of the corpus, not a re-scan of
-    // all of it). Tokens are materialized into a column first — an
-    // expression referenced inside a `transform` lambda is re-evaluated
-    // per element (loop-invariant split() isn't hoisted out of
-    // higher-order functions), which made the inline form 3x slower.
-    def shingled(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), toks.as("t"))
-      .filter(size(col("t")) >= contamN)
-      .select(col("doc_id"), explode(array_distinct(transform(
-        sequence(lit(0), size(col("t")) - contamN),
-        i => array_join(slice(col("t"), i + 1, lit(contamN)), " ")))).as("sh"))
+    def shingled(df: DataFrame): DataFrame = contamShingled(df)
     val docs = Tables.documents(spark, dir)
     val bench = shingled(docs.filter(col("doc_id") % 50 === 0))
       .select(col("sh"), col("doc_id").as("bench_id"))
@@ -263,6 +267,41 @@ object PipelineOps {
        |FROM sh s JOIN bench ON s.sh = bench.sh
        |WHERE s.doc_id % 50 <> 0
        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  /** q88: bloom-prescreened decontamination — q41's semantics through the
+    * 100 TB plan shape. q41 broadcasts the benchmark's EXACT shingle rows,
+    * which stops working when the eval suite's shingle set outgrows the
+    * broadcast budget; here the benchmark side aggregates into a
+    * fixed-size bloom filter ([[graft.functions.expressions.BloomFilters
+    * .bloomAgg]] — a distributed build, the driver holds only the
+    * `numBits` array), and the corpus is prescreened MAP-SIDE with
+    * `mightContain` before anything joins. Only the might-contain
+    * survivors (true matches + the bounded false-positive residue) enter
+    * the exact shingle join, so the shuffle is ∝ contamination rate, not
+    * corpus size; false positives are removed by that exact join and
+    * false negatives cannot occur, so the result — and the oracle — are
+    * IDENTICAL to q41's. ~10 bits/shingle ≈ 1% FP; the filter rides the
+    * plan as a literal, the same materialized-scalar shape Spark's own
+    * `InjectRuntimeFilter` produces.
+    */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.BloomFilters
+    val docs = Tables.documents(spark, dir)
+    val bench = contamShingled(docs.filter(col("doc_id") % 50 === 0))
+      .select(col("sh"), col("doc_id").as("bench_id"))
+    val nBench = bench.count()
+    val bloom = bench
+      .agg(BloomFilters.bloomAgg(col("sh"), nBench,
+        math.max(nBench * 10L, 8192L)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    contamShingled(docs.filter(col("doc_id") % 50 =!= 0))
+      .filter(BloomFilters.mightContain(bloom, col("sh")))
+      .join(bench, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_shared_shingles"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy(col("doc_id"))
+  }
 
   // --------------------------------------------------------- interval join
   /** Temporal interval join: for each error event, count + value-sum of
@@ -645,6 +684,7 @@ object PipelineOps {
     "q39_stratified_sample" -> (stratifiedSample _),
     "q40_doc_chunks" -> (docChunks _),
     "q41_decontaminate" -> (decontaminate _),
+    "q88_bloom_decontaminate" -> (bloomDecontaminate _),
     "q42_interval_join" -> (intervalJoin _),
     "q43_quality_buckets" -> (qualityBuckets _),
     "q44_euclidean_topk" -> (euclideanTopK _),
@@ -663,6 +703,7 @@ object PipelineOps {
     "q39_stratified_sample" -> stratifiedSampleSql,
     "q40_doc_chunks" -> docChunksSql,
     "q41_decontaminate" -> decontaminateSql,
+    "q88_bloom_decontaminate" -> decontaminateSql,
     "q42_interval_join" -> intervalJoinSql,
     "q43_quality_buckets" -> qualityBucketsSql,
     "q44_euclidean_topk" -> euclideanTopKSql,
