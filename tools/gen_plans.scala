@@ -13,7 +13,8 @@ val picks = Seq(
   ("q67_regional_supply", "TPC-H Q5 shape: at this tiny SF Catalyst elects broadcast for every dimension AND the filtered fact sides (all under the 10m threshold); at scale the lineitem/orders/customer joins become the only wide shuffles. Date + region filters are pushed to the scans."),
   ("q31_tfidf_keywords", "TF-IDF on two reused exchanges: one explicit hash exchange on tok feeds BOTH the (tok, doc) term-frequency aggregate (no second exchange - partitioning already clusters the keys) and the token-partitioned df count window; then the per-doc top-3 window, with WindowGroupLimit shipping at most 3 rows per doc per partition into the doc exchange."),
   ("q81_shuffle_shard", "Shuffle-and-shard: seeded md5 rank, shard from the first hex digit, position via a shard-PARTITIONED row_number window - one hash exchange on shard, no global sort or single-reducer window in the computation (the trailing Sort is the presentation ORDER BY every oracle-compared query carries)."),
-  ("q72_zorder_scan", "2-D box over the Z-ordered lineitem copy: both box predicates are pushed to the parquet scan (PushedFilters on l_shipdate AND l_partkey), where the Morton-clustered file layout turns them into file/row-group skips instead of a full scan."))
+  ("q72_zorder_scan", "2-D box over the Z-ordered lineitem copy: both box predicates are pushed to the parquet scan (PushedFilters on l_shipdate AND l_partkey), where the Morton-clustered file layout turns them into file/row-group skips instead of a full scan."),
+  ("q88_bloom_decontaminate", "Bloom-prescreened decontamination: the benchmark shingle set aggregates into a fixed-size bloom filter (Spark's own BloomFilterAggregate, distributed build), the corpus stream is filtered MAP-SIDE by might_contain BEFORE the exact join - the filter sits inside the scan-side WholeStageCodegen span, so only true matches plus the ~1% FP residue ever shuffle; the exact shingle join then removes FPs, making the result identical to q41's exact-broadcast plan at any scale the broadcast can no longer reach."))
 val out = new PrintWriter("/tmp/PLANS.md")
 out.println("# PLANS - formatted physical plans for flagship queries")
 out.println()
