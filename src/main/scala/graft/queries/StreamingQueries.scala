@@ -186,6 +186,35 @@ object StreamingQueries {
       |FROM sess GROUP BY user_id, grp
       |ORDER BY user_id, start_us""".stripMargin
 
+  /** q89: q83's session semantics through the `transformWithState` API
+    * (Spark 4's successor to flatMapGroupsWithState: named state
+    * variables, explicit event-time timers — [[Streaming
+    * .SessionProcessor]]), drained under the RocksDB state store the API
+    * requires ([[Streaming.withRocksDBState]]). Identical oracle to q83
+    * — the two state APIs must produce the same sessions — so a green
+    * row here gates the NEW state API end-to-end: named ValueState,
+    * timer registration/expiry, append emission, RocksDB changelog
+    * checkpointing.
+    */
+  def streamedTwsSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Streaming.fileEventSource(spark, dir, sentinelHorizonHours = 3)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Streaming.Event]
+    val sess = Streaming.twsSessionize(src).toDF()
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-drain-" + drainName("q89", dir)).toString
+    withDrainPartitions(spark) {
+      Streaming.withRocksDBState(spark) {
+        Streaming.drainToFile(sess, s"$base/out", s"$base/cp")
+      }
+        .filter(col("user_id") =!= lit(Streaming.SentinelUserId))
+        .orderBy(col("user_id"), col("start_us"))
+    }
+  }
+
   /** q84: the SLIDING-window streaming aggregate under the oracle gate —
     * q79 gates slide == window (tumbling); this gates slide < window
     * (each event lands in window/slide = 4 overlapping windows, a
@@ -378,7 +407,8 @@ object StreamingQueries {
     "q84_streamed_sliding_rollup" -> (streamedSlidingRollup _),
     "q85_streamed_interval_join" -> (streamedIntervalJoin _),
     "q86_streamed_dedup" -> (streamedDedup _),
-    "q87_streamed_upsert" -> (streamedUpsert _))
+    "q87_streamed_upsert" -> (streamedUpsert _),
+    "q89_streamed_tws_sessions" -> (streamedTwsSessions _))
 
   val oracle: Map[String, String] = Map(
     "q79_streamed_rollup" -> streamedHourlyRollupSql,
@@ -387,5 +417,6 @@ object StreamingQueries {
     "q84_streamed_sliding_rollup" -> streamedSlidingRollupSql,
     "q85_streamed_interval_join" -> streamedIntervalJoinSql,
     "q86_streamed_dedup" -> streamedDedupSql,
-    "q87_streamed_upsert" -> streamedUpsertSql)
+    "q87_streamed_upsert" -> streamedUpsertSql,
+    "q89_streamed_tws_sessions" -> streamedStatefulSessionsSql)
 }

@@ -252,6 +252,92 @@ object Streaming {
       }
   }
 
+  /** Sessionization through the `transformWithState` API — Spark 4's
+    * successor to flatMapGroupsWithState (named state variables, explicit
+    * event-time timers, TTL support) and the API new state-heavy
+    * pipelines should target. Semantics are IDENTICAL to
+    * [[statefulSessionize]]: strict-`>` gap closure within a batch,
+    * exact-cents value accumulation, the final session flushed when the
+    * watermark passes last-event + gap — so both share q83's oracle
+    * shape. REQUIRES the RocksDB state-store provider
+    * ([[withRocksDBState]]): transformWithState refuses the default
+    * heap-backed store.
+    */
+  class SessionProcessor(gapMinutes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var state: ValueState[SessionState] = _
+    private val gapUs = gapMinutes * 60L * 1000000L
+    private val gapMs = gapMinutes * 60L * 1000L
+    private def micros(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    private def deadlineMs(s: SessionState): Long = s.endUs / 1000L + gapMs
+    private def out(userId: Long, s: SessionState): SessionOut =
+      SessionOut(userId, s.startUs, s.endUs, s.n, s.cents / 100.0)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[SessionOut] = {
+      def cents(v: Double): Long = math.round(v * 100.0)
+      var closed = List.empty[SessionOut]
+      var cur = if (state.exists()) state.get() else null
+      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        val us = micros(e.ts)
+        cur match {
+          case null => cur = SessionState(us, us, 1, cents(e.value))
+          case s if us - s.endUs > gapUs =>
+            closed ::= out(userId, s)
+            cur = SessionState(us, us, 1, cents(e.value))
+          case s =>
+            cur = SessionState(s.startUs, math.max(s.endUs, us), s.n + 1,
+              s.cents + cents(e.value))
+        }
+      }
+      if (cur != null) {
+        state.update(cur)
+        // registerTimer ADDS a timer (unlike fMGWS's setTimeoutTimestamp,
+        // which replaces); drop any stale deadline before arming the
+        // current one so superseded timers can't accumulate
+        getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(deadlineMs(cur))
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (!state.exists()) Iterator.empty
+      else {
+        val s = state.get()
+        // belt-and-braces: only the CURRENT deadline may flush — a stale
+        // timer racing a just-extended session must not emit it early
+        if (deadlineMs(s) <= expired.getExpiryTimeInMs) {
+          state.clear()
+          Iterator.single(out(userId, s))
+        } else Iterator.empty
+      }
+    }
+  }
+
+  /** [[statefulSessionize]]'s semantics through [[SessionProcessor]] /
+    * `transformWithState`. Run drains under [[withRocksDBState]]. */
+  def twsSessionize(events: Dataset[Event],
+      gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import org.apache.spark.sql.Encoders
+    implicit val outEnc: org.apache.spark.sql.Encoder[SessionOut] =
+      Encoders.product[SessionOut]
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new SessionProcessor(gapMinutes),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Stream-stream interval self-join: each error event joined to the
     * same user's events in the preceding `windowMinutes` of event time —
     * the streaming twin of PipelineOps.intervalJoin's matched set. Both

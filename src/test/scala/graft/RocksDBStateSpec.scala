@@ -91,6 +91,31 @@ class RocksDBStateSpec extends SparkTestBase {
     assertRocksArtifacts(s"$dir/rocks/cp")
   }
 
+  test("transformWithState sessionizer == flatMapGroupsWithState " +
+      "sessionizer (q89's API parity claim)") {
+    import spark.implicits._
+    val dir = tmp()
+    def src = Streaming.fileEventSource(spark, sf, sentinelHorizonHours = 3)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Streaming.Event]
+    val viaFmgws = Streaming.drainToFile(
+        Streaming.statefulSessionize(src).toDF(),
+        s"$dir/fmgws/out", s"$dir/fmgws/cp")
+      .filter(col("user_id") =!= lit(Streaming.SentinelUserId))
+      .orderBy("user_id", "start_us").collect().toSeq
+    val viaTws = Streaming.withRocksDBState(spark) {
+      Streaming.drainToFile(
+          Streaming.twsSessionize(src).toDF(),
+          s"$dir/tws/out", s"$dir/tws/cp")
+        .filter(col("user_id") =!= lit(Streaming.SentinelUserId))
+        .orderBy("user_id", "start_us").collect().toSeq
+    }
+    assert(viaTws.nonEmpty)
+    assert(viaTws == viaFmgws)
+    assertRocksArtifacts(s"$dir/tws/cp")
+  }
+
   test("provider conf is restored after the scope, even on failure") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val before = spark.conf.getOption(key)
