@@ -19,9 +19,21 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // The timed action is a noop-sink WRITE, not count(): under a count
+    // Catalyst prunes every column the count doesn't need, so a
+    // projection-heavy query's derived columns were never computed and
+    // the bench under-measured materialization (round-10 verdict item 1).
+    // The noop DSv2 sink evaluates and serializes every output row on
+    // the executors and discards it — full materialization, zero I/O.
+    // Methodology change recorded in BASELINE.md (r11): totals before
+    // r11 are count()-based, comparable only to each other.
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
       catch { case e: Throwable =>
         // Error marker, NOT a near-zero time: a broken query must never
         // read as a fast one (it would *improve* the total).
@@ -111,7 +123,8 @@ object Bench {
       s""""loadavg":${js(loadavg)},"load_before":$loadBefore,""" +
       s""""load_per_query":$loadJson,"load_max":${fmtLoad(loadMax)},""" +
       s""""load_threshold":${fmtLoad(loadThresh)},"retimed":$retimedJson,""" +
-      s""""load_contaminated":$loadContaminated,"iterations":2,"sf":"$sfDir"}"""
+      s""""load_contaminated":$loadContaminated,"iterations":2,""" +
+      s""""action":"noop_write","sf":"$sfDir"}"""
     println(line)
     // Durability line: the full per-query JSON above can exceed a bounded
     // log tail (BENCH_r04 lost its total that way). Repeat the headline
@@ -121,7 +134,7 @@ object Bench {
       s""""loadavg":${js(loadavg)},"load_max":${fmtLoad(loadMax)},""" +
       s""""n_retimed":${retimed.size},""" +
       s""""load_contaminated":$loadContaminated,""" +
-      s""""sf":"$sfDir"}""")
+      s""""action":"noop_write","sf":"$sfDir"}""")
     // Machine-readable artifact: stdout tails get truncated and parsers
     // drift (BENCH_r05 `parsed: null`); the full JSON line also lands in
     // a file so the round's numbers never depend on tail regexes.

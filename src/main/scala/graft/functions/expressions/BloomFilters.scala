@@ -23,11 +23,41 @@ import org.apache.spark.sql.types.BinaryType
   * composable.
   */
 object BloomFilters {
+  /** CLAMP HAZARD: `BloomFilterAggregate` silently caps its arguments at
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default 4M)
+    * and `...maxNumBits` (default 67108864 = 8 MB). Past the clamp the
+    * filter is undersized — results stay correct (a downstream exact
+    * join removes false positives; false negatives cannot occur) but
+    * the FP rate degrades and the prescreen stops pruning. Callers
+    * sizing for more than the defaults must raise both confs first:
+    * [[withCapacity]] does exactly that, scoped.
+    */
+  def withCapacity[A](spark: org.apache.spark.sql.SparkSession,
+      expectedItems: Long, numBits: Long)(body: => A): A = {
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prevItems = spark.conf.getOption(itemsKey)
+    val prevBits = spark.conf.getOption(bitsKey)
+    spark.conf.set(itemsKey,
+      math.max(expectedItems, 4000000L).toString)
+    spark.conf.set(bitsKey,
+      math.max(numBits, 67108864L).toString)
+    def restore(key: String, prev: Option[String]): Unit = prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    try body
+    finally { restore(itemsKey, prevItems); restore(bitsKey, prevBits) }
+  }
+
   /** Aggregate a column into a serialized bloom filter (binary).
     * `expectedItems`/`numBits` size the filter exactly like
     * `bloom_filter_agg`'s arguments; ~10 bits/item ≈ 1% FP rate.
     * Distributed build: partial filters merge associatively, the driver
-    * receives only the final `numBits`-sized array.
+    * receives only the final `numBits`-sized array. Sizes beyond the
+    * runtime-filter conf caps are silently clamped — wrap the BUILD in
+    * [[withCapacity]] when `expectedItems` can exceed 4M (the confs are
+    * read when the aggregate executes, so scoping the action suffices).
     */
   def bloomAgg(c: Column, expectedItems: Long, numBits: Long): Column =
     ColumnBridge.column(new BloomFilterAggregate(

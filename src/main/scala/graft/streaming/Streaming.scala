@@ -807,14 +807,6 @@ object Streaming {
     */
   def drainToFile(streamed: DataFrame, outDir: String,
       checkpoint: String): DataFrame = {
-    def rmr(p: String): Unit = {
-      val d = java.nio.file.Paths.get(p)
-      if (java.nio.file.Files.exists(d)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
-    }
     rmr(outDir); rmr(checkpoint)
     val q = streamed.writeStream.format("parquet")
       .option("path", outDir)
@@ -824,6 +816,20 @@ object Streaming {
       .start()
     q.awaitTermination()
     streamed.sparkSession.read.parquet(outDir)
+  }
+
+  /** Recursive local-filesystem delete, shared by every drain that must
+    * start from a clean output/checkpoint dir (a leftover checkpoint
+    * turns a fresh drain into a no-op resume). Driver-local tmp paths
+    * only — production season/sink paths go through the Hadoop FS API.
+    */
+  private[graft] def rmr(p: String): Unit = {
+    val d = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(d)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
   }
 
   /** The RocksDB state-store provider bundled with the Spark 4
