@@ -23,21 +23,42 @@ object Profiling {
     * accuracy 10000 (rank error ≤ 0.01%) → median inside the exact IQR,
     * p25/p75 within 5% relative of their exact values.
     */
-  def sketchProfile(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
+  def sketchProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    // Exact percentile twins via the scale-safe per-value-count path
+    // ([[exactPercentiles]]), NOT the built-in `percentile` aggregate:
+    // that one buffers every (value, count) pair per group inside the
+    // aggregation buffer AND rides the countDistinct Expand (x3 rows) —
+    // measured 72 s at sf0.1 under a full-materialization action, OOM
+    // fodder at scale. The exact twins are tiny per-group frames, so
+    // they broadcast-join back onto the sketch aggregate.
+    val eq = exactPercentiles(li, "l_returnflag", "l_quantity",
+      Seq("eq25" -> 0.25, "eq75" -> 0.75))
+    val ep = exactPercentiles(li, "l_returnflag", "l_extendedprice",
+      Seq("ep25" -> 0.25, "ep75" -> 0.75))
+    // The exact distinct counts run in their OWN aggregate, never in
+    // the same Aggregate as the sketch functions: Spark rewrites
+    // multi-countDistinct via an Expand (x3 rows) whose partial
+    // aggregate groups by (flag, orderkey, partkey, gid) — ~|rows|
+    // groups — and any typed-imperative aggregate sharing that
+    // Aggregate then allocates its object buffer (HLL registers,
+    // QuantileSummaries) PER PARTIAL GROUP and serializes each through
+    // the sort-based fallback. Measured: 57 s fused vs ~2 s split at
+    // sf0.1; fused OOMs at scale. Split, each aggregate is one clean
+    // pass and the 3-row results broadcast-join back together.
+    val exactDistinct = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("eo"),
+        countDistinct(col("l_partkey")).as("ep"))
+    li.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey")).as("ao"),
-        countDistinct(col("l_orderkey")).as("eo"),
         approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
-        countDistinct(col("l_partkey")).as("ep"),
         percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("amq"),
-        percentile(col("l_quantity"), lit(0.25)).as("eq25"),
-        percentile(col("l_quantity"), lit(0.75)).as("eq75"),
         percentile_approx(col("l_extendedprice"),
-          array(lit(0.25), lit(0.75)), lit(10000)).as("apq"),
-        percentile(col("l_extendedprice"), lit(0.25)).as("ep25"),
-        percentile(col("l_extendedprice"), lit(0.75)).as("ep75"))
+          array(lit(0.25), lit(0.75)), lit(10000)).as("apq"))
+      .join(broadcast(exactDistinct), Seq("l_returnflag"))
+      .join(broadcast(eq), Seq("l_returnflag"))
+      .join(broadcast(ep), Seq("l_returnflag"))
       .select(col("l_returnflag"),
         (abs(col("ao") - col("eo")) <= col("eo") * 0.10)
           .as("approx_orders_within_10pct"),
@@ -50,6 +71,82 @@ object Profiling {
         (abs(col("apq").getItem(1) - col("ep75")) <= abs(col("ep75")) * 0.05)
           .as("approx_p75_price_within_5pct"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** Scale-safe EXACT percentiles: per group, the same doubles as
+    * Spark's `percentile` aggregate, without its aggregation buffer
+    * that holds every distinct (value, count) pair of the group in
+    * executor memory (and serializes it through the shuffle). The
+    * decomposition is q56's decile machinery re-used for arbitrary
+    * percentiles:
+    *
+    *  1. per-(group, value) counts — the only full-data pass, narrow
+    *     rows, map-side combinable, output ∝ distinct values;
+    *  2. a TWO-LEVEL prefix sum over the counts: cumulative within
+    *     1024-wide value-range blocks (window partitioned by
+    *     (group, block)) plus a broadcast theta-join over the tiny
+    *     per-block totals — no unpartitioned window anywhere;
+    *  3. closed-form selection: the element at 0-based index k is the
+    *     value whose cumulative range [cum_before, cum_before+cnt)
+    *     covers k; each percentile needs the two indices
+    *     floor(p·(n−1)) and ceil(p·(n−1)), picked with a conditional
+    *     max in ONE per-group aggregate, then interpolated with
+    *     Percentile.getPercentile's exact IEEE expression
+    *     `(hi−pos)·lower + (pos−lo)·higher`.
+    *
+    * Grouping keys the RAW double (bitwise grouping, so `vd` is the
+    * identical double the built-in buffers); suited to discrete-valued
+    * measures (2-decimal money, integer counts) where distinct values
+    * are bounded — for truly continuous doubles use percentile_approx,
+    * the same guidance Spark's own docs give for `percentile`.
+    */
+  private val pctBlockWidth = 1024.0
+
+  private[queries] def exactPercentiles(base: DataFrame, g: String,
+      v: String, ps: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vc = base.select(col(g), col(v).cast("double").as("vd"))
+      .filter(col("vd").isNotNull)
+      .groupBy(col(g), col("vd")).agg(count(lit(1)).as("cnt"))
+      .withColumn("blk",
+        floor(col("vd") / lit(pctBlockWidth)).cast("long"))
+    val wFine = Window.partitionBy(col(g), col("blk")).orderBy(col("vd"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fine = vc.withColumn("cum_in_blk", sum(col("cnt")).over(wFine))
+    val bt = vc.groupBy(col(g), col("blk")).agg(sum(col("cnt")).as("bcnt"))
+    val btB = bt.select(col(g).as("bg"), col("blk").as("bblk"),
+      col("bcnt").as("bbcnt"))
+    val blkBefore = bt.join(broadcast(btB),
+        col("bg") === col(g) && col("bblk") < col("blk"), "left")
+      .groupBy(col(g), col("blk"))
+      .agg(coalesce(sum(col("bbcnt")), lit(0L)).as("blk_before"))
+    val totals = bt.groupBy(col(g)).agg(sum(col("bcnt")).as("n_g"))
+    val cum = fine.join(broadcast(blkBefore), Seq(g, "blk"))
+      .join(broadcast(totals), Seq(g))
+      .withColumn("cum_before",
+        col("blk_before") + col("cum_in_blk") - col("cnt"))
+    def rank(p: Double): Column =
+      lit(p) * (col("n_g") - 1).cast("double")
+    val picks = ps.flatMap { case (nm, p) =>
+      val k1 = floor(rank(p)).cast("long")
+      val k2 = ceil(rank(p)).cast("long")
+      def at(k: Column): Column = max(when(
+        col("cum_before") <= k && k < col("cum_before") + col("cnt"),
+        col("vd")))
+      Seq(at(k1).as(s"__${nm}_lo"), at(k2).as(s"__${nm}_hi"))
+    } :+ max(col("n_g")).as("n_g")
+    val agged = cum.groupBy(col(g)).agg(picks.head, picks.tail: _*)
+    val outs = ps.map { case (nm, p) =>
+      val pos = rank(p)
+      val lo = floor(pos)
+      val hi = ceil(pos)
+      when(hi === lo, col(s"__${nm}_lo"))
+        .otherwise((hi - pos) * col(s"__${nm}_lo") +
+          (pos - lo) * col(s"__${nm}_hi"))
+        .as(nm)
+    }
+    agged.select(col(g) +: outs: _*)
+  }
 
   val sketchProfileSql: String =
     """SELECT l_returnflag,
@@ -165,14 +262,20 @@ object Profiling {
   /** Exact interpolated quantiles (sort-based `percentile`) — both
     * engines use pos = p*(n-1) linear interpolation on the same doubles.
     */
-  def quantiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
-        percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"),
-        percentile(col("l_extendedprice"), lit(0.75)).as("p75_price"))
+  /** q35: EXACT group percentiles through [[exactPercentiles]] — the
+    * built-in `percentile` aggregate's results without its
+    * whole-group-in-the-buffer memory shape (see the helper's doc).
+    * The oracle is DuckDB's `quantile_cont`, which interpolates with
+    * the same IEEE expression, so the row hash pins the arithmetic. */
+  def quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    exactPercentiles(li, "l_returnflag", "l_quantity",
+        Seq("median_qty" -> 0.5))
+      .join(broadcast(exactPercentiles(li, "l_returnflag",
+        "l_extendedprice", Seq("p25_price" -> 0.25, "p75_price" -> 0.75))),
+        Seq("l_returnflag"))
       .orderBy(col("l_returnflag"))
+  }
 
   val quantilesSql: String =
     """SELECT l_returnflag,
