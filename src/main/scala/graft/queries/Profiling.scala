@@ -102,7 +102,7 @@ object Profiling {
     */
   private val pctBlockWidth = 1024.0
 
-  private[queries] def exactPercentiles(base: DataFrame, g: String,
+  private[graft] def exactPercentiles(base: DataFrame, g: String,
       v: String, ps: Seq[(String, Double)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vc = base.select(col(g), col(v).cast("double").as("vd"))

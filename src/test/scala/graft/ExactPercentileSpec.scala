@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Pins `Profiling.exactPercentiles` (the scale-safe per-value-count
+  * formulation behind q32/q35) to Spark's own `percentile` aggregate,
+  * BIT-FOR-BIT on the output doubles: the helper replaced the built-in,
+  * so any divergence — selection off by one, interpolation in a
+  * different IEEE order, a tie or block-boundary slip — must fail here,
+  * not surface as an oracle hash flake later.
+  *
+  * The generator is boundary-adversarial on the decomposition's axes:
+  * heavy ties (few distinct values), values straddling the 1024-wide
+  * prefix-sum block boundary, single-element groups (p·(n−1) = 0 for
+  * every p), and exact-integer ranks (frac = 0 path). Raw ScalaCheck
+  * with fixed seeds, same idiom as PropertySpec.
+  */
+class ExactPercentileSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val ps = Seq("p0" -> 0.0, "p25" -> 0.25, "p50" -> 0.5,
+    "p66" -> 2.0 / 3.0, "p75" -> 0.75, "p100" -> 1.0)
+
+  private def assertMatches(rows: Seq[(String, Double)]): Unit = {
+    val df = rows.toDF("g", "v")
+    val exact = graft.queries.Profiling
+      .exactPercentiles(df, "g", "v", ps)
+      .collect().map(r => r.getString(0) ->
+        ps.map { case (nm, _) => r.getAs[Double](nm) }).toMap
+    val builtin = df.groupBy(col("g"))
+      .agg(percentile(col("v"), lit(ps.head._2)).as(ps.head._1),
+        ps.tail.map { case (nm, p) =>
+          percentile(col("v"), lit(p)).as(nm) }: _*)
+      .collect().map(r => r.getString(0) ->
+        ps.map { case (nm, _) => r.getAs[Double](nm) }).toMap
+    assert(exact.keySet == builtin.keySet, s"group sets differ on $rows")
+    exact.keySet.foreach { k =>
+      exact(k).zip(builtin(k)).zip(ps).foreach { case ((a, b), (nm, _)) =>
+        assert(java.lang.Double.doubleToLongBits(a) ==
+          java.lang.Double.doubleToLongBits(b),
+          s"group $k $nm: exact=$a builtin=$b rows=$rows")
+      }
+    }
+  }
+
+  // values cluster around the 1024 block boundary and repeat heavily
+  private val valueGen: Gen[Double] = Gen.frequency(
+    5 -> Gen.chooseNum(1015.0, 1033.0).map(v => math.rint(v * 4) / 4),
+    3 -> Gen.oneOf(0.0, 1.0, 1023.75, 1024.0, 1024.25, 4096.0),
+    2 -> Gen.chooseNum(0.0, 5000.0).map(v => math.rint(v * 100) / 100))
+
+  private val rowsGen: Gen[List[(String, Double)]] =
+    Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b", "c"), valueGen)))
+
+  test("exactPercentiles == built-in percentile on adversarial groups") {
+    (1L to 40L).foreach(seed => assertMatches(sample(rowsGen, seed)))
+  }
+
+  test("single-row group and all-ties group") {
+    assertMatches(Seq("a" -> 7.25))
+    assertMatches(Seq.fill(10)("b" -> 1024.0))
+  }
+
+  test("negative values cross block zero with floor semantics") {
+    assertMatches(Seq("a" -> -3000.5, "a" -> -1024.0, "a" -> -0.25,
+      "a" -> 0.0, "a" -> 0.25, "a" -> 1024.0))
+  }
+}
