@@ -76,6 +76,42 @@ class PlanShapeSpec extends SparkTestBase {
       "q41 lost its broadcast (bench side now shuffles):\n" + p)
   }
 
+  test("q32: sketch aggregates never share an Aggregate with the " +
+      "distinct rewrite") {
+    // The r11 lesson (BUILD_NOTES round 11): countDistinct's Expand
+    // makes the partial aggregate group by the distinct columns, and a
+    // typed-imperative sketch (HLL, percentile_approx) sharing that
+    // Aggregate allocates its object buffer per partial group — 57 s
+    // and an OOM shape instead of 2 s. Pin the split: every
+    // ObjectHashAggregate in the plan must aggregate by l_returnflag
+    // alone, never by the distinct columns or the Expand's gid.
+    val p = plan("q32_sketch_profile")
+    assert(p.contains("Expand"),
+      "exact distinct rewrite vanished from q32:\n" + p)
+    assert(p.contains("ObjectHashAggregate"),
+      "sketch aggregates vanished from q32:\n" + p)
+    val objBlocks = p.split("\n\n").flatMap(_.split("\n\\(")).filter(b =>
+      b.contains("ObjectHashAggregate") && b.contains("Keys"))
+    assert(objBlocks.nonEmpty, "no ObjectHashAggregate detail blocks:\n" + p)
+    objBlocks.foreach { b =>
+      val keysLine = b.linesIterator.find(_.trim.startsWith("Keys")).get
+      assert(!keysLine.contains("l_orderkey") &&
+        !keysLine.contains("l_partkey") && !keysLine.contains("gid"),
+        "sketch aggregate fused with the distinct rewrite's keys:\n" + b)
+    }
+  }
+
+  test("q56/q69: scale-safe forms plan no single-reducer stage") {
+    val p56 = plan("q56_quality_deciles_scale")
+    assert(!p56.contains("Exchange SinglePartition"),
+      "q56 planned a single-reducer stage:\n" + p56)
+    val p69 = plan("q69_source_cap")
+    assert(!p69.contains("Exchange SinglePartition"),
+      "q69 planned a single-reducer stage:\n" + p69)
+    assert(!p69.contains("Window"),
+      "q69 regressed from the TopK aggregate to a window:\n" + p69)
+  }
+
   test("q88: might_contain prescreen sits map-side, before the join") {
     val p = plan("q88_bloom_decontaminate")
     assert(p.contains("might_contain"),
