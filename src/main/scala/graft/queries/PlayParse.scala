@@ -51,11 +51,23 @@ object PlayParse {
         teamC, lit(" "), phraseC, lit(" "), scoreA, lit("-"), scoreB).as("play"))
   }
 
-  /** Synthesized plays through the real parser. */
+  /** Synthesized plays through the real parser.
+    *
+    * The presentation ORDER BY runs BEFORE the parse projection: a
+    * global sort's range-exchange SAMPLES its child to pick partition
+    * bounds, re-executing the child plan once — with the parse below
+    * the sort that sampling pass paid the full multi-regex parse a
+    * second time (measured ~40% of q07 at sf0.1). Ordered first, the
+    * sampling pass costs only the cheap synthesis projection, the sort
+    * moves narrow rows, and the parse runs exactly once above it (no
+    * optimizer rule pushes a projection down through a Sort, and a
+    * projection preserves the sort order).
+    */
   def playParse(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{PlayFunctions => PF}
     val p = col("play")
     synthesize(spark, dir)
+      .orderBy(col("game_id"))
       .withColumn("time_remaining", PF.timeRemaining(p))
       .withColumn("quarter", PF.quarter(p))
       .withColumn("shots_by", PF.shotsBy(p))
@@ -66,7 +78,6 @@ object PlayParse {
       .withColumn("winner_score", PF.winnerScore(col("winner"), col("team"), p))
       .withColumn("loser_score", PF.loserScore(col("loser"), col("team"), p))
       .drop("play")
-      .orderBy(col("game_id"))
   }
 
   /** Oracle: expected values derived straight from the synthesis params. */
