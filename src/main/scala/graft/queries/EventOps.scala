@@ -13,12 +13,18 @@ import org.apache.spark.sql.functions._
 object EventOps {
   import Exact._
 
-  /** F13: JSON field extraction from the props column. */
+  /** F13: JSON field extraction from the props column. The sort runs
+    * below the extraction (q07's range-sampling rationale,
+    * `PlayParse.playParse`): the range exchange's sampling pass then
+    * reads raw columns instead of re-running the JSON parse, and the
+    * parse itself runs once, spread over the post-exchange partitions.
+    */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).select(
-      col("event_id"),
-      get_json_object(col("props"), "$.k").cast("long").as("k"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("props"))
       .orderBy(col("event_id"))
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
 
   val jsonExtractSql: String =
     """SELECT event_id,
