@@ -318,24 +318,29 @@ object Profiling {
   }
 
   def columnProfile(spark: SparkSession, dir: String): DataFrame = {
-    val aggs = profileCols.flatMap { case (c, kind) =>
-      Seq(
-        count(col(c)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
-        renderCol(kind)(min(col(c))).as(s"mn_$c"),
-        renderCol(kind)(max(col(c))).as(s"mx_$c"))
+    // One aggregate PER COLUMN, unioned (6 one-row frames), not one
+    // wide multi-distinct aggregate: the fused form's distinct rewrite
+    // expands rows ×(columns+1) and its every pass reads every
+    // profiled column, while each per-column pass here prunes the
+    // parquet scan to that single column and plans a plain two-phase
+    // distinct — 3.9 s → 1.2 s at sf0.1, and at 100 TB it is the
+    // difference between scanning the table (columns+1) times and
+    // scanning each column once. Same q32 lesson, milder symptom
+    // (min/max/count are codegen'd, so the fused form only wastes
+    // I/O + Expand rows, it doesn't OOM).
+    val per = profileCols.map { case (c, kind) =>
+      Tables.orders(spark, dir)
+        .agg(count(lit(1)).as("n"),
+          count(col(c)).as("nn"),
+          countDistinct(col(c)).as("nd"),
+          renderCol(kind)(min(col(c))).as("mn"),
+          renderCol(kind)(max(col(c))).as("mx"))
+        .select(lit(c).as("col_name"), col("n").as("n_rows"),
+          (col("n") - col("nn")).as("n_null"),
+          col("nd").as("n_distinct"),
+          col("mn").as("min_value"), col("mx").as("max_value"))
     }
-    val one = Tables.orders(spark, dir)
-      .agg(count(lit(1)).as("n"), aggs: _*)
-    val rows = profileCols.map { case (c, _) =>
-      struct(lit(c).as("col_name"), col("n").as("n_rows"),
-        (col("n") - col(s"nn_$c")).as("n_null"),
-        col(s"nd_$c").as("n_distinct"),
-        col(s"mn_$c").as("min_value"), col(s"mx_$c").as("max_value"))
-    }
-    one.select(explode(array(rows: _*)).as("r"))
-      .select(col("r.*"))
-      .orderBy(col("col_name"))
+    per.reduce(_.unionByName(_)).orderBy(col("col_name"))
   }
 
   val columnProfileSql: String =
