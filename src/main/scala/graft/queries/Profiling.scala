@@ -32,10 +32,9 @@ object Profiling {
     // measured 72 s at sf0.1 under a full-materialization action, OOM
     // fodder at scale. The exact twins are tiny per-group frames, so
     // they broadcast-join back onto the sketch aggregate.
-    val eq = exactPercentiles(li, "l_returnflag", "l_quantity",
-      Seq("eq25" -> 0.25, "eq75" -> 0.75))
-    val ep = exactPercentiles(li, "l_returnflag", "l_extendedprice",
-      Seq("ep25" -> 0.25, "ep75" -> 0.75))
+    val exactPcts = exactPercentilesMulti(li, "l_returnflag", Seq(
+      "l_quantity" -> Seq("eq25" -> 0.25, "eq75" -> 0.75),
+      "l_extendedprice" -> Seq("ep25" -> 0.25, "ep75" -> 0.75)))
     // The exact distinct counts run in their OWN aggregate, never in
     // the same Aggregate as the sketch functions: Spark rewrites
     // multi-countDistinct via an Expand (x3 rows) whose partial
@@ -57,8 +56,7 @@ object Profiling {
         percentile_approx(col("l_extendedprice"),
           array(lit(0.25), lit(0.75)), lit(10000)).as("apq"))
       .join(broadcast(exactDistinct), Seq("l_returnflag"))
-      .join(broadcast(eq), Seq("l_returnflag"))
-      .join(broadcast(ep), Seq("l_returnflag"))
+      .join(broadcast(exactPcts), Seq("l_returnflag"))
       .select(col("l_returnflag"),
         (abs(col("ao") - col("eo")) <= col("eo") * 0.10)
           .as("approx_orders_within_10pct"),
@@ -103,47 +101,74 @@ object Profiling {
   private val pctBlockWidth = 1024.0
 
   private[graft] def exactPercentiles(base: DataFrame, g: String,
-      v: String, ps: Seq[(String, Double)]): DataFrame = {
+      v: String, ps: Seq[(String, Double)]): DataFrame =
+    exactPercentilesMulti(base, g, Seq(v -> ps))
+
+  /** Multi-measure form of [[exactPercentiles]]: profiles SEVERAL value
+    * columns' percentiles in ONE table scan. The measures unpivot via
+    * `stack` into (group, kind, value) rows, the identical per-value-
+    * count + two-level prefix-sum machinery runs keyed by
+    * (group, kind), and a final per-group aggregate folds every
+    * measure's bounding elements back into one row — so q32/q35 scan
+    * lineitem once for quantity AND price instead of once per measure
+    * (at 100 TB: one pass over the fact table, not |measures| passes).
+    */
+  private[graft] def exactPercentilesMulti(base: DataFrame, g: String,
+      specs: Seq[(String, Seq[(String, Double)])]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vc = base.select(col(g), col(v).cast("double").as("vd"))
+    val stackExpr = "stack(" + specs.size + ", " +
+      specs.map { case (c, _) => s"'$c', cast(`$c` as double)" }
+        .mkString(", ") + ") as (kind, vd)"
+    val vc = base.selectExpr(s"`$g`", stackExpr)
       .filter(col("vd").isNotNull)
-      .groupBy(col(g), col("vd")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(g), col("kind"), col("vd"))
+      .agg(count(lit(1)).as("cnt"))
       .withColumn("blk",
         floor(col("vd") / lit(pctBlockWidth)).cast("long"))
-    val wFine = Window.partitionBy(col(g), col("blk")).orderBy(col("vd"))
+    val wFine = Window.partitionBy(col(g), col("kind"), col("blk"))
+      .orderBy(col("vd"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fine = vc.withColumn("cum_in_blk", sum(col("cnt")).over(wFine))
-    val bt = vc.groupBy(col(g), col("blk")).agg(sum(col("cnt")).as("bcnt"))
-    val btB = bt.select(col(g).as("bg"), col("blk").as("bblk"),
-      col("bcnt").as("bbcnt"))
+    val bt = vc.groupBy(col(g), col("kind"), col("blk"))
+      .agg(sum(col("cnt")).as("bcnt"))
+    val btB = bt.select(col(g).as("bg"), col("kind").as("bkind"),
+      col("blk").as("bblk"), col("bcnt").as("bbcnt"))
     val blkBefore = bt.join(broadcast(btB),
-        col("bg") === col(g) && col("bblk") < col("blk"), "left")
-      .groupBy(col(g), col("blk"))
+        col("bg") === col(g) && col("bkind") === col("kind") &&
+          col("bblk") < col("blk"), "left")
+      .groupBy(col(g), col("kind"), col("blk"))
       .agg(coalesce(sum(col("bbcnt")), lit(0L)).as("blk_before"))
-    val totals = bt.groupBy(col(g)).agg(sum(col("bcnt")).as("n_g"))
-    val cum = fine.join(broadcast(blkBefore), Seq(g, "blk"))
-      .join(broadcast(totals), Seq(g))
+    val totals = bt.groupBy(col(g), col("kind"))
+      .agg(sum(col("bcnt")).as("n_g"))
+    val cum = fine.join(broadcast(blkBefore), Seq(g, "kind", "blk"))
+      .join(broadcast(totals), Seq(g, "kind"))
       .withColumn("cum_before",
         col("blk_before") + col("cum_in_blk") - col("cnt"))
-    def rank(p: Double): Column =
-      lit(p) * (col("n_g") - 1).cast("double")
-    val picks = ps.flatMap { case (nm, p) =>
-      val k1 = floor(rank(p)).cast("long")
-      val k2 = ceil(rank(p)).cast("long")
-      def at(k: Column): Column = max(when(
-        col("cum_before") <= k && k < col("cum_before") + col("cnt"),
-        col("vd")))
-      Seq(at(k1).as(s"__${nm}_lo"), at(k2).as(s"__${nm}_hi"))
-    } :+ max(col("n_g")).as("n_g")
+    // rank uses the row's own kind's n_g, and the kind guard on the
+    // conditional max keeps measures from contaminating each other
+    def rank(n: Column, p: Double): Column = lit(p) * (n - 1).cast("double")
+    val picks = specs.flatMap { case (c, ps) =>
+      ps.flatMap { case (nm, p) =>
+        val k1 = floor(rank(col("n_g"), p)).cast("long")
+        val k2 = ceil(rank(col("n_g"), p)).cast("long")
+        def at(k: Column): Column = max(when(
+          col("kind") === c &&
+            col("cum_before") <= k && k < col("cum_before") + col("cnt"),
+          col("vd")))
+        Seq(at(k1).as(s"__${nm}_lo"), at(k2).as(s"__${nm}_hi"))
+      } :+ max(when(col("kind") === c, col("n_g"))).as(s"__n_$c")
+    }
     val agged = cum.groupBy(col(g)).agg(picks.head, picks.tail: _*)
-    val outs = ps.map { case (nm, p) =>
-      val pos = rank(p)
-      val lo = floor(pos)
-      val hi = ceil(pos)
-      when(hi === lo, col(s"__${nm}_lo"))
-        .otherwise((hi - pos) * col(s"__${nm}_lo") +
-          (pos - lo) * col(s"__${nm}_hi"))
-        .as(nm)
+    val outs = specs.flatMap { case (c, ps) =>
+      ps.map { case (nm, p) =>
+        val pos = rank(col(s"__n_$c"), p)
+        val lo = floor(pos)
+        val hi = ceil(pos)
+        when(hi === lo, col(s"__${nm}_lo"))
+          .otherwise((hi - pos) * col(s"__${nm}_lo") +
+            (pos - lo) * col(s"__${nm}_hi"))
+          .as(nm)
+      }
     }
     agged.select(col(g) +: outs: _*)
   }
@@ -267,15 +292,11 @@ object Profiling {
     * whole-group-in-the-buffer memory shape (see the helper's doc).
     * The oracle is DuckDB's `quantile_cont`, which interpolates with
     * the same IEEE expression, so the row hash pins the arithmetic. */
-  def quantiles(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    exactPercentiles(li, "l_returnflag", "l_quantity",
-        Seq("median_qty" -> 0.5))
-      .join(broadcast(exactPercentiles(li, "l_returnflag",
-        "l_extendedprice", Seq("p25_price" -> 0.25, "p75_price" -> 0.75))),
-        Seq("l_returnflag"))
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    exactPercentilesMulti(Tables.lineitem(spark, dir), "l_returnflag", Seq(
+        "l_quantity" -> Seq("median_qty" -> 0.5),
+        "l_extendedprice" -> Seq("p25_price" -> 0.25, "p75_price" -> 0.75)))
       .orderBy(col("l_returnflag"))
-  }
 
   val quantilesSql: String =
     """SELECT l_returnflag,

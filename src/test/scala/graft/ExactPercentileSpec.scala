@@ -67,6 +67,30 @@ class ExactPercentileSpec extends SparkTestBase {
     assertMatches(Seq.fill(10)("b" -> 1024.0))
   }
 
+  test("multi-measure form: measures stay isolated per kind") {
+    (100L to 110L).foreach { seed =>
+      val rows = sample(rowsGen, seed).zipWithIndex.map { case ((g, v), i) =>
+        (g, v, v * 3 + i % 7) // second measure deliberately different
+      }
+      val df = rows.toDF("g", "v", "w")
+      val multi = graft.queries.Profiling.exactPercentilesMulti(df, "g",
+        Seq("v" -> Seq("v50" -> 0.5, "v75" -> 0.75),
+          "w" -> Seq("w25" -> 0.25, "w50" -> 0.5)))
+        .collect().map(r => r.getString(0) -> Seq(
+          r.getAs[Double]("v50"), r.getAs[Double]("v75"),
+          r.getAs[Double]("w25"), r.getAs[Double]("w50"))).toMap
+      val builtin = df.groupBy(col("g"))
+        .agg(percentile(col("v"), lit(0.5)).as("v50"),
+          percentile(col("v"), lit(0.75)).as("v75"),
+          percentile(col("w"), lit(0.25)).as("w25"),
+          percentile(col("w"), lit(0.5)).as("w50"))
+        .collect().map(r => r.getString(0) -> Seq(
+          r.getAs[Double]("v50"), r.getAs[Double]("v75"),
+          r.getAs[Double]("w25"), r.getAs[Double]("w50"))).toMap
+      assert(multi == builtin, s"seed $seed: $multi vs $builtin")
+    }
+  }
+
   test("negative values cross block zero with floor semantics") {
     assertMatches(Seq("a" -> -3000.5, "a" -> -1024.0, "a" -> -0.25,
       "a" -> 0.0, "a" -> 0.25, "a" -> 1024.0))
