@@ -55,8 +55,12 @@ object Profiling {
         percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("amq"),
         percentile_approx(col("l_extendedprice"),
           array(lit(0.25), lit(0.75)), lit(10000)).as("apq"))
-      .join(broadcast(exactDistinct), Seq("l_returnflag"))
-      .join(broadcast(exactPcts), Seq("l_returnflag"))
+      // left joins: the exact twins cover every group by construction
+      // (exactPercentilesMulti keeps all-NULL groups as carrier rows),
+      // but an inner join would turn any future twin-side gap into a
+      // silently dropped profile row instead of a visible NULL boolean
+      .join(broadcast(exactDistinct), Seq("l_returnflag"), "left")
+      .join(broadcast(exactPcts), Seq("l_returnflag"), "left")
       .select(col("l_returnflag"),
         (abs(col("ao") - col("eo")) <= col("eo") * 0.10)
           .as("approx_orders_within_10pct"),
@@ -82,8 +86,10 @@ object Profiling {
     *     rows, map-side combinable, output ∝ distinct values;
     *  2. a TWO-LEVEL prefix sum over the counts: cumulative within
     *     1024-wide value-range blocks (window partitioned by
-    *     (group, block)) plus a broadcast theta-join over the tiny
-    *     per-block totals — no unpartitioned window anywhere;
+    *     (group, block)) plus ONE linear window over the tiny per-block
+    *     totals, partitioned by (group, kind) ordered by blk — no
+    *     unpartitioned window anywhere, and no O(blocks²) pair work
+    *     (an earlier form used a `bblk < blk` theta-join here);
     *  3. closed-form selection: the element at 0-based index k is the
     *     value whose cumulative range [cum_before, cum_before+cnt)
     *     covers k; each percentile needs the two indices
@@ -92,11 +98,17 @@ object Profiling {
     *     Percentile.getPercentile's exact IEEE expression
     *     `(hi−pos)·lower + (pos−lo)·higher`.
     *
-    * Grouping keys the RAW double (bitwise grouping, so `vd` is the
-    * identical double the built-in buffers); suited to discrete-valued
-    * measures (2-decimal money, integer counts) where distinct values
-    * are bounded — for truly continuous doubles use percentile_approx,
-    * the same guidance Spark's own docs give for `percentile`.
+    * NULL semantics match the built-in: NULL measure values are ignored
+    * (they ride through as zero-count carrier rows, so a group whose
+    * values are ALL NULL still emits its row, with NULL percentiles —
+    * never silently dropped). Grouping keys the RAW double (bitwise
+    * grouping, so `vd` is the identical double the built-in buffers);
+    * suited to discrete-valued measures (2-decimal money, integer
+    * counts) where distinct values are bounded, and to non-NaN data —
+    * NaN would land in block 0 via the double→long cast instead of
+    * sorting greatest as the built-in's ordering does. For truly
+    * continuous doubles use percentile_approx, the same guidance
+    * Spark's own docs give for `percentile`.
     */
   private val pctBlockWidth = 1024.0
 
@@ -119,29 +131,33 @@ object Profiling {
     val stackExpr = "stack(" + specs.size + ", " +
       specs.map { case (c, _) => s"'$c', cast(`$c` as double)" }
         .mkString(", ") + ") as (kind, vd)"
+    // cnt = count(vd): a NULL value contributes 0, so its row is a pure
+    // group-existence carrier — the group survives to the output (with
+    // NULL percentiles) even when every value is NULL, matching the
+    // built-in. The carrier's blk gets a sentinel below every real
+    // block (an equi-join key must be non-NULL to survive the join).
     val vc = base.selectExpr(s"`$g`", stackExpr)
-      .filter(col("vd").isNotNull)
       .groupBy(col(g), col("kind"), col("vd"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("blk",
-        floor(col("vd") / lit(pctBlockWidth)).cast("long"))
+      .agg(count(col("vd")).as("cnt"))
+      .withColumn("blk", when(col("vd").isNull, lit(Long.MinValue))
+        .otherwise(floor(col("vd") / lit(pctBlockWidth)).cast("long")))
     val wFine = Window.partitionBy(col(g), col("kind"), col("blk"))
       .orderBy(col("vd"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fine = vc.withColumn("cum_in_blk", sum(col("cnt")).over(wFine))
-    val bt = vc.groupBy(col(g), col("kind"), col("blk"))
+    // per-(group, kind) block prefix: one linear windowed pass over the
+    // tiny per-block totals (rows ∝ blocks), partitioned on the group
+    // keys so it stays distributed
+    val wBlk = Window.partitionBy(col(g), col("kind")).orderBy(col("blk"))
+    val blkPre = vc.groupBy(col(g), col("kind"), col("blk"))
       .agg(sum(col("cnt")).as("bcnt"))
-    val btB = bt.select(col(g).as("bg"), col("kind").as("bkind"),
-      col("blk").as("bblk"), col("bcnt").as("bbcnt"))
-    val blkBefore = bt.join(broadcast(btB),
-        col("bg") === col(g) && col("bkind") === col("kind") &&
-          col("bblk") < col("blk"), "left")
-      .groupBy(col(g), col("kind"), col("blk"))
-      .agg(coalesce(sum(col("bbcnt")), lit(0L)).as("blk_before"))
-    val totals = bt.groupBy(col(g), col("kind"))
-      .agg(sum(col("bcnt")).as("n_g"))
-    val cum = fine.join(broadcast(blkBefore), Seq(g, "kind", "blk"))
-      .join(broadcast(totals), Seq(g, "kind"))
+      .withColumn("blk_before", coalesce(sum(col("bcnt")).over(
+        wBlk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_g", sum(col("bcnt")).over(
+        wBlk.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .drop("bcnt")
+    val cum = fine.join(broadcast(blkPre), Seq(g, "kind", "blk"))
       .withColumn("cum_before",
         col("blk_before") + col("cum_in_blk") - col("cnt"))
     // rank uses the row's own kind's n_g, and the kind guard on the

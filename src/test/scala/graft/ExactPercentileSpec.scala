@@ -95,4 +95,26 @@ class ExactPercentileSpec extends SparkTestBase {
     assertMatches(Seq("a" -> -3000.5, "a" -> -1024.0, "a" -> -0.25,
       "a" -> 0.0, "a" -> 0.25, "a" -> 1024.0))
   }
+
+  test("NULLs ignored; all-NULL group still emits its row, with NULL " +
+      "percentiles (built-in parity)") {
+    val rows: Seq[(String, java.lang.Double)] = Seq(
+      ("a", 1.0), ("a", null), ("a", 3.0), ("a", 1024.25),
+      ("b", null), ("b", null), // every value NULL — must NOT vanish
+      ("c", 7.5))
+    val df = rows.toDF("g", "v")
+    def grab(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        ps.map { case (nm, _) =>
+          Option(r.getAs[java.lang.Double](nm))
+            .map(x => java.lang.Double.doubleToLongBits(x)) }).toMap
+    val exact = grab(graft.queries.Profiling.exactPercentiles(df, "g", "v", ps))
+    val builtin = grab(df.groupBy(col("g"))
+      .agg(percentile(col("v"), lit(ps.head._2)).as(ps.head._1),
+        ps.tail.map { case (nm, p) =>
+          percentile(col("v"), lit(p)).as(nm) }: _*))
+    assert(exact.keySet == Set("a", "b", "c"),
+      s"group set wrong: ${exact.keySet}")
+    assert(exact == builtin, s"$exact vs $builtin")
+  }
 }

@@ -1,7 +1,13 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.catalyst.expressions.{GetJsonObject, RegExpExtract}
+import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, SinglePartition}
+import org.apache.spark.sql.execution.{FormattedMode, SortExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** Plan-SHAPE regression gates for the flagship queries (round-10
   * verdict item 4): `tools/gen_plans.scala` renders these plans into
@@ -23,6 +29,57 @@ class PlanShapeSpec extends SparkTestBase {
     val df: DataFrame = SparkEntry.queries(name)(spark, sf)
     df.queryExecution.explainString(FormattedMode)
   }
+
+  /** The static (pre-AQE) physical plan, as a TREE — partitioning and
+    * expression assertions walk nodes instead of grepping explain text.
+    * (An earlier text form counted lines containing both "Exchange" and
+    * "hashpartitioning"; FormattedMode puts the partitioning on a
+    * separate `Arguments:` detail line, so those gates matched nothing
+    * and passed vacuously — ADVICE r11.)
+    */
+  private def physical(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+
+  /** Exchange nodes of the PREPARED (but not executed) plan: exchanges
+    * are inserted by EnsureRequirements during executedPlan preparation
+    * — `sparkPlan` has none, so partitioning gates must walk the
+    * prepared tree (the unexecuted AdaptiveSparkPlanExec's initial
+    * plan; AQE can only coalesce these at runtime, never add one).
+    */
+  private def shuffles(name: String): Seq[ShuffleExchangeExec] = {
+    val prepared =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+    collectAll(prepared).collect { case e: ShuffleExchangeExec => e }
+  }
+
+  /** Collect every node of an EXECUTED adaptive plan, descending through
+    * query-stage boundaries (QueryStageExec reports no children, so a
+    * plain collect stops at materialized stages).
+    */
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case q: QueryStageExec => Seq(q.plan)
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case other => other.children
+    }
+    p +: kids.flatMap(collectAll)
+  }
+
+  private def hasExpr(p: SparkPlan, want: Class[_]): Boolean =
+    p.exists(_.expressions.exists(_.exists(e => want.isInstance(e))))
+
+  /** A SinglePartition exchange is a single-reducer RED FLAG unless it
+    * feeds a global scalar aggregate (grouping keys empty): there the
+    * map side has already collapsed each partition to ONE partial row,
+    * so the lone reducer folds #partitions rows — constant work at any
+    * data size (q56's count(*) total is this shape).
+    */
+  private def badSingleReducers(ex: Seq[ShuffleExchangeExec]): Seq[ShuffleExchangeExec] =
+    ex.filter(_.outputPartitioning == SinglePartition).filterNot(_.child match {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.groupingExpressions.isEmpty
+      case _ => false
+    })
 
   test("q02: both scan filters reach parquet as PushedFilters") {
     val p = plan("q02_filter_pushdown")
@@ -59,15 +116,16 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("q81: shuffle-shard computes through a single hash exchange") {
-    val p = plan("q81_shuffle_shard")
-    val hashEx = p.linesIterator
-      .count(l => l.contains("Exchange") && l.contains("hashpartitioning"))
+    val ex = shuffles("q81_shuffle_shard")
+    assert(ex.nonEmpty, "no shuffle exchange at all — plan changed shape?")
+    val hashEx = ex.count(_.outputPartitioning.isInstanceOf[HashPartitioning])
     // one computation exchange on shard; the trailing presentation
     // ORDER BY adds a rangepartitioning exchange, which is allowed
     assert(hashEx <= 1,
-      s"q81 grew to $hashEx hash exchanges (expected <= 1):\n" + p)
-    assert(!p.contains("Exchange SinglePartition"),
-      "q81 planned a single-reducer stage:\n" + p)
+      s"q81 grew to $hashEx hash exchanges (expected <= 1):\n" +
+        ex.map(_.outputPartitioning).mkString("\n"))
+    assert(badSingleReducers(ex).isEmpty,
+      "q81 planned a single-reducer stage")
   }
 
   test("q41: benchmark side of the decontamination join is broadcast") {
@@ -102,14 +160,65 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("q56/q69: scale-safe forms plan no single-reducer stage") {
-    val p56 = plan("q56_quality_deciles_scale")
-    assert(!p56.contains("Exchange SinglePartition"),
-      "q56 planned a single-reducer stage:\n" + p56)
-    val p69 = plan("q69_source_cap")
-    assert(!p69.contains("Exchange SinglePartition"),
-      "q69 planned a single-reducer stage:\n" + p69)
-    assert(!p69.contains("Window"),
-      "q69 regressed from the TopK aggregate to a window:\n" + p69)
+    val ex56 = shuffles("q56_quality_deciles_scale")
+    assert(ex56.nonEmpty, "q56 planned no exchanges — shape changed?")
+    assert(badSingleReducers(ex56).isEmpty,
+      "q56 planned a single-reducer stage over grouped data:\n" +
+        badSingleReducers(ex56).mkString("\n"))
+    val ex69 = shuffles("q69_source_cap")
+    assert(ex69.nonEmpty, "q69 planned no exchanges — shape changed?")
+    assert(badSingleReducers(ex69).isEmpty,
+      "q69 planned a single-reducer stage over grouped data:\n" +
+        badSingleReducers(ex69).mkString("\n"))
+    assert(physical("q69_source_cap")
+      .collect { case w: WindowExec => w }.isEmpty,
+      "q69 regressed from the TopK aggregate to a window")
+  }
+
+  test("q07/q17: parse projections sit ABOVE the presentation sort") {
+    // The r11 lesson (BUILD_NOTES round 11): a global orderBy's range
+    // exchange SAMPLES its child to pick partition bounds, re-executing
+    // the child plan once — with the parse below the sort, the sampling
+    // pass pays the multi-regex parse / JSON walk a second time (q07
+    // 4.2→1.5 s, q17 0.9→0.44 s when moved above). Nothing else fails
+    // if a refactor pushes the parse back under the Sort, so pin it.
+    def check(name: String, expr: Class[_], what: String): Unit = {
+      val p = physical(name)
+      assert(hasExpr(p, expr), s"$name: no ${expr.getSimpleName} anywhere " +
+        "in the plan — parser changed? update this gate")
+      val sorts = p.collect { case s: SortExec if s.global => s }
+      assert(sorts.nonEmpty, s"$name: presentation sort vanished")
+      sorts.foreach { s =>
+        assert(!hasExpr(s.child, expr),
+          s"$name: $what slid below the global sort — the range " +
+            "exchange's sampling pass will execute it twice:\n" + s)
+      }
+    }
+    check("q07_play_parse", classOf[RegExpExtract], "the play parse")
+    check("q17_json_extract", classOf[GetJsonObject], "the JSON extract")
+  }
+
+  test("q03/q41: EXECUTED (AQE-final) plans keep their broadcasts") {
+    // The static gates above assert planning-time decisions; AQE can
+    // re-plan at runtime, so drive both queries to completion and
+    // assert the final adaptive plan still joined by broadcast.
+    def executedNodes(name: String): Seq[SparkPlan] = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      // collect() drives THIS Dataset's QueryExecution to completion, so
+      // its AdaptiveSparkPlanExec is the finalized one (a write would
+      // plan a fresh QueryExecution and leave this one un-executed);
+      // both results are a handful of rows at sf0.001
+      df.collect()
+      collectAll(df.queryExecution.executedPlan)
+    }
+    val n03 = executedNodes("q03_revenue_by_nation")
+    assert(n03.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "q03 executed plan lost its broadcast joins")
+    assert(!n03.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "q03 executed plan fell back to a sort-merge join")
+    val n41 = executedNodes("q41_decontaminate")
+    assert(n41.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "q41 executed plan lost its broadcast join")
   }
 
   test("q88: might_contain prescreen sits map-side, before the join") {
