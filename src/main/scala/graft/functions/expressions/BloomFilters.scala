@@ -31,24 +31,42 @@ object BloomFilters {
     * the FP rate degrades and the prescreen stops pruning. Callers
     * sizing for more than the defaults must raise both confs first:
     * [[withCapacity]] does exactly that, scoped.
+    *
+    * ISOLATION: the caps are session-level SQL confs read from the
+    * session that OWNS the build's Dataset when its aggregate executes,
+    * so a cloned `newSession` would not reach a build whose (possibly
+    * cached) frame is bound to the original session — the mutation has
+    * to happen on that session. Two consequences, both accepted:
+    * (a) nested/concurrent `withCapacity` calls on one session could
+    * interleave set/restore and lose the caller's value — prevented by
+    * serializing the whole window under a JVM-global lock; (b) an
+    * unrelated query running DURING the scoped build (including Spark's
+    * own `InjectRuntimeFilter`) observes the RAISED caps. That is
+    * benign for correctness and bounded for size: the caps only limit a
+    * capacity the other query itself requests, so lifting them never
+    * shrinks or corrupts a filter, it at most lets a concurrent build
+    * be as large as it asked to be.
     */
+  private val capacityLock = new Object
+
   def withCapacity[A](spark: org.apache.spark.sql.SparkSession,
-      expectedItems: Long, numBits: Long)(body: => A): A = {
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val prevItems = spark.conf.getOption(itemsKey)
-    val prevBits = spark.conf.getOption(bitsKey)
-    spark.conf.set(itemsKey,
-      math.max(expectedItems, 4000000L).toString)
-    spark.conf.set(bitsKey,
-      math.max(numBits, 67108864L).toString)
-    def restore(key: String, prev: Option[String]): Unit = prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+      expectedItems: Long, numBits: Long)(body: => A): A =
+    capacityLock.synchronized {
+      val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+      val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+      val prevItems = spark.conf.getOption(itemsKey)
+      val prevBits = spark.conf.getOption(bitsKey)
+      spark.conf.set(itemsKey,
+        math.max(expectedItems, 4000000L).toString)
+      spark.conf.set(bitsKey,
+        math.max(numBits, 67108864L).toString)
+      def restore(key: String, prev: Option[String]): Unit = prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      try body
+      finally { restore(itemsKey, prevItems); restore(bitsKey, prevBits) }
     }
-    try body
-    finally { restore(itemsKey, prevItems); restore(bitsKey, prevBits) }
-  }
 
   /** Aggregate a column into a serialized bloom filter (binary).
     * `expectedItems`/`numBits` size the filter exactly like

@@ -40,6 +40,7 @@ private[graft] final class SessionLru[V](max: Int, release: V => Unit,
         entries.get(key).filter(_.fingerprint != fingerprint).foreach { stale =>
           if (entries.remove(key, stale)) scala.util.Try(release(stale.value))
         }
+        SessionLru.builds.incrementAndGet()
         val fresh = Entry(fingerprint, build, new AtomicLong(0L))
         entries.putIfAbsent(key, fresh) match {
           case Some(raced) =>
@@ -87,6 +88,17 @@ private[graft] final class SessionLru[V](max: Int, release: V => Unit,
 }
 
 private[graft] object SessionLru {
+  /** Global cache-MISS counter across every SessionLru instance: one tick
+    * per builder execution (a hit never ticks). graft.Bench samples it
+    * around each timed run to attribute cache first-touch cost — a query
+    * whose timed run rebuilt a shared family (LRU-evicted between its
+    * producers and this consumer) records a `cache_build` count in the
+    * artifact instead of silently reading as "this query's plan costs
+    * that much".
+    */
+  private[graft] val builds = new AtomicLong(0L)
+  private[graft] def buildsSoFar: Long = builds.get()
+
   /** Listing-based content fingerprint of a file or directory: any file
     * added, removed, resized, or re-written (mtime) under `path` changes
     * it. One metadata listing per access — negligible next to the scans

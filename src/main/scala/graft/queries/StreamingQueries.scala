@@ -354,23 +354,31 @@ object StreamingQueries {
     * sink's exactly-once contract (checkpointed AvailableNow +
     * idempotent per-key merge) is what makes re-drains reproducible.
     */
-  /** q87's seed season, built ONCE per (JVM, fixture dir) into a
+  /** q87's seed season, built ONCE per (JVM, fixture LISTING) into a
     * template directory and FILE-COPIED into each call's fresh season.
     * The seed is test fixture, not the operation under test (round-10
     * verdict: ~half of q87's recorded time was this Spark seed build,
     * not sink cost) — the memo moves the fixture build off the timer
     * the same way q12's per-dir pair cache does, while each query call
     * still drains against its own fresh season + checkpoint (a full
-    * recomputation, never a resume).
+    * recomputation, never a resume). The memo key carries the events
+    * fixture's listing fingerprint (same rule as PersistRegistry), so a
+    * rewritten fixture rebuilds the template instead of silently
+    * draining against a stale seed; the template path carries this
+    * JVM's pid so another process's computeIfAbsent rmr/rebuild can't
+    * race this one mid-copyTree.
     */
   private val q87SeedTemplates =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def q87SeedTemplate(spark: SparkSession, dir: String): String =
-    q87SeedTemplates.computeIfAbsent(dir, _ => {
+  private def q87SeedTemplate(spark: SparkSession, dir: String): String = {
+    val key = dir + "|" +
+      graft.ops.SessionLru.pathFingerprint(spark, s"$dir/events.parquet")
+    q87SeedTemplates.computeIfAbsent(key, _ => {
       val tpl = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        "graft-q87-seed-" + drainName("q87seed", dir)).toString
+        "graft-q87-seed-" + ProcessHandle.current().pid() + "-" +
+          drainName("q87seed", key)).toString
       Streaming.rmr(tpl)
       val ev = graft.Tables.events(spark, dir)
         .select(col("event_id"), unix_micros(col("ts")).as("us"),
@@ -384,6 +392,7 @@ object StreamingQueries {
         keys = Seq("event_id"), nBuckets = 16)
       tpl
     })
+  }
 
   private def copyTree(from: String, to: String): Unit = {
     import scala.jdk.CollectionConverters._
