@@ -98,17 +98,19 @@ object Profiling {
     *     Percentile.getPercentile's exact IEEE expression
     *     `(hi−pos)·lower + (pos−lo)·higher`.
     *
-    * NULL semantics match the built-in: NULL measure values are ignored
-    * (they ride through as zero-count carrier rows, so a group whose
-    * values are ALL NULL still emits its row, with NULL percentiles —
-    * never silently dropped). Grouping keys the RAW double (bitwise
-    * grouping, so `vd` is the identical double the built-in buffers);
-    * suited to discrete-valued measures (2-decimal money, integer
-    * counts) where distinct values are bounded, and to non-NaN data —
-    * NaN would land in block 0 via the double→long cast instead of
-    * sorting greatest as the built-in's ordering does. For truly
-    * continuous doubles use percentile_approx, the same guidance
-    * Spark's own docs give for `percentile`.
+    * NULL and NaN semantics match the built-in: NULL measure values are
+    * ignored (they ride through as zero-count carrier rows, so a group
+    * whose values are ALL NULL still emits its row, with NULL
+    * percentiles — never silently dropped), and NaN sorts GREATEST
+    * (routed to a top sentinel block, the same rank the built-in's
+    * comparator assigns). Grouping keys the raw double under Spark's
+    * float-key normalization (all NaN bit patterns collapse; −0.0
+    * groups with 0.0, where the built-in's map keeps them distinct —
+    * immaterial for the discrete measures this targets); suited to
+    * discrete-valued measures (2-decimal money, integer counts) where
+    * distinct values are bounded. For truly continuous doubles use
+    * percentile_approx, the same guidance Spark's own docs give for
+    * `percentile`.
     */
   private val pctBlockWidth = 1024.0
 
@@ -136,10 +138,20 @@ object Profiling {
     // NULL percentiles) even when every value is NULL, matching the
     // built-in. The carrier's blk gets a sentinel below every real
     // block (an equi-join key must be non-NULL to survive the join).
+    // blk sentinels: NULL carriers to the bottom block (cnt = 0, never
+    // selected), NaN to the TOP block — Spark's sort ordering and the
+    // built-in `percentile`'s comparator both place NaN above every
+    // finite double, so ranks land identically (all NaNs collapse to
+    // one group row: float grouping keys are NaN-normalized). Finite
+    // values can't collide with the NaN sentinel in a way that breaks
+    // ordering: a ±huge double saturates the long cast at MinValue/
+    // MaxValue, and within a shared block the window still orders by
+    // vd (NaN last).
     val vc = base.selectExpr(s"`$g`", stackExpr)
       .groupBy(col(g), col("kind"), col("vd"))
       .agg(count(col("vd")).as("cnt"))
       .withColumn("blk", when(col("vd").isNull, lit(Long.MinValue))
+        .when(isnan(col("vd")), lit(Long.MaxValue))
         .otherwise(floor(col("vd") / lit(pctBlockWidth)).cast("long")))
     val wFine = Window.partitionBy(col(g), col("kind"), col("blk"))
       .orderBy(col("vd"))

@@ -96,6 +96,20 @@ class ExactPercentileSpec extends SparkTestBase {
       "a" -> 0.0, "a" -> 0.25, "a" -> 1024.0))
   }
 
+  test("NaN sorts greatest; infinities saturate their sentinel blocks " +
+      "(built-in parity)") {
+    assertMatches(Seq("a" -> Double.NaN))
+    assertMatches(Seq("a" -> 1.0, "a" -> Double.NaN, "a" -> 2.0))
+    assertMatches(Seq("a" -> Double.NaN, "a" -> Double.NaN, "a" -> 5.0,
+      "b" -> 3.0))
+    // +-huge doubles saturate the long block cast at MinValue/MaxValue,
+    // sharing the NULL-carrier / NaN sentinel blocks - ordering within
+    // a shared block is still by value, so ranks stay exact
+    assertMatches(Seq("a" -> Double.NegativeInfinity, "a" -> -1e300,
+      "a" -> 0.0, "a" -> 1e300, "a" -> Double.PositiveInfinity,
+      "a" -> Double.NaN))
+  }
+
   test("NULLs ignored; all-NULL group still emits its row, with NULL " +
       "percentiles (built-in parity)") {
     val rows: Seq[(String, java.lang.Double)] = Seq(

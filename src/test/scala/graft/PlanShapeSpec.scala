@@ -198,19 +198,22 @@ class PlanShapeSpec extends SparkTestBase {
     check("q17_json_extract", classOf[GetJsonObject], "the JSON extract")
   }
 
+  /** Run the query to completion and collect every node of the
+    * FINALIZED adaptive plan. collect() drives THIS Dataset's
+    * QueryExecution (a write would plan a fresh one and leave this
+    * AdaptiveSparkPlanExec un-executed); every gated query returns a
+    * handful of rows at sf0.001.
+    */
+  private def executedNodes(name: String): Seq[SparkPlan] = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    collectAll(df.queryExecution.executedPlan)
+  }
+
   test("q03/q41: EXECUTED (AQE-final) plans keep their broadcasts") {
     // The static gates above assert planning-time decisions; AQE can
     // re-plan at runtime, so drive both queries to completion and
     // assert the final adaptive plan still joined by broadcast.
-    def executedNodes(name: String): Seq[SparkPlan] = {
-      val df = SparkEntry.queries(name)(spark, sf)
-      // collect() drives THIS Dataset's QueryExecution to completion, so
-      // its AdaptiveSparkPlanExec is the finalized one (a write would
-      // plan a fresh QueryExecution and leave this one un-executed);
-      // both results are a handful of rows at sf0.001
-      df.collect()
-      collectAll(df.queryExecution.executedPlan)
-    }
     val n03 = executedNodes("q03_revenue_by_nation")
     assert(n03.exists(_.isInstanceOf[BroadcastHashJoinExec]),
       "q03 executed plan lost its broadcast joins")
@@ -219,6 +222,23 @@ class PlanShapeSpec extends SparkTestBase {
     val n41 = executedNodes("q41_decontaminate")
     assert(n41.exists(_.isInstanceOf[BroadcastHashJoinExec]),
       "q41 executed plan lost its broadcast join")
+  }
+
+  test("q12/q88: EXECUTED plans keep their map-side shapes") {
+    // q12: candidate generation must stay an equi-join at RUNTIME too —
+    // AQE or a stats change electing a nested-loop join would be O(N²)
+    // at scale while every correctness row stays green.
+    val n12 = executedNodes("q12_minhash_pairs")
+    assert(!n12.exists(p =>
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "q12 executed plan degenerated to an all-pairs join")
+    // q88: the bloom prescreen must survive into the executed plan as a
+    // pre-join filter expression (the filter bytes ride as a literal)
+    val n88 = executedNodes("q88_bloom_decontaminate")
+    assert(n88.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]))),
+      "q88 executed plan lost its might_contain prescreen")
   }
 
   test("q88: might_contain prescreen sits map-side, before the join") {
