@@ -169,7 +169,15 @@ object Profiling {
         wBlk.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
       .drop("bcnt")
-    val cum = fine.join(broadcast(blkPre), Seq(g, "kind", "blk"))
+    // NULL-SAFE on the group key: groupBy keeps a NULL-keyed group (so
+    // does the built-in), but a plain equi-join would silently drop it
+    // here — <=> keeps rank bookkeeping attached to the null group
+    val bp = blkPre.select(col(g).as("__bg"), col("kind").as("__bkind"),
+      col("blk").as("__bblk"), col("blk_before"), col("n_g"))
+    val cum = fine.join(broadcast(bp),
+        col(g) <=> col("__bg") && col("kind") === col("__bkind") &&
+          col("blk") === col("__bblk"))
+      .drop("__bg", "__bkind", "__bblk")
       .withColumn("cum_before",
         col("blk_before") + col("cum_in_blk") - col("cnt"))
     // rank uses the row's own kind's n_g, and the kind guard on the

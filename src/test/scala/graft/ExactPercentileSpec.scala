@@ -96,6 +96,56 @@ class ExactPercentileSpec extends SparkTestBase {
       "a" -> 0.0, "a" -> 0.25, "a" -> 1024.0))
   }
 
+  test("property: NULLs interleaved with boundary-adversarial values " +
+      "(built-in parity, 20 seeds)") {
+    // the zero-count carrier rows must not perturb ranks when a group
+    // mixes NULLs with ties and block-boundary values
+    val nullableRows: Gen[List[(String, java.lang.Double)]] =
+      Gen.chooseNum(1, 60).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.oneOf("a", "b", "c"), Gen.frequency(
+          2 -> Gen.const(null: java.lang.Double),
+          8 -> valueGen.map(java.lang.Double.valueOf)))))
+    (200L to 219L).foreach { seed =>
+      val rows = sample(nullableRows, seed)
+      val df = rows.toDF("g", "v")
+      def grab(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => r.getString(0) ->
+          ps.map { case (nm, _) =>
+            Option(r.getAs[java.lang.Double](nm))
+              .map(java.lang.Double.doubleToLongBits(_)) }).toMap
+      val exact = grab(graft.queries.Profiling
+        .exactPercentiles(df, "g", "v", ps))
+      val builtin = grab(df.groupBy(col("g"))
+        .agg(percentile(col("v"), lit(ps.head._2)).as(ps.head._1),
+          ps.tail.map { case (nm, p) =>
+            percentile(col("v"), lit(p)).as(nm) }: _*))
+      assert(exact == builtin, s"seed $seed rows=$rows")
+    }
+  }
+
+  test("NULL group KEY keeps its group (built-in parity)") {
+    // groupBy retains a NULL-keyed group; the helper's internal join on
+    // the group key must be null-safe or the null group silently
+    // vanishes where the built-in emits it
+    val rows: Seq[(String, java.lang.Double)] = Seq(
+      (null, 1.0), (null, 1024.25), (null, 3.0), (null, null),
+      ("a", 2.0), ("a", 7.5))
+    val df = rows.toDF("g", "v")
+    def grab(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => Option(r.getString(0)) ->
+        ps.map { case (nm, _) =>
+          Option(r.getAs[java.lang.Double](nm))
+            .map(java.lang.Double.doubleToLongBits(_)) }).toMap
+    val exact = grab(graft.queries.Profiling.exactPercentiles(df, "g", "v", ps))
+    val builtin = grab(df.groupBy(col("g"))
+      .agg(percentile(col("v"), lit(ps.head._2)).as(ps.head._1),
+        ps.tail.map { case (nm, p) =>
+          percentile(col("v"), lit(p)).as(nm) }: _*))
+    assert(exact.keySet == Set(None, Some("a")),
+      s"null group lost: ${exact.keySet}")
+    assert(exact == builtin, s"$exact vs $builtin")
+  }
+
   test("NaN sorts greatest; infinities saturate their sentinel blocks " +
       "(built-in parity)") {
     assertMatches(Seq("a" -> Double.NaN))
