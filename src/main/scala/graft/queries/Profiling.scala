@@ -35,19 +35,26 @@ object Profiling {
     val exactPcts = exactPercentilesMulti(li, "l_returnflag", Seq(
       "l_quantity" -> Seq("eq25" -> 0.25, "eq75" -> 0.75),
       "l_extendedprice" -> Seq("ep25" -> 0.25, "ep75" -> 0.75)))
-    // The exact distinct counts run in their OWN aggregate, never in
-    // the same Aggregate as the sketch functions: Spark rewrites
-    // multi-countDistinct via an Expand (x3 rows) whose partial
-    // aggregate groups by (flag, orderkey, partkey, gid) — ~|rows|
-    // groups — and any typed-imperative aggregate sharing that
-    // Aggregate then allocates its object buffer (HLL registers,
-    // QuantileSummaries) PER PARTIAL GROUP and serializes each through
-    // the sort-based fallback. Measured: 57 s fused vs ~2 s split at
-    // sf0.1; fused OOMs at scale. Split, each aggregate is one clean
-    // pass and the 3-row results broadcast-join back together.
-    val exactDistinct = li.groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_orderkey")).as("eo"),
-        countDistinct(col("l_partkey")).as("ep"))
+    // Each exact distinct count runs as its OWN single-distinct
+    // aggregate — one countDistinct per Aggregate, never two. Two in
+    // one Aggregate trigger Spark's multi-distinct rewrite: an Expand
+    // (x3 rows) whose partial aggregate groups by (flag, orderkey,
+    // partkey, gid) — ~|rows| partial groups whose spill behavior is
+    // nondeterministic at scale (measured 20–108 s run-to-run spread at
+    // 100x, BENCH_100X_r12). A single distinct plans as a plain
+    // two-phase dedup (partial group by (flag, col), then count) with
+    // NO Expand, and each pass prunes the parquet scan to its one
+    // distinct column — the same per-column lesson as q65's profile.
+    // The two 3-row results broadcast-join back together, and the
+    // sketch functions stay in their own aggregate for the same reason
+    // (an object-buffer aggregate sharing a distinct rewrite's
+    // Aggregate allocates its buffer per partial group: 57 s fused vs
+    // ~2 s split at sf0.1, OOM fodder at scale — BUILD_NOTES r11).
+    def oneDistinct(c: String, as: String): DataFrame =
+      li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col(c)).as(as))
+    val exactDistinct = oneDistinct("l_orderkey", "eo")
+      .join(broadcast(oneDistinct("l_partkey", "ep")), Seq("l_returnflag"))
     li.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey")).as("ao"),
@@ -103,16 +110,35 @@ object Profiling {
     * whose values are ALL NULL still emits its row, with NULL
     * percentiles — never silently dropped), and NaN sorts GREATEST
     * (routed to a top sentinel block, the same rank the built-in's
-    * comparator assigns). Grouping keys the raw double under Spark's
-    * float-key normalization (all NaN bit patterns collapse; −0.0
-    * groups with 0.0, where the built-in's map keeps them distinct —
-    * immaterial for the discrete measures this targets); suited to
+    * comparator assigns). −0.0 is DELIBERATELY normalized to 0.0 on the
+    * measure (`vd + 0.0` in the unpivot): Spark's float-key grouping
+    * would collapse the two anyway, but implicitly — the explicit add
+    * makes the behavior independent of Catalyst's NormalizeFloatingNumbers
+    * internals. Documented, spec-pinned divergence from the built-in:
+    * its counts map keeps −0.0 distinct, so p0 of {−0.0, 1.0} is −0.0
+    * there and 0.0 here (ExactPercentileSpec). Suited to
     * discrete-valued measures (2-decimal money, integer counts) where
     * distinct values are bounded. For truly continuous doubles use
     * percentile_approx, the same guidance Spark's own docs give for
-    * `percentile`.
+    * `percentile` — and the block-prefix build ENFORCES the domain: a
+    * (group, measure) spanning more than [[pctMaxBlocksPerGroup]]
+    * value blocks fails loudly (naming percentile_approx) instead of
+    * bloating the broadcast block-prefix frame toward a driver OOM.
     */
   private val pctBlockWidth = 1024.0
+
+  /** Loud domain guard for the exact-percentile machinery: the
+    * per-block prefix frame `bp` is broadcast, so its size must stay
+    * bounded. Blocks per (group, measure) ∝ min(distinct values,
+    * value range / 1024) — tiny for the discrete measures this path
+    * documents, unbounded for continuous wide-range doubles. 65536
+    * blocks/group caps the broadcast at a few MB per group while
+    * leaving ~67M of contiguous value range (or 64k distinct values
+    * spread arbitrarily) of headroom. Exceeding it throws with a
+    * message naming percentile_approx, during the broadcast-side
+    * computation — an error message instead of a driver OOM.
+    */
+  private[graft] val pctMaxBlocksPerGroup = 65536L
 
   private[graft] def exactPercentiles(base: DataFrame, g: String,
       v: String, ps: Seq[(String, Double)]): DataFrame =
@@ -130,8 +156,10 @@ object Profiling {
   private[graft] def exactPercentilesMulti(base: DataFrame, g: String,
       specs: Seq[(String, Seq[(String, Double)])]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // `+ 0.0d` normalizes −0.0 to 0.0 (identity on every other double,
+    // incl. NaN/±Inf; NULL stays NULL) — see the −0.0 paragraph above
     val stackExpr = "stack(" + specs.size + ", " +
-      specs.map { case (c, _) => s"'$c', cast(`$c` as double)" }
+      specs.map { case (c, _) => s"'$c', cast(`$c` as double) + 0.0d" }
         .mkString(", ") + ") as (kind, vd)"
     // cnt = count(vd): a NULL value contributes 0, so its row is a pure
     // group-existence carrier — the group survives to the output (with
@@ -161,10 +189,25 @@ object Profiling {
     // tiny per-block totals (rows ∝ blocks), partitioned on the group
     // keys so it stays distributed
     val wBlk = Window.partitionBy(col(g), col("kind")).orderBy(col("blk"))
+    // Domain guard folded INTO blk_before (a dropped/unused guard
+    // column would be pruned by Catalyst and never evaluate): on
+    // success assert_true is NULL → coalesce adds 0; over the
+    // threshold it throws the percentile_approx redirect while the
+    // broadcast side is still COMPUTING its rows — the driver never
+    // accumulates an unbounded block-prefix frame.
+    val guard = coalesce(assert_true(
+      count(lit(1)).over(wBlk.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing))
+        <= lit(pctMaxBlocksPerGroup),
+      lit(s"exactPercentiles: a (group, measure) spans more than " +
+        s"$pctMaxBlocksPerGroup value blocks — the measure looks " +
+        "continuous/wide-range, outside this exact path's discrete-" +
+        "measure domain; use percentile_approx instead"))
+      .cast("long"), lit(0L))
     val blkPre = vc.groupBy(col(g), col("kind"), col("blk"))
       .agg(sum(col("cnt")).as("bcnt"))
       .withColumn("blk_before", coalesce(sum(col("bcnt")).over(
-        wBlk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        wBlk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + guard)
       .withColumn("n_g", sum(col("bcnt")).over(
         wBlk.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))

@@ -160,6 +160,52 @@ class ExactPercentileSpec extends SparkTestBase {
       "a" -> Double.NaN))
   }
 
+  test("-0.0 normalizes to 0.0 (documented, deliberate divergence " +
+      "from the built-in)") {
+    // Spark's float-key grouping collapses -0.0 with 0.0; the helper
+    // makes that explicit (`vd + 0.0`), so p0 of {-0.0, 1.0} is +0.0
+    // here while the built-in's counts map keeps -0.0 distinct and
+    // returns -0.0. Pin BOTH sides so the accepted difference stays
+    // visible instead of re-surfacing as a parity surprise.
+    val df = Seq("a" -> -0.0, "a" -> 1.0).toDF("g", "v")
+    val exact = graft.queries.Profiling
+      .exactPercentiles(df, "g", "v", Seq("p0" -> 0.0))
+      .collect().head.getAs[Double]("p0")
+    assert(java.lang.Double.doubleToLongBits(exact) ==
+      java.lang.Double.doubleToLongBits(0.0),
+      s"exact p0 should normalize -0.0 to +0.0, got $exact " +
+        s"(bits ${java.lang.Double.doubleToLongBits(exact)})")
+    val builtin = df.groupBy(col("g"))
+      .agg(percentile(col("v"), lit(0.0)).as("p0"))
+      .collect().head.getAs[Double]("p0")
+    assert(java.lang.Double.doubleToLongBits(builtin) ==
+      java.lang.Double.doubleToLongBits(-0.0),
+      "built-in percentile no longer keeps -0.0 distinct — revisit " +
+        "the documented divergence (it may have closed)")
+  }
+
+  test("continuous wide-range measure trips the loud block-count " +
+      "guard instead of bloating the broadcast") {
+    // one group, every value in its own 1024-wide block: blocks/group
+    // = rows > pctMaxBlocksPerGroup. The guard must throw with the
+    // percentile_approx redirect DURING computation — never silently
+    // build a 70k-row broadcast frame for a domain the doc excludes.
+    val n = graft.queries.Profiling.pctMaxBlocksPerGroup + 16
+    val wide = spark.range(n)
+      .select(lit("g").as("g"), (col("id") * 1024.0).as("v"))
+    val ex = intercept[Exception] {
+      graft.queries.Profiling
+        .exactPercentiles(wide, "g", "v", Seq("p50" -> 0.5))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        String.valueOf(e.getMessage) +: messages(e.getCause))
+    assert(messages(ex).exists(_.contains("percentile_approx")),
+      "guard failure lost its percentile_approx redirect: " +
+        messages(ex).mkString(" | "))
+  }
+
   test("NULLs ignored; all-NULL group still emits its row, with NULL " +
       "percentiles (built-in parity)") {
     val rows: Seq[(String, java.lang.Double)] = Seq(

@@ -134,18 +134,23 @@ class PlanShapeSpec extends SparkTestBase {
       "q41 lost its broadcast (bench side now shuffles):\n" + p)
   }
 
-  test("q32: sketch aggregates never share an Aggregate with the " +
-      "distinct rewrite") {
-    // The r11 lesson (BUILD_NOTES round 11): countDistinct's Expand
-    // makes the partial aggregate group by the distinct columns, and a
-    // typed-imperative sketch (HLL, percentile_approx) sharing that
-    // Aggregate allocates its object buffer per partial group — 57 s
-    // and an OOM shape instead of 2 s. Pin the split: every
-    // ObjectHashAggregate in the plan must aggregate by l_returnflag
-    // alone, never by the distinct columns or the Expand's gid.
+  test("q32: NO Expand anywhere — each exact distinct is its own " +
+      "single-distinct aggregate") {
+    // The r11 lesson escalated by the r12 verdict: two countDistincts
+    // in one Aggregate trigger the multi-distinct rewrite — an Expand
+    // (x3 rows) into a ~|rows|-group partial aggregate whose 100x
+    // spill behavior is nondeterministic (20–108 s spread,
+    // BENCH_100X_r12). Split per column, each distinct plans a plain
+    // two-phase dedup with no Expand node at all. This gate replaces
+    // the old fuse guard (which only pinned that sketches never share
+    // the Expand's Aggregate): the Expand itself must be GONE.
+    val p32 = physical("q32_sketch_profile")
+    assert(!p32.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.ExpandExec]),
+      "q32 planned an Expand — an exact-distinct aggregate regressed " +
+        "to the multi-distinct rewrite:\n" + p32)
+    // and the sketches still live in their own clean per-flag aggregate
     val p = plan("q32_sketch_profile")
-    assert(p.contains("Expand"),
-      "exact distinct rewrite vanished from q32:\n" + p)
     assert(p.contains("ObjectHashAggregate"),
       "sketch aggregates vanished from q32:\n" + p)
     val objBlocks = p.split("\n\n").flatMap(_.split("\n\\(")).filter(b =>
@@ -155,7 +160,30 @@ class PlanShapeSpec extends SparkTestBase {
       val keysLine = b.linesIterator.find(_.trim.startsWith("Keys")).get
       assert(!keysLine.contains("l_orderkey") &&
         !keysLine.contains("l_partkey") && !keysLine.contains("gid"),
-        "sketch aggregate fused with the distinct rewrite's keys:\n" + b)
+        "sketch aggregate fused with distinct-rewrite keys:\n" + b)
+    }
+  }
+
+  test("q65: per-column profile passes — no Expand, one-column scans") {
+    // q65 carries the same lesson as q32 (per-column single-distinct
+    // aggregates, unioned) but had no plan gate: a refactor fusing the
+    // six profiles back into one wide multi-distinct aggregate would
+    // re-grow the Expand and make every pass scan every profiled
+    // column, with all correctness rows green. Pin both properties.
+    val p65 = physical("q65_column_profile")
+    assert(!p65.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.ExpandExec]),
+      "q65 planned an Expand — profile aggregates re-fused:\n" + p65)
+    val reads = plan("q65_column_profile").linesIterator
+      .filter(_.contains("ReadSchema: "))
+      .map(_.trim).toSeq
+    assert(reads.nonEmpty, "no ReadSchema lines in q65's plan")
+    // every per-column pass must prune its parquet scan to exactly the
+    // one profiled column: a struct<> with a comma means a scan reads
+    // more than one (orders columns are all scalar types)
+    reads.foreach { r =>
+      assert(!r.contains(","),
+        "a q65 profile pass scans more than one column: " + r)
     }
   }
 
