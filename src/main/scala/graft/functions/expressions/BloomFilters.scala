@@ -36,37 +36,59 @@ object BloomFilters {
     * session that OWNS the build's Dataset when its aggregate executes,
     * so a cloned `newSession` would not reach a build whose (possibly
     * cached) frame is bound to the original session — the mutation has
-    * to happen on that session. Two consequences, both accepted:
-    * (a) nested/concurrent `withCapacity` calls on one session could
-    * interleave set/restore and lose the caller's value — prevented by
-    * serializing the whole window under a JVM-global lock; (b) an
-    * unrelated query running DURING the scoped build (including Spark's
-    * own `InjectRuntimeFilter`) observes the RAISED caps. That is
-    * benign for correctness and bounded for size: the caps only limit a
-    * capacity the other query itself requests, so lifting them never
-    * shrinks or corrupts a filter, it at most lets a concurrent build
-    * be as large as it asked to be.
+    * to happen on that session. Concurrency model (reworked per ADVICE
+    * r12 — the old form held one JVM-global lock across the whole Spark
+    * action, serializing every build in the JVM and inviting deadlock
+    * if a body ever blocked on another thread needing the lock):
+    * set/restore happens under a brief lock, the ACTION runs outside
+    * any lock, and overlapping windows on one session REF-COUNT a
+    * ratcheted cap — each entry raises the session's caps to the max
+    * requested so far, and the last window out restores the caller's
+    * original values. Raising a cap mid-window is benign by the same
+    * argument as always: caps only limit a capacity a build itself
+    * requests, so a concurrent query (including Spark's own
+    * `InjectRuntimeFilter`) at most builds a filter as large as it
+    * asked to be — never smaller, never corrupt.
     */
-  private val capacityLock = new Object
+  private final class CapState(val prevItems: Option[String],
+      val prevBits: Option[String]) {
+    var depth = 0
+    var items = 0L
+    var bits = 0L
+  }
+  private val capStates = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.SparkSession, CapState]
+  private val stateLock = new Object
 
   def withCapacity[A](spark: org.apache.spark.sql.SparkSession,
-      expectedItems: Long, numBits: Long)(body: => A): A =
-    capacityLock.synchronized {
-      val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-      val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-      val prevItems = spark.conf.getOption(itemsKey)
-      val prevBits = spark.conf.getOption(bitsKey)
-      spark.conf.set(itemsKey,
-        math.max(expectedItems, 4000000L).toString)
-      spark.conf.set(bitsKey,
-        math.max(numBits, 67108864L).toString)
-      def restore(key: String, prev: Option[String]): Unit = prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-      try body
-      finally { restore(itemsKey, prevItems); restore(bitsKey, prevBits) }
+      expectedItems: Long, numBits: Long)(body: => A): A = {
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    stateLock.synchronized {
+      val st = capStates.computeIfAbsent(spark, _ =>
+        new CapState(spark.conf.getOption(itemsKey),
+          spark.conf.getOption(bitsKey)))
+      st.depth += 1
+      st.items = math.max(st.items, math.max(expectedItems, 4000000L))
+      st.bits = math.max(st.bits, math.max(numBits, 67108864L))
+      spark.conf.set(itemsKey, st.items.toString)
+      spark.conf.set(bitsKey, st.bits.toString)
     }
+    def restore(key: String, prev: Option[String]): Unit = prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    try body
+    finally stateLock.synchronized {
+      val st = capStates.get(spark)
+      st.depth -= 1
+      if (st.depth == 0) {
+        capStates.remove(spark)
+        restore(itemsKey, st.prevItems)
+        restore(bitsKey, st.prevBits)
+      }
+    }
+  }
 
   /** Aggregate a column into a serialized bloom filter (binary).
     * `expectedItems`/`numBits` size the filter exactly like

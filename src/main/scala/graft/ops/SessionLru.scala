@@ -40,13 +40,21 @@ private[graft] final class SessionLru[V](max: Int, release: V => Unit,
         entries.get(key).filter(_.fingerprint != fingerprint).foreach { stale =>
           if (entries.remove(key, stale)) scala.util.Try(release(stale.value))
         }
-        SessionLru.builds.incrementAndGet()
         val fresh = Entry(fingerprint, build, new AtomicLong(0L))
         entries.putIfAbsent(key, fresh) match {
           case Some(raced) =>
+            // race loss: the freshly built value is discarded, so it
+            // must NOT tick the global build counter — Bench would
+            // attribute a phantom cache_build to a run that got the
+            // winner's entry (ADVICE r12)
             if (releaseOnRaceLoss) scala.util.Try(release(fresh.value))
             raced
-          case None => fresh
+          case None =>
+            // count only here: after `build` completed without throwing
+            // (a throwing builder inserted nothing and must not count)
+            // and after winning the insert race
+            SessionLru.builds.incrementAndGet()
+            fresh
         }
       }
     entry.lastUsed.set(tick.incrementAndGet())

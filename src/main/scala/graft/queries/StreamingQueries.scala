@@ -368,13 +368,45 @@ object StreamingQueries {
     * JVM's pid so another process's computeIfAbsent rmr/rebuild can't
     * race this one mid-copyTree.
     */
-  private val q87SeedTemplates =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // dir -> (fixture fingerprint, template path): keying by DIR (with the
+  // fingerprint as the entry's validity stamp, not part of the key) lets
+  // a fixture rewrite DELETE the superseded template instead of leaking
+  // one tmpdir tree per rewrite for the JVM's lifetime (ADVICE r12)
+  private[graft] val q87SeedTemplates =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val q87SweptDeadPids = new java.util.concurrent.atomic.AtomicBoolean
+
+  /** One-shot tmpdir hygiene: templates are pid-suffixed so other LIVE
+    * processes' trees are never touched, but a crashed/finished JVM's
+    * trees outlive it — sweep any graft-q87-seed-<pid>-* whose pid is
+    * no longer alive, once per JVM, off the hot path.
+    */
+  private def sweepDeadPidTemplates(): Unit =
+    if (q87SweptDeadPids.compareAndSet(false, true)) scala.util.Try {
+      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val pat = java.util.regex.Pattern.compile("graft-q87-seed-(\\d+)-.*")
+      val it = java.nio.file.Files.list(tmp)
+      try it.forEach { p =>
+        val m = pat.matcher(p.getFileName.toString)
+        if (m.matches() &&
+            !ProcessHandle.of(m.group(1).toLong)
+              .map[Boolean](_.isAlive).orElse(false))
+          Streaming.rmr(p.toString)
+      } finally it.close()
+    }
 
   private def q87SeedTemplate(spark: SparkSession, dir: String): String = {
-    val key = dir + "|" +
-      graft.ops.SessionLru.pathFingerprint(spark, s"$dir/events.parquet")
-    q87SeedTemplates.computeIfAbsent(key, _ => {
+    val fp = graft.ops.SessionLru.pathFingerprint(spark, s"$dir/events.parquet")
+    val key = dir + "|" + fp
+    q87SeedTemplates.compute(dir, (_, cur) => {
+      if (cur != null && cur._1 == fp) cur
+      else {
+      // superseded template (fixture rewritten): remove the old tree
+      // NOW — nothing can be draining from it (compute serializes this
+      // dir's template access, and seasons are file COPIES, never reads
+      // from the template at drain time)
+      if (cur != null) scala.util.Try(Streaming.rmr(cur._2))
+      sweepDeadPidTemplates()
       val tpl = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
         "graft-q87-seed-" + ProcessHandle.current().pid() + "-" +
@@ -390,8 +422,9 @@ object StreamingQueries {
         .withColumn("value", lit(-1.0))
       graft.merge.MergeTable.write(stale.unionByName(seedOnly), tpl,
         keys = Seq("event_id"), nBuckets = 16)
-      tpl
-    })
+      (fp, tpl)
+      }
+    })._2
   }
 
   private def copyTree(from: String, to: String): Unit = {

@@ -465,8 +465,8 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"))
     val fastP = fastVerifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
     md5P.agg(count(lit(1)).as("n_pairs_md5"))
-      .crossJoin(fastP.agg(count(lit(1)).as("nf")))
-      .crossJoin(md5P.intersect(fastP).agg(count(lit(1)).as("nc")))
+      .crossJoin(broadcast(fastP.agg(count(lit(1)).as("nf"))))
+      .crossJoin(broadcast(md5P.intersect(fastP).agg(count(lit(1)).as("nc"))))
       .select(col("n_pairs_md5"),
         (col("nc") >= greatest(col("n_pairs_md5"), col("nf")) * 0.9)
           .as("families_agree_90pct"))

@@ -53,10 +53,22 @@ class SeedTemplateSpec extends SparkTestBase {
     val a = upsertKeyValues(dir.toString)
     assert(a == Map(1L -> 1.0, 4L -> 4.0, 97L -> 9.7,
       100000097L -> -1.0), s"fixture A drain wrong: $a")
+    // the template A's drain memoized, about to be superseded
+    val tplA = queries.StreamingQueries.q87SeedTemplates
+      .get(dir.toString)._2
+    assert(Files.exists(java.nio.file.Paths.get(tplA)),
+      s"fixture A's template missing before the rewrite: $tplA")
     // fixture B drops 4 and 97: nothing may survive from A's season
     writeFixture(dir, Seq(2L -> 2.0, 3L -> 3.0))
     val b = upsertKeyValues(dir.toString)
     assert(b == Map(2L -> 2.0, 3L -> 3.0),
       s"stale seed template leaked into the rewritten fixture's drain: $b")
+    // ADVICE r12: the superseded template tree must be DELETED when its
+    // replacement is built, not leak in tmpdir for the JVM's lifetime
+    val tplB = queries.StreamingQueries.q87SeedTemplates
+      .get(dir.toString)._2
+    assert(tplB != tplA, "rewrite did not produce a fresh template")
+    assert(!Files.exists(java.nio.file.Paths.get(tplA)),
+      s"superseded seed template leaked: $tplA")
   }
 }
