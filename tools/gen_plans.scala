@@ -14,7 +14,7 @@ val picks = Seq(
   ("q31_tfidf_keywords", "TF-IDF on two reused exchanges: one explicit hash exchange on tok feeds BOTH the (tok, doc) term-frequency aggregate (no second exchange - partitioning already clusters the keys) and the token-partitioned df count window; then the per-doc top-3 window, with WindowGroupLimit shipping at most 3 rows per doc per partition into the doc exchange."),
   ("q81_shuffle_shard", "Shuffle-and-shard: seeded md5 rank, shard from the first hex digit, position via a shard-PARTITIONED row_number window - one hash exchange on shard, no global sort or single-reducer window in the computation (the trailing Sort is the presentation ORDER BY every oracle-compared query carries)."),
   ("q72_zorder_scan", "2-D box over the Z-ordered lineitem copy: both box predicates are pushed to the parquet scan (PushedFilters on l_shipdate AND l_partkey), where the Morton-clustered file layout turns them into file/row-group skips instead of a full scan."),
-  ("q32_sketch_profile", "Sketch profile (r11 shape): the exact countDistinct pair runs in its OWN aggregate (Expand x3 over narrow rows, codegen'd hash agg) and the typed-imperative sketches (HLL, percentile_approx) in another - never fused, because sketch buffers allocated per Expand partial group (~|rows| of them) spill through the sort-based ObjectHashAggregate fallback (measured 57 s fused vs ~2 s split at sf0.1). Exact percentile twins come from the per-value-count + two-level prefix-sum helper (cumulative within 1024-wide blocks, then ONE linear window over the per-block totals partitioned by (group, kind) - r12 replaced the earlier O(blocks^2) theta-join); every per-group result is a 3-row broadcast join back onto the main aggregate."),
+  ("q32_sketch_profile", "Sketch profile (r13 shape): each exact countDistinct runs as its OWN single-distinct aggregate - a plain two-phase dedup (partial group by (flag, col), then count) over a scan pruned to that one column, with NO Expand anywhere (two in one Aggregate would trigger the multi-distinct rewrite: an Expand x3 into a ~|rows|-group partial whose spill is nondeterministic at scale - 20-108 s spread at 100x on the fused form vs 24.9-43.2 s best-of-3 split). The typed-imperative sketches (HLL, percentile_approx) stay in their own aggregate (sketch buffers per partial group spill through the ObjectHashAggregate fallback when fused: 57 s fused vs ~2 s split at sf0.1). Exact percentile twins come from the per-value-count + two-level prefix-sum helper (cumulative within 1024-wide blocks, then ONE linear window over the per-block totals partitioned by (group, kind) - r12 replaced the earlier O(blocks^2) theta-join); every per-group result is a 3-row broadcast join back onto the main aggregate."),
   ("q88_bloom_decontaminate", "Bloom-prescreened decontamination: the benchmark shingle set aggregates into a fixed-size bloom filter (Spark's own BloomFilterAggregate, distributed build), the corpus stream is filtered MAP-SIDE by might_contain BEFORE the exact join - the filter sits inside the scan-side WholeStageCodegen span, so only true matches plus the ~1% FP residue ever shuffle; the exact shingle join then removes FPs, making the result identical to q41's exact-broadcast plan at any scale the broadcast can no longer reach."))
 val out = new PrintWriter("/tmp/PLANS.md")
 out.println("# PLANS - formatted physical plans for flagship queries")
