@@ -269,6 +269,60 @@ class PlanShapeSpec extends SparkTestBase {
       "q88 executed plan lost its might_contain prescreen")
   }
 
+  test("full-surface Expand audit: every Expand is semantic or " +
+      "match-set-bounded — never a corpus-scale multi-distinct") {
+    // The r13 lesson generalized: a multi-distinct rewrite's Expand
+    // (x(distincts+1) rows into a ~|input|-group partial aggregate) is
+    // only safe when its input is already bounded. Sweep EVERY declared
+    // batch query's physical plan and pin the complete Expand
+    // population, classified:
+    //   - semantic Expands — rollup/cube/grouping-sets (q23/q37/q52,
+    //     partial groups ∝ final groups x levels), sliding-window
+    //     expansion (q49, groups ∝ time buckets x types), unpivot
+    //     (q70, pure row reshaping) — all bounded by construction;
+    //   - match-set multi-distincts — q41/q88 count distinct shingles
+    //     and bench docs per contaminated doc; their Expand input is
+    //     the decontamination JOIN's output (contamination volume),
+    //     never the raw corpus, which the subtree assertion pins.
+    // A future edit that adds a multi-distinct over a raw scan (the
+    // exact shape the r12 verdict caught in q32) changes this
+    // population and fails the set equality below — forcing the same
+    // split-aggregate treatment q32 got, or a conscious allowlist
+    // update with the same bounded-input justification.
+    // Streaming drains are excluded: their declared frames are reads
+    // of drained output (no aggregation plans to audit), and distinct
+    // aggregates are unsupported in streaming anyway.
+    val excluded = (n: String) =>
+      n.contains("streamed") || n == "q71_incremental_clusters"
+    val withExpand = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(excluded).flatMap { name =>
+        val expands = physical(name).collect {
+          case e: org.apache.spark.sql.execution.ExpandExec => e
+        }
+        if (expands.isEmpty) None else Some(name -> expands)
+      }.toMap
+    val semantic = Set("q23_revenue_rollup", "q37_status_cube",
+      "q49_sliding_rollup", "q52_grouping_sets", "q70_metric_unpivot")
+    val matchSet = Set("q41_decontaminate", "q88_bloom_decontaminate")
+    assert(withExpand.keySet == semantic ++ matchSet,
+      "the Expand population changed — new: " +
+        (withExpand.keySet -- semantic -- matchSet).toSeq.sorted +
+        ", vanished: " +
+        ((semantic ++ matchSet) -- withExpand.keySet).toSeq.sorted +
+        ". A NEW Expand is a multi-distinct or grouping-set rewrite: " +
+        "prove its input is bounded (match set / final-group scale) " +
+        "or split it per-column like q32, then update this audit.")
+    matchSet.foreach { n =>
+      withExpand(n).foreach { e =>
+        assert(e.exists(_.isInstanceOf[
+            org.apache.spark.sql.execution.joins.BaseJoinExec]),
+          s"$n: a multi-distinct Expand sits over a RAW SCAN instead " +
+            "of the decontamination match join — its partial aggregate " +
+            "now grows with the corpus, the exact q32 failure shape:\n" + e)
+      }
+    }
+  }
+
   test("q88: might_contain prescreen sits map-side, before the join") {
     val p = plan("q88_bloom_decontaminate")
     assert(p.contains("might_contain"),
