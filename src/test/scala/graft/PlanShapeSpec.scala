@@ -269,6 +269,91 @@ class PlanShapeSpec extends SparkTestBase {
       "q88 executed plan lost its might_contain prescreen")
   }
 
+  /** One pre-AQE physical plan per declared BATCH query, built once and
+    * shared by the full-surface audits below. Streaming drains are
+    * excluded: their declared frames are reads of drained output.
+    */
+  private lazy val surveyedPlans: Map[String, SparkPlan] =
+    SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => n.contains("streamed") || n == "q71_incremental_clusters")
+      .map(n => n -> physical(n)).toMap
+
+  test("full-surface join/window/sort audit: no cartesian, no " +
+      "unpartitioned window, no interior global sort, every " +
+      "nested-loop join has a bounded build side") {
+    // Companion to the Expand audit: the other plan shapes that stay
+    // green at sf0.1 while degenerating at 100 TB. Across EVERY
+    // declared batch query:
+    //   1. no CartesianProductExec — an all-pairs join anywhere is
+    //      O(N^2) at scale regardless of what the rows mean;
+    //   2. no WindowExec with an empty partitionSpec — an
+    //      unpartitioned window is a single-reducer stage over the
+    //      full frame (the q56-family lesson, now enforced globally);
+    //   3. no global Sort below the top single-child presentation
+    //      chain — an interior global sort is a range exchange + full
+    //      re-sort in the MIDDLE of the computation, and its sampling
+    //      pass re-executes the child plan (the q07/q17 lesson, ditto);
+    //   4. BroadcastNestedLoopJoins only where the population says, and
+    //      every Cross-typed one must build from a GLOBAL aggregate —
+    //      a provably one-row scalar side (avg/percentile thresholds
+    //      joined onto the corpus). The Inner/LeftOuter ones are the
+    //      ANN/top-k probe sets (q14/q16/q44/q57: tens of probe rows by
+    //      construction) and the decile/bucket boundary frames
+    //      (q43/q56: rows = bucket count) — bounded by construction,
+    //      pinned by count so a new unbounded BNL cannot hide.
+    surveyedPlans.toSeq.sortBy(_._1).foreach { case (name, p) =>
+      assert(p.collect { case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c }.isEmpty,
+        s"$name planned a cartesian product")
+      assert(p.collect { case w: WindowExec
+          if w.partitionSpec.isEmpty => w }.isEmpty,
+        s"$name planned an UNPARTITIONED window — single-reducer at scale")
+      val presentation = {
+        def chain(n: SparkPlan): Seq[SparkPlan] =
+          n +: (if (n.children.size == 1) chain(n.children.head) else Nil)
+        chain(p).toSet
+      }
+      val inner = p.collect {
+        case s: SortExec if s.global && !presentation.contains(s) => s
+      }
+      assert(inner.isEmpty,
+        s"$name planned an INTERIOR global sort (range exchange + " +
+          s"sampling re-execution mid-computation): ${inner.map(_.sortOrder)}")
+    }
+    val bnls = surveyedPlans.toSeq.sortBy(_._1).flatMap { case (name, p) =>
+      p.collect { case b: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => name -> b }
+    }
+    val population = bnls.groupBy(_._1).view.mapValues(_.size).toMap
+    val expected = Map(
+      "q14_cosine_topk" -> 1, "q16_ann_ivf" -> 1, "q31_tfidf_keywords" -> 1,
+      "q43_quality_buckets" -> 2, "q44_euclidean_topk" -> 1,
+      "q56_quality_deciles_scale" -> 2, "q57_ann_recall" -> 2,
+      "q61_mix_weights" -> 2, "q66_histogram" -> 1,
+      "q77_minhash_family_gate" -> 2)
+    assert(population == expected,
+      "the nested-loop join population changed — got " +
+        population.toSeq.sorted + ". A NEW BNL means a join lost its " +
+        "equi-keys or a side outgrew the broadcast: prove the build " +
+        "side is bounded (scalar aggregate / probe set / boundary " +
+        "frame), then update this audit.")
+    bnls.foreach { case (name, b) =>
+      if (b.joinType.sql == "CROSS") {
+        val build = b.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+          case _ => b.left
+        }
+        assert(build.exists {
+            case a: org.apache.spark.sql.execution.aggregate
+              .BaseAggregateExec => a.groupingExpressions.isEmpty
+            case _ => false
+          },
+          s"$name: a Cross nested-loop join's build side is not a " +
+            "global (one-row) aggregate — unbounded broadcast:\n" + build)
+      }
+    }
+  }
+
   test("full-surface Expand audit: every Expand is semantic or " +
       "match-set-bounded — never a corpus-scale multi-distinct") {
     // The r13 lesson generalized: a multi-distinct rewrite's Expand
@@ -292,11 +377,9 @@ class PlanShapeSpec extends SparkTestBase {
     // Streaming drains are excluded: their declared frames are reads
     // of drained output (no aggregation plans to audit), and distinct
     // aggregates are unsupported in streaming anyway.
-    val excluded = (n: String) =>
-      n.contains("streamed") || n == "q71_incremental_clusters"
-    val withExpand = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(excluded).flatMap { name =>
-        val expands = physical(name).collect {
+    val withExpand = surveyedPlans.toSeq.sortBy(_._1).flatMap {
+      case (name, p) =>
+        val expands = p.collect {
           case e: org.apache.spark.sql.execution.ExpandExec => e
         }
         if (expands.isEmpty) None else Some(name -> expands)
