@@ -406,6 +406,73 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  /** Prepared (pre-AQE, exchanges inserted) plan nodes per surveyed
+    * batch query — the Exchange-level companion to [[surveyedPlans]]
+    * (`sparkPlan` has no exchanges; see [[shuffles]]). Built lazily,
+    * once, and shared by the audit below.
+    */
+  private lazy val surveyedPrepared: Map[String, Seq[SparkPlan]] =
+    surveyedPlans.keys.toSeq.sorted.map { n =>
+      n -> collectAll(
+        SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan)
+    }.toMap
+
+  test("full-surface single-reducer + typed-imperative aggregate " +
+      "audit: no true SinglePartition stage anywhere; every " +
+      "ObjectHashAggregate bounded-keyed and population-pinned") {
+    // The last two scale-sensitive plan shapes not yet swept globally:
+    //   1. a SinglePartition exchange whose child is NOT a global
+    //      scalar aggregate funnels the whole frame through one task —
+    //      fine at sf0.1, the cluster-wide bottleneck at 100 TB. The
+    //      benign form (map side pre-collapsed to one partial row per
+    //      partition, reducer folds #partitions rows) is exactly what
+    //      [[badSingleReducers]] exempts; everything else fails here.
+    //   2. ObjectHashAggregates hold a per-group OBJECT buffer (HLL
+    //      registers, QuantileSummaries, TopK heaps, collect_set sets)
+    //      and fall back to sort-based aggregation under group-count
+    //      pressure — safe only while their grouping keys are bounded
+    //      (probe sets, flags, languages; the r11 57-s lesson was a
+    //      sketch whose PARTIAL stage inherited a distinct rewrite's
+    //      ~|rows| grouping). Pin the complete population per query,
+    //      and reject outright any OHA grouped by a multi-distinct
+    //      rewrite's `gid` — the in-plan signature of that fusion.
+    // A population change forces the same conversation the BNL and
+    // Expand audits force: prove the new node's grouping is bounded,
+    // then update the pin.
+    surveyedPrepared.toSeq.sortBy(_._1).foreach { case (name, nodes) =>
+      val bad = badSingleReducers(nodes.collect {
+        case e: ShuffleExchangeExec => e })
+      assert(bad.isEmpty,
+        s"$name plans a TRUE single-reducer exchange (children: " +
+          bad.map(_.child.nodeName).mkString(", ") +
+          ") — the whole frame funnels through one task at scale")
+    }
+    val ohas = surveyedPrepared.toSeq.sortBy(_._1).flatMap {
+      case (name, nodes) => nodes.collect {
+        case a: org.apache.spark.sql.execution.aggregate
+          .ObjectHashAggregateExec => name -> a
+      }
+    }
+    val population = ohas.groupBy(_._1).view.mapValues(_.size).toMap
+    val expected = Map(
+      "q14_cosine_topk" -> 2, "q16_ann_ivf" -> 4,
+      "q32_sketch_profile" -> 2, "q44_euclidean_topk" -> 2,
+      "q51_source_lists" -> 4, "q57_ann_recall" -> 6,
+      "q63_filtered_topk" -> 2, "q69_source_cap" -> 2)
+    assert(population == expected,
+      "the ObjectHashAggregate population changed — got " +
+        population.toSeq.sorted + ". A new object-buffer aggregate " +
+        "allocates per-group state and sort-spills under group-count " +
+        "pressure: prove its grouping keys are bounded (probe set / " +
+        "enum-scale), then update this audit.")
+    ohas.foreach { case (name, a) =>
+      assert(!a.groupingExpressions.exists(_.name == "gid"),
+        s"$name: an ObjectHashAggregate is grouped by a multi-distinct " +
+          "rewrite's gid — an object buffer per ~|rows| partial group, " +
+          "the exact r11 57-s/OOM fusion shape")
+    }
+  }
+
   test("q88: might_contain prescreen sits map-side, before the join") {
     val p = plan("q88_bloom_decontaminate")
     assert(p.contains("might_contain"),
