@@ -395,36 +395,51 @@ object StreamingQueries {
       } finally it.close()
     }
 
+  /** Serializes template check-rebuild-install windows. A dedicated
+    * lock, NOT `q87SeedTemplates.compute`: the rebuild runs a Spark
+    * job, and a long action inside a CHM remapping function holds that
+    * bin's lock for the job's duration (stalling unrelated dirs that
+    * hash to the same bin) and violates compute's short-and-simple
+    * contract — any future path where the job re-entered this map
+    * would deadlock. The coarse lock gives the same serialization with
+    * none of that; builds are rare (one per fixture fingerprint) and
+    * queries are sequential per the driver contract, so coarseness
+    * costs nothing.
+    */
+  private val q87SeedLock = new Object
+
   private def q87SeedTemplate(spark: SparkSession, dir: String): String = {
     val fp = graft.ops.SessionLru.pathFingerprint(spark, s"$dir/events.parquet")
     val key = dir + "|" + fp
-    q87SeedTemplates.compute(dir, (_, cur) => {
-      if (cur != null && cur._1 == fp) cur
+    q87SeedLock.synchronized {
+      val cur = q87SeedTemplates.get(dir)
+      if (cur != null && cur._1 == fp) cur._2
       else {
-      // superseded template (fixture rewritten): remove the old tree
-      // NOW — nothing can be draining from it (compute serializes this
-      // dir's template access, and seasons are file COPIES, never reads
-      // from the template at drain time)
-      if (cur != null) scala.util.Try(Streaming.rmr(cur._2))
-      sweepDeadPidTemplates()
-      val tpl = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        "graft-q87-seed-" + ProcessHandle.current().pid() + "-" +
-          drainName("q87seed", key)).toString
-      Streaming.rmr(tpl)
-      val ev = graft.Tables.events(spark, dir)
-        .select(col("event_id"), unix_micros(col("ts")).as("us"),
-          col("user_id"), col("event_type"), col("value"))
-      val stale = ev.filter(col("event_id") % 2 === 0)
-        .withColumn("value", lit(-1.0))
-      val seedOnly = ev.filter(col("event_id") % 97 === 0)
-        .withColumn("event_id", col("event_id") + lit(100000000L))
-        .withColumn("value", lit(-1.0))
-      graft.merge.MergeTable.write(stale.unionByName(seedOnly), tpl,
-        keys = Seq("event_id"), nBuckets = 16)
-      (fp, tpl)
+        // superseded template (fixture rewritten): remove the old tree
+        // NOW — nothing can be draining from it (this lock serializes
+        // template access, and seasons are file COPIES, never reads
+        // from the template at drain time)
+        if (cur != null) scala.util.Try(Streaming.rmr(cur._2))
+        sweepDeadPidTemplates()
+        val tpl = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          "graft-q87-seed-" + ProcessHandle.current().pid() + "-" +
+            drainName("q87seed", key)).toString
+        Streaming.rmr(tpl)
+        val ev = graft.Tables.events(spark, dir)
+          .select(col("event_id"), unix_micros(col("ts")).as("us"),
+            col("user_id"), col("event_type"), col("value"))
+        val stale = ev.filter(col("event_id") % 2 === 0)
+          .withColumn("value", lit(-1.0))
+        val seedOnly = ev.filter(col("event_id") % 97 === 0)
+          .withColumn("event_id", col("event_id") + lit(100000000L))
+          .withColumn("value", lit(-1.0))
+        graft.merge.MergeTable.write(stale.unionByName(seedOnly), tpl,
+          keys = Seq("event_id"), nBuckets = 16)
+        q87SeedTemplates.put(dir, (fp, tpl))
+        tpl
       }
-    })._2
+    }
   }
 
   private def copyTree(from: String, to: String): Unit = {
