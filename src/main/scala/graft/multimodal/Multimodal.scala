@@ -376,6 +376,43 @@ object Multimodal {
     }
   }
 
+  /** [[DecodedRow]] with failure as data: meta fields are None and
+    * `error` carries the exception class when a blob does not decode. */
+  case class DecodedTryRow(media_id: Long, media_type: String,
+      n_bytes: Long, format: Option[String], width: Option[Int],
+      height: Option[Int], n_frames: Option[Int], error: Option[String])
+
+  /** Total (never-throwing) [[decodeMeta]] — the form a 100 TB corpus
+    * needs: real corpora CONTAIN corrupt blobs, and a throwing decoder
+    * turns one bad row into four task retries and a dead job (×every
+    * partition that holds a bad blob). Each row decodes independently;
+    * a failure yields the row with null meta and the exception class —
+    * flagged, never fatal, never silently dropped — so downstream can
+    * route errors to a quarantine sink while the good rows flow. Same
+    * map-only batch plumbing as [[decodeMeta]].
+    */
+  def decodeMetaTotal(rows: Dataset[MediaRow]): Dataset[DecodedTryRow] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        try {
+          val m = r.media_type match {
+            case "image" => ImageCodec.decodeMeta(r.content)
+            case "audio" => AudioCodec.decodeMeta(r.content)
+            case "video" => VideoCodec.decodeMeta(r.content)
+            case t => throw new IllegalArgumentException(s"unknown media type $t")
+          }
+          DecodedTryRow(r.media_id, r.media_type, m.n_bytes, Some(m.format),
+            Some(m.width), Some(m.height), Some(m.n_frames), None)
+        } catch { case scala.util.control.NonFatal(e) =>
+          DecodedTryRow(r.media_id, r.media_type,
+            (if (r.content == null) 0 else r.content.length).toLong,
+            None, None, None, None, Some(e.getClass.getSimpleName))
+        }
+      }
+    }
+  }
+
   /** Planted image dimensions for [[documentBlobs]] — derived from the
     * document text so the SQL oracle can predict what a REAL decode of
     * the planted image must return. Kept small (w <= 331, h <= 311) so

@@ -210,13 +210,66 @@ object MultimodalOps {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q90: error-tolerant decode over a corpus with planted corruption —
+    * every `media_id % 7 == 0` blob is truncated to its first 5 bytes
+    * (too short for any container's header: PNG needs its 8-byte
+    * signature, the JPEG walker a start-of-frame, RIFF/MP4 their box
+    * headers), run through [[Multimodal.decodeMetaTotal]], and profiled
+    * per media type. The oracle predicts the failure set from the
+    * corruption rule alone and the ok-side meta sums from the plants —
+    * a hash match proves corrupt rows are FLAGGED (never fatal, never
+    * silently dropped: n_media counts them, n_err isolates them) while
+    * surviving rows still decode exactly. The scale point: a 100 TB
+    * corpus WILL contain corrupt blobs, so decode must be total — one
+    * bad row must cost one error value, not four task retries and the
+    * job.
+    */
+  def decodeErrors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corrupted = Multimodal.documentBlobs(spark, dir).map { r =>
+      if (r.media_id % 7 == 0) r.copy(content = r.content.take(5)) else r
+    }
+    Multimodal.decodeMetaTotal(corrupted).toDF()
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_media"),
+        count(col("error")).as("n_err"),
+        sum(when(col("error").isNull, col("width"))).as("sum_ok_width"),
+        sum(when(col("error").isNull, col("n_frames"))).as("sum_ok_frames"))
+      .orderBy(col("media_type"))
+  }
+
+  val decodeErrorsSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+      |    length(text) AS len, ascii(substring(text, 1, 1)) AS first,
+      |    (doc_id % 7 = 0) AS corrupt
+      |  FROM documents
+      |)
+      |SELECT media_type,
+      |  COUNT(*) AS n_media,
+      |  COUNT(*) FILTER (corrupt) AS n_err,
+      |  CAST(SUM(CASE WHEN NOT corrupt THEN
+      |    CASE media_type WHEN 'image' THEN 32 + (len % 300)
+      |         WHEN 'audio' THEN 8000 + (len % 577)
+      |         ELSE 64 + (len % 577) END END) AS BIGINT) AS sum_ok_width,
+      |  CAST(SUM(CASE WHEN NOT corrupt THEN
+      |    CASE media_type WHEN 'audio' THEN 40 + ((len * 31 + first) % 400)
+      |         WHEN 'video' THEN len % 24 + 1
+      |         ELSE 1 END END) AS BIGINT) AS sum_ok_frames
+      |FROM m
+      |GROUP BY media_type
+      |ORDER BY media_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_multimodal_meta" -> (multimodalMeta _),
     "q22_embedding_neardup" -> (embeddingNearDup _),
-    "q47_frame_sample" -> (frameSampleStats _))
+    "q47_frame_sample" -> (frameSampleStats _),
+    "q90_decode_errors" -> (decodeErrors _))
 
   val oracle: Map[String, String] = Map(
     "q21_multimodal_meta" -> multimodalMetaSql,
     "q22_embedding_neardup" -> embeddingNearDupSql,
-    "q47_frame_sample" -> frameSampleStatsSql)
+    "q47_frame_sample" -> frameSampleStatsSql,
+    "q90_decode_errors" -> decodeErrorsSql)
 }

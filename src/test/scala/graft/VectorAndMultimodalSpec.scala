@@ -116,6 +116,51 @@ class VectorAndMultimodalSpec extends SparkTestBase {
     assert(out(3).width == 8200 && out(3).height == 1 && out(3).n_frames == 77)
   }
 
+  test("decodeMetaTotal: corrupt blobs flag per-row, never throw; " +
+      "valid rows match the strict decoder exactly") {
+    val png = Multimodal.ImageCodec.encode(20, 10, seed = 1, "png")
+    val jpg = Multimodal.ImageCodec.encode(33, 21, seed = 2, "jpeg")
+    val wav = Multimodal.AudioCodec.encode(nSamples = 77, sampleRateHz = 8200, seed = 3)
+    val mp4 = Multimodal.VideoCodec.encode(640, 360, nFrames = 19, seed = 4)
+    // q90's corruption shape (5-byte truncation) for every container,
+    // plus outright garbage and an unknown media type: each must yield
+    // ITS OWN error row — meta null, error non-null — with every other
+    // row's decode untouched (one bad blob never poisons a partition)
+    val rows = Seq(
+      Multimodal.MediaRow(1, "image", png),
+      Multimodal.MediaRow(2, "image", jpg),
+      Multimodal.MediaRow(3, "audio", wav),
+      Multimodal.MediaRow(4, "video", mp4),
+      Multimodal.MediaRow(5, "image", png.take(5)),
+      Multimodal.MediaRow(6, "image", jpg.take(5)),
+      Multimodal.MediaRow(7, "audio", wav.take(5)),
+      Multimodal.MediaRow(8, "video", mp4.take(5)),
+      Multimodal.MediaRow(9, "image", Array.fill[Byte](64)(0x5a)),
+      Multimodal.MediaRow(10, "hologram", png)).toDS()
+    val out = Multimodal.decodeMetaTotal(rows).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(out.size == 10, "total decode dropped rows")
+    val strict = Multimodal.decodeMeta(rows.filter(_.media_id <= 4))
+      .collect().map(r => r.media_id -> r).toMap
+    (1L to 4L).foreach { id =>
+      val (t, s) = (out(id), strict(id))
+      assert(t.error.isEmpty, s"valid row $id flagged: ${t.error}")
+      assert((t.format, t.width, t.height, t.n_frames) ==
+        (Some(s.format), Some(s.width), Some(s.height), Some(s.n_frames)) &&
+        t.n_bytes == s.n_bytes,
+        s"total decode diverged from strict on valid row $id")
+    }
+    (5L to 10L).foreach { id =>
+      val t = out(id)
+      assert(t.error.nonEmpty, s"corrupt row $id not flagged")
+      assert(t.format.isEmpty && t.width.isEmpty && t.height.isEmpty &&
+        t.n_frames.isEmpty, s"corrupt row $id carries phantom meta")
+    }
+    // truncated rows report the truncated size — the quarantine sink
+    // sees what actually arrived
+    assert(out(5L).n_bytes == 5 && out(8L).n_bytes == 5)
+  }
+
   test("AudioCodec: WAV encode → header-only decode round trip, known bytes") {
     val wav = Multimodal.AudioCodec.encode(nSamples = 120, sampleRateHz = 8123, seed = 5)
     // RIFF/WAVE container magic straight from the bytes
