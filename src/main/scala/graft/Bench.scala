@@ -75,26 +75,29 @@ object Bench {
     // delta per query as `cache_build`, so a nonzero entry flags "this
     // time includes N cache rebuilds" in the artifact itself.
     val cacheBuilds = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    def attempt(n: String): (Double, Double) = {
+    def attempt(n: String): (Double, Double, Long) = {
       val w = runOnce(n)
-      if (w < 0) return (w, -1.0)
+      if (w < 0) return (w, -1.0, 0L)
       errors.remove(n)
       // Counter sampled around EACH timed run separately, and the delta
       // recorded only for the run whose time is KEPT (min), after both
       // error checks: a rebuild confined to the discarded slower run
       // must not flag the kept timing, and an errored run must not
-      // write a cache_build entry at all (ADVICE r12).
+      // write a cache_build entry at all (ADVICE r12). The delta is
+      // RETURNED, not committed here: a re-time loop may discard this
+      // whole attempt, and a discarded attempt's rebuild must not fail
+      // the bench or annotate a kept time that never paid it (ADVICE
+      // r13) — the caller commits only the delta of the attempt that
+      // supplied the final kept best.
       val b0 = graft.ops.SessionLru.buildsSoFar
       val a = runOnce(n)
       val b1 = graft.ops.SessionLru.buildsSoFar
-      if (a < 0) return (w, -1.0)
+      if (a < 0) return (w, -1.0, 0L)
       val x = runOnce(n)
       val b2 = graft.ops.SessionLru.buildsSoFar
-      if (x < 0) return (w, -1.0)
+      if (x < 0) return (w, -1.0, 0L)
       val keptDelta = if (a <= x) b1 - b0 else b2 - b1
-      if (keptDelta > 0)
-        cacheBuilds(n) = cacheBuilds.getOrElse(n, 0L) + keptDelta
-      (w, math.min(a, x))
+      (w, math.min(a, x), keptDelta)
     }
     val perLoad = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val retimed = scala.collection.mutable.LinkedHashMap.empty[String, Int]
@@ -102,21 +105,23 @@ object Bench {
       val lq = load1()
       perLoad(n) = lq
       if (lq > loadMax) loadMax = lq
-      var (warm, best) = attempt(n)
+      var (warm, best, bestDelta) = attempt(n)
       // Suspect iff the timed min exceeds 3x the warm run (and is not
       // trivially small): the warm run bounds the query's true cost
       // from above, so a far-slower timed run means external load hit
-      // the timed window. Re-time up to twice; keep the overall best.
+      // the timed window. Re-time up to twice; keep the overall best —
+      // and the cache delta travels WITH the kept best's attempt.
       var tries = 1
       while (best >= 0 && tries <= 2 && retriesLeft > 0 &&
           best > 3.0 * warm && best > 0.3) {
         retriesLeft -= 1
-        val (w2, b2) = attempt(n)
+        val (w2, b2, d2) = attempt(n)
         if (w2 >= 0 && w2 < warm) warm = w2
-        if (b2 >= 0 && b2 < best) best = b2
+        if (b2 >= 0 && b2 < best) { best = b2; bestDelta = d2 }
         tries += 1
         retimed(n) = tries - 1
       }
+      if (best >= 0 && bestDelta > 0) cacheBuilds(n) = bestDelta
       val lEnd = load1()
       if (lEnd > loadMax) loadMax = lEnd
       n -> best

@@ -55,6 +55,11 @@ object BloomFilters {
     var depth = 0
     var items = 0L
     var bits = 0L
+    // Last value THIS machinery wrote per key — restore compares against
+    // it so an external writer's mid-window change is never clobbered by
+    // the stale first-entry snapshot (ADVICE r13).
+    var setItems: String = null
+    var setBits: String = null
   }
   private val capStates = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.sql.SparkSession, CapState]
@@ -71,21 +76,28 @@ object BloomFilters {
       st.depth += 1
       st.items = math.max(st.items, math.max(expectedItems, 4000000L))
       st.bits = math.max(st.bits, math.max(numBits, 67108864L))
-      spark.conf.set(itemsKey, st.items.toString)
-      spark.conf.set(bitsKey, st.bits.toString)
+      st.setItems = st.items.toString
+      st.setBits = st.bits.toString
+      spark.conf.set(itemsKey, st.setItems)
+      spark.conf.set(bitsKey, st.setBits)
     }
-    def restore(key: String, prev: Option[String]): Unit = prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    // Restore ONLY if the conf still holds the value this machinery last
+    // set: an external writer (user code, another framework) changing the
+    // cap mid-window must win over our stale first-entry snapshot —
+    // last-writer-wins for THEM, not for us (ADVICE r13).
+    def restore(key: String, prev: Option[String], lastSet: String): Unit =
+      if (spark.conf.getOption(key).contains(lastSet)) prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     try body
     finally stateLock.synchronized {
       val st = capStates.get(spark)
       st.depth -= 1
       if (st.depth == 0) {
         capStates.remove(spark)
-        restore(itemsKey, st.prevItems)
-        restore(bitsKey, st.prevBits)
+        restore(itemsKey, st.prevItems, st.setItems)
+        restore(bitsKey, st.prevBits, st.setBits)
       }
     }
   }

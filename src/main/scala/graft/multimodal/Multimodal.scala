@@ -413,6 +413,63 @@ object Multimodal {
     }
   }
 
+  /** Route one batch of [[decodeMetaTotal]] output into the two tables a
+    * curation pipeline maintains (the "updating datasets under
+    * corruption" loop; reference analogue: the delta→merge idempotence
+    * of `scripts/spark_merge_dfs.py:82-83`, extended with the error
+    * plane):
+    *
+    *  - ok rows (`error IS NULL`) upsert the maintained meta table —
+    *    the partition-pruned bucketed [[graft.merge.MergeTable]] MERGE,
+    *    delta-wins per `media_id`, idempotent on replay;
+    *  - error rows land in a keyed quarantine table with
+    *    `status = 'quarantined'`;
+    *  - ok rows whose key is CURRENTLY quarantined (a repaired blob
+    *    re-decoded clean) are upserted into quarantine with
+    *    `status = 'resolved'` — leaving quarantine is a keyed tombstone
+    *    update, so the route is idempotent end to end: replaying the
+    *    same decoded batch (streaming checkpoint recovery, crash rerun)
+    *    re-merges every row to the value it already has.
+    *
+    * Contract: `decoded` must be a MATERIALIZED table (the caller stages
+    * decode output to parquet first) — it is consumed by three plans
+    * here, and staging is what keeps the expensive codec pass at one
+    * execution; at 100 TB the staged frame is meta-only (no blob bytes),
+    * a vanishing fraction of the corpus. The quarantine delta is staged
+    * to `scratch` BEFORE the quarantine merge for the same single-writer
+    * reason: the resolved-side semi-join reads the quarantine table, and
+    * materializing first means the merge never scans the table it is
+    * mid-swap on. Both merges shuffle only on the bucket key and touch
+    * only affected bucket dirs — per-batch cost is O(delta + affected
+    * buckets), never O(table).
+    */
+  def quarantineRoute(decoded: DataFrame, mainTable: String,
+      quarTable: String, nBuckets: Int, scratch: String): Unit = {
+    val spark = decoded.sparkSession
+    val ok = decoded.filter(col("error").isNull)
+    graft.merge.MergeTable.merge(ok.drop("error"), mainTable,
+      keys = Seq("media_id"), nBuckets = nBuckets)
+    val newQuar = decoded.filter(col("error").isNotNull)
+      .select(col("media_id"), col("media_type"), col("error"))
+      .withColumn("status", lit("quarantined"))
+    val quarP = new org.apache.hadoop.fs.Path(quarTable)
+    val quarExists = quarP
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(quarP)
+    val resolved =
+      if (!quarExists) newQuar.limit(0) // first batch: nothing to resolve
+      else ok.join(
+        graft.merge.MergeTable.read(spark, quarTable)
+          .filter(col("status") === lit("quarantined")).select("media_id"),
+        Seq("media_id"), "left_semi")
+        .select(col("media_id"), col("media_type"))
+        .withColumn("error", lit(null).cast("string"))
+        .withColumn("status", lit("resolved"))
+    val qdelta = newQuar.unionByName(resolved)
+    qdelta.write.mode("overwrite").parquet(scratch)
+    graft.merge.MergeTable.merge(spark.read.parquet(scratch), quarTable,
+      keys = Seq("media_id"), nBuckets = nBuckets)
+  }
+
   /** Planted image dimensions for [[documentBlobs]] — derived from the
     * document text so the SQL oracle can predict what a REAL decode of
     * the planted image must return. Kept small (w <= 331, h <= 311) so

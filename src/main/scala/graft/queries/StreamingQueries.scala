@@ -462,7 +462,17 @@ object StreamingQueries {
     // a leftover checkpoint would make the new drain a no-op resume
     Streaming.rmr(base)
     val season = s"$base/season"
-    copyTree(q87SeedTemplate(spark, dir), season)
+    // The season COPY runs inside q87SeedLock too (it is reentrant with
+    // q87SeedTemplate's own synchronized block): a supersede-delete in
+    // another thread (fixture rewritten between our template lookup and
+    // the copy) would otherwise rmr the template tree mid-copyTree and
+    // corrupt this season (ADVICE r13). The copy is local-FS file I/O of
+    // a sf-bounded seed — holding the coarse lock for it costs nothing
+    // under the sequential-driver contract and makes the race structural
+    // rather than informally excluded.
+    q87SeedLock.synchronized {
+      copyTree(q87SeedTemplate(spark, dir), season)
+    }
     val delta = Streaming.fileEventSource(spark, dir)
       .select(col("event_id"), unix_micros(col("ts")).as("us"),
         col("user_id"), col("event_type"), col("value"))

@@ -272,11 +272,47 @@ class PlanShapeSpec extends SparkTestBase {
   /** One pre-AQE physical plan per declared BATCH query, built once and
     * shared by the full-surface audits below. Streaming drains are
     * excluded: their declared frames are reads of drained output.
+    * q91 is excluded for the same reason — its declared frame is a
+    * collected 6-row state snapshot (LocalTableScan), so auditing it is
+    * vacuous; its decode segments are gated by the dedicated map-only
+    * decode test below.
     */
   private lazy val surveyedPlans: Map[String, SparkPlan] =
     SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(n => n.contains("streamed") || n == "q71_incremental_clusters")
+      .filterNot(n => n.contains("streamed") || n == "q71_incremental_clusters"
+        || n == "q91_quarantine_loop")
       .map(n => n -> physical(n)).toMap
+
+  test("q90/q91: total decode is map-only — no exchange ever feeds the " +
+      "mapPartitions decoder") {
+    // The decode family's contract (same as q21/q47): blob BYTES never
+    // shuffle. A refactor inserting an exchange below the decoder would
+    // move the full binary corpus across the network at 100 TB while
+    // every correctness row stays green — the aggregate above the
+    // decoder shuffles 3 meta rows instead.
+    val prepared = SparkEntry.queries("q90_decode_errors")(spark, sf)
+      .queryExecution.executedPlan
+    val decoders = collectAll(prepared).collect {
+      case m: org.apache.spark.sql.execution.MapPartitionsExec => m
+    }
+    assert(decoders.nonEmpty, "q90 lost its mapPartitions decoder")
+    decoders.foreach { m =>
+      val below = m.children.flatMap(collectAll)
+      assert(!below.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        "an exchange crept BELOW q90's decoder — blob bytes would shuffle")
+    }
+    // q91's staged decode segment (cycle 1): a pure map from blob scan to
+    // parquet stage — ZERO exchanges anywhere in the decode plan.
+    import spark.implicits._
+    val corrupted = graft.multimodal.Multimodal.documentBlobs(spark, sf)
+      .map { r =>
+        if (r.media_id % 7 == 0) r.copy(content = r.content.take(5)) else r
+      }
+    val stagePlan = graft.multimodal.Multimodal.decodeMetaTotal(corrupted)
+      .toDF().queryExecution.executedPlan
+    assert(!collectAll(stagePlan).exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "q91's decode stage must be map-only end to end")
+  }
 
   test("full-surface join/window/sort audit: no cartesian, no " +
       "unpartitioned window, no interior global sort, every " +

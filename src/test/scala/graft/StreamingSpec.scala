@@ -359,4 +359,78 @@ class StreamingSpec extends SparkTestBase {
     // and the batch-1 delta survives until a later batch garbage-collects
     assert(new java.io.File(s"$state/members_delta/batch=1").exists())
   }
+
+  test("schema drift across a checkpointed restart: a stateless drain " +
+      "continues cleanly with the widened schema; widening the STATE " +
+      "schema fails loudly") {
+    // The batch surface pins drift handling (q06 unionByName); this pins
+    // the RESTART path: what happens when a column is added to the
+    // source between two runs of a checkpointed streaming query. Neither
+    // branch is asserted from documentation — both are executed, so the
+    // behavior is pinned, not assumed (r13 verdict item 7).
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-drift-").toString
+    try {
+      val in = s"$base/in"; val out = s"$base/out"
+      Seq((1L, 10.0), (2L, 20.0), (2L, 5.0)).toDF("event_id", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+      val v1 = spark.read.parquet(in).schema
+      // run 1: stateless pass-through drain to a file sink
+      val q1 = spark.readStream.schema(v1).parquet(in)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow()).start()
+      q1.awaitTermination()
+      assert(spark.read.parquet(out).count() == 3)
+      // the fixture gains a column; run 2 restarts from the SAME
+      // checkpoint with the widened schema
+      Seq((3L, 7.0, "late"), (4L, 1.0, "late"))
+        .toDF("event_id", "value", "src_tag")
+        .coalesce(1).write.mode("append").parquet(in)
+      val v2 = org.apache.spark.sql.types.StructType(
+        v1.fields :+ org.apache.spark.sql.types.StructField(
+          "src_tag", org.apache.spark.sql.types.StringType))
+      val q2 = spark.readStream.schema(v2).parquet(in)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+      // clean continuation: only the NEW file is processed (no replay),
+      // old output rows read as null src_tag under mergeSchema
+      val merged = spark.read.option("mergeSchema", "true").parquet(out)
+      assert(merged.count() == 5, "restart must process only the new file")
+      assert(merged.filter(col("src_tag").isNotNull).count() == 2 &&
+        merged.filter(col("src_tag") === "late")
+          .select("event_id").collect().map(_.getLong(0)).toSet ==
+          Set(3L, 4L),
+        "widened rows must carry the new column; old rows null-fill")
+      // run 3: a STATEFUL aggregation whose state schema widens across
+      // restart — Spark's state-schema compatibility check must refuse,
+      // loudly, instead of silently corrupting state
+      val s1 = spark.readStream.schema(v1).parquet(in)
+        .groupBy("event_id").agg(sum("value").as("total"))
+        .writeStream.format("memory").queryName("drift_agg_v1")
+        .outputMode("complete").option("checkpointLocation", s"$base/cp2")
+        .trigger(Trigger.AvailableNow()).start()
+      s1.awaitTermination()
+      Seq((9L, 2.0, "x")).toDF("event_id", "value", "src_tag")
+        .coalesce(1).write.mode("append").parquet(in)
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        val s2 = spark.readStream.schema(v2).parquet(in)
+          .groupBy("event_id")
+          .agg(sum("value").as("total"), count("src_tag").as("n_tag"))
+          .writeStream.format("memory").queryName("drift_agg_v2")
+          .outputMode("complete")
+          .option("checkpointLocation", s"$base/cp2")
+          .trigger(Trigger.AvailableNow()).start()
+        s2.awaitTermination()
+      }
+      val msg = (err.getMessage + " " +
+        Option(err.getCause).map(_.getMessage).getOrElse("")).toLowerCase
+      assert(msg.contains("schema") || msg.contains("state"),
+        s"state widening must fail as a schema/state error, got: $msg")
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base)))
+  }
 }

@@ -347,4 +347,73 @@ class VectorAndMultimodalSpec extends SparkTestBase {
       assert(got(j) == want, s"dim $j")
     }
   }
+
+  test("q91 quarantine route: errors quarantined exactly, repair " +
+      "resolves and leaves quarantine, replaying a routed batch is a " +
+      "no-op") {
+    import spark.implicits._
+    import graft.merge.MergeTable
+    import org.apache.spark.sql.functions.col
+    val png = Multimodal.ImageCodec.encode(20, 10, seed = 1, "png")
+    val wav = Multimodal.AudioCodec.encode(nSamples = 77,
+      sampleRateHz = 8200, seed = 3)
+    val mp4 = Multimodal.VideoCodec.encode(640, 360, nFrames = 19, seed = 4)
+    val pristine = (1L to 12L).map { id =>
+      val (t, c) = (id % 3).toInt match {
+        case 0 => ("video", mp4)
+        case 1 => ("image", png)
+        case _ => ("audio", wav)
+      }
+      Multimodal.MediaRow(id, t, c)
+    }
+    val corrupted = pristine.map(r =>
+      if (r.media_id % 4 == 0) r.copy(content = r.content.take(5)) else r)
+    val base =
+      java.nio.file.Files.createTempDirectory("graft-q91spec-").toString
+    try {
+      val mainT = s"$base/main"
+      val quarT = s"$base/quar"
+      def stage(rows: Seq[Multimodal.MediaRow], p: String) = {
+        Multimodal.decodeMetaTotal(rows.toDS()).toDF()
+          .write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
+      def quarState(): Map[Long, String] =
+        MergeTable.read(spark, quarT).collect()
+          .map(r => r.getAs[Long]("media_id") -> r.getAs[String]("status"))
+          .toMap
+      def mainIds(): Set[Long] = MergeTable.read(spark, mainT)
+        .select("media_id").collect().map(_.getLong(0)).toSet
+      // cycle 1: corrupted ingest — errors land in quarantine, nothing lost
+      val d1 = stage(corrupted, s"$base/dec1")
+      Multimodal.quarantineRoute(d1, mainT, quarT, 4, s"$base/s1")
+      assert(mainIds() == (1L to 12L).filterNot(_ % 4 == 0).toSet,
+        "cycle 1 maintained table must hold exactly the ok rows")
+      assert(quarState() ==
+        Seq(4L, 8L, 12L).map(_ -> "quarantined").toMap,
+        "cycle 1 quarantine membership must be exactly the corrupt keys")
+      // cycle 2: repaired blobs for the quarantined keys re-decode clean
+      val d2 = stage(pristine.filter(_.media_id % 4 == 0), s"$base/dec2")
+      Multimodal.quarantineRoute(d2, mainT, quarT, 4, s"$base/s2")
+      assert(mainIds() == (1L to 12L).toSet,
+        "repair must complete the maintained table")
+      assert(quarState() == Seq(4L, 8L, 12L).map(_ -> "resolved").toMap,
+        "a repaired blob must leave quarantine (resolved tombstone)")
+      // a repaired row's meta must be the REAL decode, not a leftover
+      val w12 = MergeTable.read(spark, mainT)
+        .filter(col("media_id") === 12L).select("width").collect()
+      assert(w12.map(_.getInt(0)).toSeq == Seq(640),
+        "repaired video row must carry its decoded width")
+      // replay of the SAME routed batch (checkpoint recovery / crash
+      // rerun): key-level delta-wins makes it byte-identical state
+      val mainBefore = MergeTable.read(spark, mainT)
+        .orderBy("media_id").collect().toSeq
+      val quarBefore = quarState()
+      Multimodal.quarantineRoute(d2, mainT, quarT, 4, s"$base/s3")
+      assert(MergeTable.read(spark, mainT).orderBy("media_id")
+        .collect().toSeq == mainBefore, "replay changed the main table")
+      assert(quarState() == quarBefore, "replay changed quarantine")
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base)))
+  }
 }
