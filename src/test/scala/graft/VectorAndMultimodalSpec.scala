@@ -392,9 +392,21 @@ class VectorAndMultimodalSpec extends SparkTestBase {
       assert(quarState() ==
         Seq(4L, 8L, 12L).map(_ -> "quarantined").toMap,
         "cycle 1 quarantine membership must be exactly the corrupt keys")
-      // cycle 2: repaired blobs for the quarantined keys re-decode clean
-      val d2 = stage(pristine.filter(_.media_id % 4 == 0), s"$base/dec2")
+      // cycle 2: PARTIAL repair — pristine blobs for 4 and 8, but 12's
+      // replacement is still corrupt; it must STAY quarantined (error
+      // refreshed), never silently resolve or reach the main table
+      val d2 = stage(
+        pristine.filter(r => r.media_id == 4L || r.media_id == 8L) :+
+          corrupted.find(_.media_id == 12L).get, s"$base/dec2")
       Multimodal.quarantineRoute(d2, mainT, quarT, 4, s"$base/s2")
+      assert(mainIds() == (1L to 12L).toSet - 12L,
+        "partial repair must add only the cleanly re-decoded keys")
+      assert(quarState() == Map(4L -> "resolved", 8L -> "resolved",
+        12L -> "quarantined"),
+        "a still-corrupt replacement must stay quarantined")
+      // cycle 3: 12's real repair arrives
+      val d3 = stage(pristine.filter(_.media_id == 12L), s"$base/dec3")
+      Multimodal.quarantineRoute(d3, mainT, quarT, 4, s"$base/s3c")
       assert(mainIds() == (1L to 12L).toSet,
         "repair must complete the maintained table")
       assert(quarState() == Seq(4L, 8L, 12L).map(_ -> "resolved").toMap,
@@ -409,7 +421,7 @@ class VectorAndMultimodalSpec extends SparkTestBase {
       val mainBefore = MergeTable.read(spark, mainT)
         .orderBy("media_id").collect().toSeq
       val quarBefore = quarState()
-      Multimodal.quarantineRoute(d2, mainT, quarT, 4, s"$base/s3")
+      Multimodal.quarantineRoute(d3, mainT, quarT, 4, s"$base/s3")
       assert(MergeTable.read(spark, mainT).orderBy("media_id")
         .collect().toSeq == mainBefore, "replay changed the main table")
       assert(quarState() == quarBefore, "replay changed quarantine")
