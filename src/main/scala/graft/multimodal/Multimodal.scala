@@ -446,15 +446,28 @@ object Multimodal {
   def quarantineRoute(decoded: DataFrame, mainTable: String,
       quarTable: String, nBuckets: Int, scratch: String): Unit = {
     val spark = decoded.sparkSession
+    def exists(path: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    // An empty delta must never CREATE a table (a zero-bucket layout is
+    // unreadable — no schema to infer), and an empty parquet stage has
+    // zero part files, so the re-read needs the explicit schema. Both
+    // cases are real at production rates: a clean batch (no errors, no
+    // repairs due) routes an empty quarantine delta; an all-corrupt
+    // batch routes an empty main delta. Merging an empty delta into an
+    // EXISTING table is a cheap no-op (its distinct-bucket set is
+    // empty), so the guard is only on creation.
+    def mergeUnlessVacuous(delta: DataFrame, table: String): Unit =
+      if (exists(table) || !delta.isEmpty)
+        graft.merge.MergeTable.merge(delta, table,
+          keys = Seq("media_id"), nBuckets = nBuckets)
     val ok = decoded.filter(col("error").isNull)
-    graft.merge.MergeTable.merge(ok.drop("error"), mainTable,
-      keys = Seq("media_id"), nBuckets = nBuckets)
+    mergeUnlessVacuous(ok.drop("error"), mainTable)
     val newQuar = decoded.filter(col("error").isNotNull)
       .select(col("media_id"), col("media_type"), col("error"))
       .withColumn("status", lit("quarantined"))
-    val quarP = new org.apache.hadoop.fs.Path(quarTable)
-    val quarExists = quarP
-      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(quarP)
+    val quarExists = exists(quarTable)
     val resolved =
       if (!quarExists) newQuar.limit(0) // first batch: nothing to resolve
       else ok.join(
@@ -466,8 +479,8 @@ object Multimodal {
         .withColumn("status", lit("resolved"))
     val qdelta = newQuar.unionByName(resolved)
     qdelta.write.mode("overwrite").parquet(scratch)
-    graft.merge.MergeTable.merge(spark.read.parquet(scratch), quarTable,
-      keys = Seq("media_id"), nBuckets = nBuckets)
+    mergeUnlessVacuous(
+      spark.read.schema(qdelta.schema).parquet(scratch), quarTable)
   }
 
   /** Planted image dimensions for [[documentBlobs]] — derived from the

@@ -267,7 +267,7 @@ object MultimodalOps {
     * caller — cycle 2 mutates both tables, so a lazy snapshot taken
     * after cycle 1 would silently observe post-repair state.
     */
-  private def quarantineSnapshot(spark: SparkSession, mainT: String,
+  private[queries] def quarantineSnapshot(spark: SparkSession, mainT: String,
       quarT: String, cycle: Int): DataFrame = {
     val m = graft.merge.MergeTable.read(spark, mainT)
       .groupBy(col("media_type"))

@@ -496,7 +496,88 @@ object StreamingQueries {
       |FROM ev WHERE event_id % 97 = 0
       |ORDER BY event_id""".stripMargin
 
+  /** q92: the STREAMING form of q91's quarantine loop — the shape a
+    * production "updating datasets" pipeline actually runs: media
+    * batches (with corruption riding along, same planted `media_id % 7`
+    * rule as q90/q91) arrive as a stream, and EVERY micro-batch routes
+    * through the same [[graft.multimodal.Multimodal.quarantineRoute]]
+    * the batch loop uses — decode staged once per batch, ok rows upsert
+    * the maintained bucketed MergeTable, error rows land in the keyed
+    * quarantine table, all inside `foreachBatch` on a checkpointed
+    * AvailableNow drain.
+    *
+    * The corpus is staged as four range-partitioned files and streamed
+    * with `maxFilesPerTrigger = 1`, so the state the oracle checks is
+    * the CUMULATIVE product of four independent routed micro-batches —
+    * a hash match proves the incremental path converges to exactly the
+    * batch cycle-1 state (no row lost, duplicated, or double-routed
+    * across batch boundaries; checkpoint + key-idempotent merges give
+    * exactly-once effects). Per-batch cost is O(batch + touched
+    * buckets), never O(table) — q87's proportionality argument carries
+    * over unchanged, with the 100× per-batch curve recorded in
+    * BENCH_100X_r14.json for the batch route.
+    */
+  def streamedQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-drain-" + drainName("q92", dir)).toString
+    Streaming.rmr(base)
+    val mainT = s"$base/media_meta"
+    val quarT = s"$base/quarantine"
+    val src = s"$base/src"
+    graft.multimodal.Multimodal.documentBlobs(spark, dir)
+      .map { r =>
+        if (r.media_id % 7 == 0) r.copy(content = r.content.take(5)) else r
+      }
+      .toDF()
+      .repartitionByRange(4, col("media_id"))
+      .write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    withDrainPartitions(spark) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val stage = s"$base/dec$batchId"
+          graft.multimodal.Multimodal.decodeMetaTotal(
+            batch.as[graft.multimodal.Multimodal.MediaRow]).toDF()
+            .write.mode("overwrite").parquet(stage)
+          graft.multimodal.Multimodal.quarantineRoute(
+            spark.read.parquet(stage), mainT, quarT, nBuckets = 16,
+            scratch = s"$base/scratch$batchId")
+        }
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    MultimodalOps.quarantineSnapshot(spark, mainT, quarT, 1)
+      .drop("cycle").orderBy(col("media_type"))
+  }
+
+  val streamedQuarantineSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+      |    length(text) AS len,
+      |    (doc_id % 7 = 0) AS corrupt
+      |  FROM documents
+      |)
+      |SELECT media_type,
+      |  COUNT(*) FILTER (NOT corrupt) AS main_rows,
+      |  CAST(SUM(CASE WHEN NOT corrupt THEN
+      |    CASE media_type WHEN 'image' THEN 32 + (len % 300)
+      |         WHEN 'audio' THEN 8000 + (len % 577)
+      |         ELSE 64 + (len % 577) END END) AS BIGINT) AS main_sum_width,
+      |  COUNT(*) FILTER (corrupt) AS quar_active,
+      |  CAST(0 AS BIGINT) AS quar_resolved
+      |FROM m
+      |GROUP BY media_type
+      |ORDER BY media_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_streamed_quarantine" -> (streamedQuarantine _),
     "q79_streamed_rollup" -> (streamedHourlyRollup _),
     "q80_streamed_sessions" -> (streamedSessionRollup _),
     "q83_streamed_stateful_sessions" -> (streamedStatefulSessions _),
@@ -507,6 +588,7 @@ object StreamingQueries {
     "q89_streamed_tws_sessions" -> (streamedTwsSessions _))
 
   val oracle: Map[String, String] = Map(
+    "q92_streamed_quarantine" -> streamedQuarantineSql,
     "q79_streamed_rollup" -> streamedHourlyRollupSql,
     "q80_streamed_sessions" -> streamedSessionRollupSql,
     "q83_streamed_stateful_sessions" -> streamedStatefulSessionsSql,

@@ -50,4 +50,76 @@ class StreamingQueriesSpec extends SparkTestBase {
     queries.StreamingQueries.streamedHourlyRollup(spark, sf).collect()
     assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
   }
+
+  test("q92 crash-resume: a micro-batch that routed but did not commit " +
+      "replays through the quarantine route to the exact same state") {
+    // The adversarial exactly-once case: foreachBatch APPLIES its merges,
+    // then the query dies before the checkpoint commit. On restart the
+    // batch replays — the route runs twice for the same data — and
+    // key-level idempotent merges must converge to the single-route
+    // state, with no row lost, duplicated, or double-quarantined.
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val png = Multimodal.ImageCodec.encode(20, 10, seed = 1, "png")
+    val wav = Multimodal.AudioCodec.encode(nSamples = 77,
+      sampleRateHz = 8200, seed = 3)
+    val mp4 = Multimodal.VideoCodec.encode(640, 360, nFrames = 19, seed = 4)
+    val rows = (1L to 9L).map { id =>
+      val (t, c) = (id % 3).toInt match {
+        case 0 => ("video", mp4)
+        case 1 => ("image", png)
+        case _ => ("audio", wav)
+      }
+      val blob = if (id % 4 == 0) c.take(5) else c // ids 4, 8 corrupt
+      Multimodal.MediaRow(id, t, blob)
+    }
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-q92spec-").toString
+    try {
+      val mainT = s"$base/main"; val quarT = s"$base/quar"
+      rows.toDS().toDF().repartitionByRange(3, col("media_id"))
+        .write.parquet(s"$base/src")
+      val schema = spark.read.parquet(s"$base/src").schema
+      val attempts = new java.util.concurrent.atomic.AtomicInteger
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean
+      def drain(): Unit = {
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+          .writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            attempts.incrementAndGet()
+            val stage = s"$base/dec$id"
+            Multimodal.decodeMetaTotal(b.as[Multimodal.MediaRow]).toDF()
+              .write.mode("overwrite").parquet(stage)
+            Multimodal.quarantineRoute(spark.read.parquet(stage),
+              mainT, quarT, nBuckets = 4, scratch = s"$base/sc$id")
+            // die AFTER the route, BEFORE the checkpoint commit
+            if (id == 1 && crashed.compareAndSet(false, true))
+              throw new RuntimeException("planted crash after route")
+          }
+          .option("checkpointLocation", s"$base/cp")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        drain()
+      }
+      drain() // resume from the checkpoint
+      assert(attempts.get >= 4,
+        "the crashed batch must have been routed twice (replay)")
+      val mainIds = graft.merge.MergeTable.read(spark, mainT)
+        .select("media_id").collect().map(_.getLong(0)).toSeq
+      assert(mainIds.sorted == (1L to 9L).filterNot(_ % 4 == 0),
+        "post-resume main table must hold each ok key exactly once")
+      val quar = graft.merge.MergeTable.read(spark, quarT)
+        .select("media_id", "status").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSeq
+      assert(quar.sorted == Seq(4L -> "quarantined", 8L -> "quarantined"),
+        "post-resume quarantine must hold each corrupt key exactly once")
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base)))
+  }
 }

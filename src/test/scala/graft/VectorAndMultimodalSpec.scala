@@ -348,6 +348,51 @@ class VectorAndMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("quarantineRoute: a clean batch routes an EMPTY quarantine delta " +
+      "and an all-corrupt batch an EMPTY main delta — neither creates " +
+      "an unreadable zero-bucket table") {
+    // Production rates make both vacuous deltas routine (most batches
+    // have no errors and nothing due for repair); the route must defer
+    // table creation instead of writing a schema-less empty layout.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val png = Multimodal.ImageCodec.encode(20, 10, seed = 1, "png")
+    val base =
+      java.nio.file.Files.createTempDirectory("graft-q91vac-").toString
+    try {
+      val mainT = s"$base/main"; val quarT = s"$base/quar"
+      def stage(rows: Seq[Multimodal.MediaRow], p: String) = {
+        Multimodal.decodeMetaTotal(rows.toDS()).toDF()
+          .write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
+      // batch 1: all clean — main created, quarantine deferred
+      Multimodal.quarantineRoute(
+        stage(Seq(Multimodal.MediaRow(1, "image", png),
+          Multimodal.MediaRow(2, "image", png)), s"$base/d1"),
+        mainT, quarT, 4, s"$base/s1")
+      assert(new java.io.File(mainT).exists, "main table must exist")
+      assert(!new java.io.File(quarT).exists,
+        "an empty quarantine delta must not create the table")
+      // batch 2: all corrupt — quarantine created, main untouched
+      Multimodal.quarantineRoute(
+        stage(Seq(Multimodal.MediaRow(3, "image", png.take(5))), s"$base/d2"),
+        mainT, quarT, 4, s"$base/s2")
+      assert(graft.merge.MergeTable.read(spark, mainT).count() == 2)
+      assert(graft.merge.MergeTable.read(spark, quarT)
+        .filter(col("status") === "quarantined").count() == 1)
+      // batch 3: clean again over EXISTING tables — still fine, resolves
+      // nothing (key 3 has no repair here), changes nothing in quarantine
+      Multimodal.quarantineRoute(
+        stage(Seq(Multimodal.MediaRow(4, "image", png)), s"$base/d3"),
+        mainT, quarT, 4, s"$base/s3")
+      assert(graft.merge.MergeTable.read(spark, mainT).count() == 3)
+      assert(graft.merge.MergeTable.read(spark, quarT)
+        .filter(col("status") === "quarantined").count() == 1)
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base)))
+  }
+
   test("q91 quarantine route: errors quarantined exactly, repair " +
       "resolves and leaves quarantine, replaying a routed batch is a " +
       "no-op") {
