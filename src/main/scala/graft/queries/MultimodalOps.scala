@@ -316,6 +316,13 @@ object MultimodalOps {
     */
   def quarantineLoop(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Scope shuffle partitions to 8 for the loop, like the streaming
+    // drains do (StreamingQueries.withDrainPartitions): the loop is a
+    // chain of ~15 small sequential jobs (stages, merges, snapshots)
+    // whose per-partition constants dominate at bench scale; a
+    // deployment sizes the conf to its data instead.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val base = java.nio.file.Files.createTempDirectory("graft-q91-").toString
     try {
       val mainT = s"$base/media_meta"
@@ -346,8 +353,11 @@ object MultimodalOps {
       import scala.jdk.CollectionConverters._
       spark.createDataFrame((s1 ++ s2).toSeq.asJava, schema)
         .orderBy(col("cycle"), col("media_type"))
-    } finally scala.util.Try(org.apache.commons.io.FileUtils
-      .deleteDirectory(new java.io.File(base)))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      scala.util.Try(org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(base)))
+    }
   }
 
   val quarantineLoopSql: String =
