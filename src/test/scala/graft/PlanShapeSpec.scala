@@ -312,6 +312,25 @@ class PlanShapeSpec extends SparkTestBase {
       .toDF().queryExecution.executedPlan
     assert(!collectAll(stagePlan).exists(_.isInstanceOf[ShuffleExchangeExec]),
       "q91's decode stage must be map-only end to end")
+    // q91's repair segment: blobs ⋉ quarantined-keys must plan as an
+    // EQUI left-semi join (hash or sort-merge — AQE picks). A nested-loop
+    // or cartesian degeneration would pair every blob with every
+    // quarantined key: O(corpus × corruption) blob-byte compares at
+    // 100 TB while correctness stays green at test SF.
+    val quarKeys = Seq(7L, 14L, 21L).toDF("media_id")
+    val repairPlan = graft.multimodal.Multimodal.documentBlobs(spark, sf)
+      .toDF().join(quarKeys, Seq("media_id"), "left_semi")
+      .queryExecution.executedPlan
+    val repairNodes = collectAll(repairPlan)
+    assert(!repairNodes.exists(p =>
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "q91's repair semi-join degenerated to an all-pairs join")
+    assert(repairNodes.exists(p =>
+        p.isInstanceOf[BroadcastHashJoinExec] ||
+        p.isInstanceOf[SortMergeJoinExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+      "q91's repair semi-join must be an equi join")
   }
 
   test("full-surface join/window/sort audit: no cartesian, no " +
