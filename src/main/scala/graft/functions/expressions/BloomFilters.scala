@@ -85,6 +85,17 @@ object BloomFilters {
     // set: an external writer (user code, another framework) changing the
     // cap mid-window must win over our stale first-entry snapshot —
     // last-writer-wins for THEM, not for us (ADVICE r13).
+    //
+    // Residual TOCTOU, accepted (ADVICE r14): the getOption→set pair is
+    // not atomic (RuntimeConfig has no compare-and-set), so an external
+    // write landing INSIDE that window is still clobbered, and an
+    // external writer that sets exactly the value this machinery last
+    // set is indistinguishable from our own write and gets restored
+    // over. Both need an adversarially-timed external mutation of a
+    // Spark-internal optimizer cap on a session we're mid-query on —
+    // the guard is best-effort conf hygiene, not a concurrency
+    // guarantee, and the worst outcome is a WIDER bloom cap than the
+    // external writer asked for (never a corrupt filter).
     def restore(key: String, prev: Option[String], lastSet: String): Unit =
       if (spark.conf.getOption(key).contains(lastSet)) prev match {
         case Some(v) => spark.conf.set(key, v)

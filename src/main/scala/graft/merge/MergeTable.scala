@@ -1,6 +1,6 @@
 package graft.merge
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Partition-pruned MERGE over a hive-partitioned parquet layout — the
@@ -170,11 +170,40 @@ object MergeTable {
     * [[readRetrying]] packages exactly that; single-writer callers
     * (streaming sinks, Verify, specs) don't need it.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    readPruned(spark, path, None)
+
+  /** Partition-pruned read: only the bucket dirs whose ids appear in
+    * `buckets` are listed into the scan — the read-side twin of merge's
+    * affected-bucket pruning. A caller joining a KEYED delta against the
+    * table (e.g. the quarantine resolved-side semi-join) knows the only
+    * buckets that can match are the delta's own key buckets
+    * ([[bucketIds]]); reading the rest would make the per-batch cost
+    * O(table) instead of O(touched buckets). When none of the requested
+    * buckets exist the table's schema is still returned (empty frame) —
+    * schema comes from a metadata-only `limit(0)` over the live dirs.
+    */
+  def readBuckets(spark: SparkSession, path: String,
+      buckets: Set[Int]): DataFrame =
+    readPruned(spark, path, Some(buckets))
+
+  /** The distinct bucket ids of `df`'s keys under this table layout —
+    * bounded by nBuckets rows (metadata-scale collect, same contract as
+    * merge's affected-bucket aggregate).
+    */
+  def bucketIds(df: DataFrame, keys: Seq[String], nBuckets: Int): Set[Int] =
+    df.select(bucketOf(keys, nBuckets).as(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSet
+
+  private def readPruned(spark: SparkSession, path: String,
+      buckets: Option[Set[Int]]): DataFrame = {
     val (fs, p) = fsOf(spark, path)
+    def bucketIdOfName(n: String): Int =
+      n.stripPrefix(BucketCol + "=").stripSuffix(".old").toInt
     def chosenSet(): Set[String] = {
       val names = fs.listStatus(p).map(_.getPath.getName)
         .filter(_.startsWith(BucketCol + "="))
+        .filter(n => buckets.forall(_.contains(bucketIdOfName(n))))
       val live = names.filterNot(_.endsWith(".old")).toSet
       live ++ names
         .filter(n => n.endsWith(".old") && !live.contains(n.stripSuffix(".old")))
@@ -193,8 +222,14 @@ object MergeTable {
     // explicit leaf dirs: no partition discovery, so `.old` suffixes
     // never reach a partition-value parser; partitionBy-written files
     // carry no bucket column to drop
-    spark.read.parquet(chosen.toSeq.sorted
-      .map(n => new org.apache.hadoop.fs.Path(p, n).toString): _*)
+    if (chosen.isEmpty && buckets.isDefined)
+      // every requested bucket is absent: schema-only read of the live
+      // table (parquet footers, no data) so the caller still gets a
+      // well-typed empty frame
+      readPruned(spark, path, None).limit(0)
+    else
+      spark.read.parquet(chosen.toSeq.sorted
+        .map(n => new org.apache.hadoop.fs.Path(p, n).toString): _*)
   }
 
   /** Read-and-consume with a bounded retry: re-invokes [[read]] AND the
@@ -298,5 +333,76 @@ object MergeTable {
       onBucketSwapped(b)
     }
     fs.delete(staging, true)
+  }
+
+  /** DELETE: remove every row matching `predicate`, rewriting only the
+    * bucket dirs that hold matching rows — the maintenance half of the
+    * table's lifecycle (merge grows it, delete retires it; the quarantine
+    * table's resolved-tombstone retention is the motivating caller).
+    *
+    * Same single-writer + swap discipline as [[merge]]: staged rewrite,
+    * per-bucket two-rename swap with `.old` backups, crash recovery on
+    * the next writer call. Two differences:
+    *  - a bucket whose rows ALL match is removed outright (partitionBy
+    *    writes no dir for an empty bucket — the absent staged dir means
+    *    "this bucket is now empty", so the live dir is renamed to `.old`
+    *    and dropped rather than required to exist in staging);
+    *  - a table left with ZERO bucket dirs is deleted entirely
+    *    (`_meta` included): an all-retired table reads as ABSENT, the
+    *    same state a deferred-creation writer like `quarantineRoute`
+    *    starts from, so the next delta recreates it cleanly instead of
+    *    hitting an unreadable zero-bucket layout.
+    *
+    * Idempotent: re-running the same delete matches nothing. Cost is
+    * O(matching-bucket bytes), never O(table) — the affected-bucket set
+    * is computed with one bounded aggregate (≤ nBuckets rows collected).
+    * Returns the number of rows deleted.
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+      predicate: Column): Long = {
+    val (fs, p) = fsOf(spark, path)
+    recover(spark, path)
+    if (!fs.exists(p)) return 0L
+    val (nBuckets, keys) = readMeta(fs, p).getOrElse(throw new
+        IllegalStateException(s"MergeTable.deleteWhere: no _meta at $path"))
+    // one bounded job: rows to delete → (count, distinct buckets)
+    val hit = read(spark, path).filter(predicate)
+      .select(bucketOf(keys, nBuckets).as(BucketCol))
+      .agg(count(lit(1)).as("n"), collect_set(col(BucketCol)).as("bs"))
+      .collect()(0)
+    val deleted = hit.getLong(0)
+    if (deleted == 0L) return 0L
+    val affected = hit.getSeq[Int](1).sorted
+    // partition-pruned rewrite of only the affected buckets, keeping the
+    // non-matching rows (bucket col rides from the dir-discovering read)
+    val base = spark.read.parquet(path)
+      .filter(col(BucketCol).isin(affected.map(Integer.valueOf): _*))
+      .withColumn(BucketCol, col(BucketCol).cast("int"))
+    // three-valued logic: a row whose predicate is NULL is NOT deleted
+    // (filter(p) drops it from the delete count), so it must be KEPT —
+    // plain !p would drop it from both sides and silently lose the row
+    val kept = base.filter(!coalesce(predicate, lit(false)))
+    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    kept.repartition(col(BucketCol))
+      .write.partitionBy(BucketCol).parquet(staging.toString)
+    affected.foreach { b =>
+      val live = new org.apache.hadoop.fs.Path(p, s"$BucketCol=$b")
+      val bak = new org.apache.hadoop.fs.Path(p, s"$BucketCol=$b.old")
+      val next = new org.apache.hadoop.fs.Path(staging, s"$BucketCol=$b")
+      if (fs.exists(bak)) fs.delete(bak, true)
+      if (fs.exists(live))
+        require(fs.rename(live, bak),
+          s"MergeTable.deleteWhere: backup rename failed for bucket $b")
+      if (fs.exists(next))
+        require(fs.rename(next, live),
+          s"MergeTable.deleteWhere: swap rename failed for bucket $b")
+      fs.delete(bak, true)
+    }
+    fs.delete(staging, true)
+    val remaining = fs.listStatus(p)
+      .exists(_.getPath.getName.startsWith(BucketCol + "="))
+    if (!remaining) fs.delete(p, true) // all-retired table reads as absent
+    deleted
   }
 }

@@ -338,7 +338,8 @@ object MultimodalOps {
         if (r.media_id % 7 == 0) r.copy(content = r.content.take(5)) else r
       }
       val d1 = decodeToStage(corrupted, s"$base/dec1")
-      Multimodal.quarantineRoute(d1, mainT, quarT, nB, s"$base/scratch1")
+      Multimodal.quarantineRoute(d1, mainT, quarT, nB, s"$base/scratch1",
+        seq = 1L)
       val snap1 = quarantineSnapshot(spark, mainT, quarT, 1)
       val schema = snap1.schema
       val s1 = snap1.collect()
@@ -348,7 +349,8 @@ object MultimodalOps {
         .join(quarKeys, Seq("media_id"), "left_semi")
         .as[Multimodal.MediaRow]
       val d2 = decodeToStage(repaired, s"$base/dec2")
-      Multimodal.quarantineRoute(d2, mainT, quarT, nB, s"$base/scratch2")
+      Multimodal.quarantineRoute(d2, mainT, quarT, nB, s"$base/scratch2",
+        seq = 2L)
       val s2 = quarantineSnapshot(spark, mainT, quarT, 2).collect()
       import scala.jdk.CollectionConverters._
       spark.createDataFrame((s1 ++ s2).toSeq.asJava, schema)

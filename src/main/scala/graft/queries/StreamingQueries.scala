@@ -545,7 +545,7 @@ object StreamingQueries {
             .write.mode("overwrite").parquet(stage)
           graft.multimodal.Multimodal.quarantineRoute(
             spark.read.parquet(stage), mainT, quarT, nBuckets = 16,
-            scratch = s"$base/scratch$batchId")
+            scratch = s"$base/scratch$batchId", seq = batchId)
         }
         .option("checkpointLocation", s"$base/cp")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -576,7 +576,104 @@ object StreamingQueries {
       |GROUP BY media_type
       |ORDER BY media_type""".stripMargin
 
+  /** q93: the STREAMED repair cycle — the one branch q92 leaves
+    * oracle-unexercised (its oracle has `quar_resolved = 0` by
+    * construction: every key appears in exactly one micro-batch and no
+    * repaired blob ever arrives later). Here repairs DO arrive later,
+    * across micro-batch AND query-restart boundaries — the production
+    * shape: corruption lands day 1, the re-upload lands day N, and the
+    * pipeline that quarantined the key is long stopped when its repair
+    * flows through.
+    *
+    * Two waves on ONE checkpoint:
+    *  1. the full corpus with the planted `media_id % 7` corruption,
+    *     4 files → an AvailableNow drain routes 4 micro-batches
+    *     (batches 0–3): ok rows build the maintained table, corrupt
+    *     keys land `quarantined`;
+    *  2. pristine replacement blobs for EXACTLY the corrupt keys,
+    *     2 more files appended to the same source dir → a second
+    *     AvailableNow drain on the same checkpoint picks up only the
+    *     unseen files (batches 4–5), re-decodes them clean, upserts
+    *     them into the maintained table, and flips their quarantine
+    *     rows to `resolved` via the bucket-pruned semi-join.
+    *
+    * The oracle predicts the final state of BOTH tables from the `% 7`
+    * rule alone — maintained table complete (every key, full width sum)
+    * and quarantine fully `resolved` (nonzero `quar_resolved`, exactly
+    * the corrupt count per media type): q91's cycle-2 semantics, proven
+    * across batch boundaries and a stop/restart. A crash planted INSIDE
+    * a repair batch (after route, before checkpoint commit) is the
+    * companion spec in StreamingQueriesSpec — replayed resolution must
+    * be idempotent.
+    */
+  def streamedRepair(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-drain-" + drainName("q93", dir)).toString
+    Streaming.rmr(base)
+    val mainT = s"$base/media_meta"
+    val quarT = s"$base/quarantine"
+    val src = s"$base/src"
+    val blobs = graft.multimodal.Multimodal.documentBlobs(spark, dir)
+    blobs.map { r =>
+        if (r.media_id % 7 == 0) r.copy(content = r.content.take(5)) else r
+      }
+      .toDF()
+      .repartitionByRange(4, col("media_id"))
+      .write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def drain(): Unit = withDrainPartitions(spark) {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val stage = s"$base/dec$batchId"
+          graft.multimodal.Multimodal.decodeMetaTotal(
+            batch.as[graft.multimodal.Multimodal.MediaRow]).toDF()
+            .write.mode("overwrite").parquet(stage)
+          graft.multimodal.Multimodal.quarantineRoute(
+            spark.read.parquet(stage), mainT, quarT, nBuckets = 16,
+            scratch = s"$base/scratch$batchId", seq = batchId)
+        }
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // corruption wave: batches 0–3
+    // the repair wave arrives AFTER the first drain stopped — appended
+    // as new files, picked up by the restarted query from the same
+    // checkpoint (seen-files log skips the corruption wave's files)
+    blobs.filter(_.media_id % 7 == 0).toDF()
+      .repartitionByRange(2, col("media_id"))
+      .write.mode("append").parquet(src)
+    drain() // repair wave: batches 4–5 resolve across the restart
+    MultimodalOps.quarantineSnapshot(spark, mainT, quarT, 1)
+      .drop("cycle").orderBy(col("media_type"))
+  }
+
+  val streamedRepairSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+      |    length(text) AS len,
+      |    (doc_id % 7 = 0) AS corrupt
+      |  FROM documents
+      |)
+      |SELECT media_type,
+      |  COUNT(*) AS main_rows,
+      |  CAST(SUM(CASE media_type WHEN 'image' THEN 32 + (len % 300)
+      |       WHEN 'audio' THEN 8000 + (len % 577)
+      |       ELSE 64 + (len % 577) END) AS BIGINT) AS main_sum_width,
+      |  CAST(0 AS BIGINT) AS quar_active,
+      |  COUNT(*) FILTER (corrupt) AS quar_resolved
+      |FROM m
+      |GROUP BY media_type
+      |ORDER BY media_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_streamed_repair" -> (streamedRepair _),
     "q92_streamed_quarantine" -> (streamedQuarantine _),
     "q79_streamed_rollup" -> (streamedHourlyRollup _),
     "q80_streamed_sessions" -> (streamedSessionRollup _),
@@ -588,6 +685,7 @@ object StreamingQueries {
     "q89_streamed_tws_sessions" -> (streamedTwsSessions _))
 
   val oracle: Map[String, String] = Map(
+    "q93_streamed_repair" -> streamedRepairSql,
     "q92_streamed_quarantine" -> streamedQuarantineSql,
     "q79_streamed_rollup" -> streamedHourlyRollupSql,
     "q80_streamed_sessions" -> streamedSessionRollupSql,

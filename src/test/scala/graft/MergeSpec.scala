@@ -287,4 +287,62 @@ class MergeSpec extends SparkTestBase {
     MergeTable.merge(Seq((1L, "NEW1")).toDF("k", "v"), path, Seq("k"), 4)
     assert(!bak.exists(), "merge must drop the completed swap's backup")
   }
+
+  test("MergeTable.readBuckets prunes to the requested bucket dirs and " +
+      "returns a typed empty frame when none exist") {
+    import graft.merge.MergeTable
+    val path = Files.createTempDirectory("graft-mtrb").toString + "/t"
+    val base = (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v")
+    MergeTable.write(base, path, Seq("k"), nBuckets = 8)
+    val want = MergeTable.bucketIds(
+      (1L to 10L).toDF("k"), Seq("k"), 8)
+    val got = MergeTable.readBuckets(spark, path, want)
+    // the pruned read sees every key that hashes into the chosen
+    // buckets — in particular all of 1..10 — and nothing from others
+    val keys = got.select("k").collect().map(_.getLong(0)).toSet
+    val expected = base.filter(pmod(xxhash64(col("k")), lit(8L)).cast("int")
+        .isin(want.toSeq.map(Integer.valueOf): _*))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert((1L to 10L).forall(keys.contains))
+    assert(keys == expected)
+    // scan stays pruned: fewer input files than the full table
+    assert(got.inputFiles.length < MergeTable.read(spark, path)
+      .inputFiles.length)
+    // requesting only absent buckets yields schema, zero rows
+    val empty = MergeTable.readBuckets(spark, path, Set(997))
+    assert(empty.schema == got.schema && empty.count() == 0L)
+  }
+
+  test("MergeTable.deleteWhere retires matching rows bucket-pruned, " +
+      "keeps NULL-predicate rows, and drops an all-deleted table") {
+    import graft.merge.MergeTable
+    val path = Files.createTempDirectory("graft-mtdw").toString + "/t"
+    // tag: "old" (delete), "new" (keep), null (predicate NULL → keep)
+    val rows = (1L to 300L).map { i =>
+      (i, if (i % 3 == 0) null else if (i % 3 == 1) "old" else "new")
+    }
+    MergeTable.write(rows.toDF("k", "tag"), path, Seq("k"), nBuckets = 8)
+    val before = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith(MergeTable.BucketCol + "="))
+      .map(f => f.getName -> f.lastModified).toMap
+    val n = MergeTable.deleteWhere(spark, path, col("tag") === "old")
+    assert(n == rows.count(_._2 == "old"))
+    val left = MergeTable.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(left.length == 200, "null-tag rows must survive a NULL predicate")
+    assert(left.forall { case (k, t) => t == "new" || t == null })
+    assert(left.map(_._1).toSet == (1L to 300L).filter(_ % 3 != 1).toSet)
+    // idempotent + no debris
+    assert(MergeTable.deleteWhere(spark, path, col("tag") === "old") == 0L)
+    val names = new java.io.File(path).listFiles().map(_.getName)
+    assert(!names.exists(_.endsWith(".old")))
+    assert(!new java.io.File(path + "__staging").exists())
+    // deleting everything removes the table — absent, not zero-bucket
+    assert(MergeTable.deleteWhere(spark, path,
+      col("tag").isNull || col("tag") === "new") == 200L)
+    assert(!new java.io.File(path).exists,
+      "an all-deleted table must read as absent")
+    // and deleting from an absent table is a no-op
+    assert(MergeTable.deleteWhere(spark, path, lit(true)) == 0L)
+  }
 }

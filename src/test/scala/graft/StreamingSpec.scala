@@ -426,8 +426,12 @@ class StreamingSpec extends SparkTestBase {
           .trigger(Trigger.AvailableNow()).start()
         s2.awaitTermination()
       }
-      val msg = (err.getMessage + " " +
-        Option(err.getCause).map(_.getMessage).getOrElse("")).toLowerCase
+      // walk the FULL cause chain (ADVICE r14): a Spark version nesting
+      // StateSchemaNotCompatible one level deeper must not fail this
+      // test spuriously while the refusal behavior is correct
+      val msg = Iterator.iterate(err: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(16)
+        .flatMap(t => Option(t.getMessage)).mkString(" ").toLowerCase
       assert(msg.contains("schema") || msg.contains("state"),
         s"state widening must fail as a schema/state error, got: $msg")
     } finally scala.util.Try(org.apache.commons.io.FileUtils

@@ -473,4 +473,121 @@ class VectorAndMultimodalSpec extends SparkTestBase {
     } finally scala.util.Try(org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(base)))
   }
+
+  test("quarantineRoute: a batch carrying BOTH an ok and an error row " +
+      "for one key routes it to exactly one side — error wins") {
+    // ADVICE r14: without normalization the key would upsert main AND
+    // land in quarantine; the route must make one decision per key.
+    import spark.implicits._
+    import graft.merge.MergeTable
+    import org.apache.spark.sql.functions.col
+    val png = Multimodal.ImageCodec.encode(20, 10, seed = 1, "png")
+    val base =
+      java.nio.file.Files.createTempDirectory("graft-q91dup-").toString
+    try {
+      val mainT = s"$base/main"; val quarT = s"$base/quar"
+      def stage(rows: Seq[Multimodal.MediaRow], p: String) = {
+        Multimodal.decodeMetaTotal(rows.toDS()).toDF()
+          .write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
+      // key 1: clean + corrupt copies in ONE batch; key 2: clean only
+      Multimodal.quarantineRoute(
+        stage(Seq(Multimodal.MediaRow(1, "image", png),
+          Multimodal.MediaRow(1, "image", png.take(5)),
+          Multimodal.MediaRow(2, "image", png)), s"$base/d1"),
+        mainT, quarT, 4, s"$base/s1", seq = 1L)
+      assert(MergeTable.read(spark, mainT).select("media_id")
+        .collect().map(_.getLong(0)).toSet == Set(2L),
+        "the conflicted key must NOT reach the maintained table")
+      assert(MergeTable.read(spark, quarT)
+        .select("media_id", "status").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSeq ==
+        Seq(1L -> "quarantined"),
+        "the conflicted key must be quarantined exactly once")
+      // its clean copy arriving ALONE in a later batch resolves it
+      Multimodal.quarantineRoute(
+        stage(Seq(Multimodal.MediaRow(1, "image", png)), s"$base/d2"),
+        mainT, quarT, 4, s"$base/s2", seq = 2L)
+      assert(MergeTable.read(spark, mainT).select("media_id")
+        .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+      assert(MergeTable.read(spark, quarT)
+        .filter(col("status") === "resolved").count() == 1L)
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base)))
+  }
+
+  test("quarantineRetire: resolved tombstones age out at the horizon, " +
+      "active rows never do, and a replayed repair after retirement " +
+      "is a no-op") {
+    // Round-14 verdict What's-wrong #2: at a sustained corruption rate
+    // the quarantine table must track ACTIVE corruption + a bounded
+    // history horizon, not every resolution ever made.
+    import spark.implicits._
+    import graft.merge.MergeTable
+    import org.apache.spark.sql.functions.col
+    val png = Multimodal.ImageCodec.encode(20, 10, seed = 1, "png")
+    val base =
+      java.nio.file.Files.createTempDirectory("graft-q91ret-").toString
+    try {
+      val mainT = s"$base/main"; val quarT = s"$base/quar"
+      def stage(rows: Seq[Multimodal.MediaRow], p: String) = {
+        Multimodal.decodeMetaTotal(rows.toDS()).toDF()
+          .write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
+      def route(rows: Seq[Multimodal.MediaRow], seq: Long): Unit =
+        Multimodal.quarantineRoute(stage(rows, s"$base/d$seq"),
+          mainT, quarT, 4, s"$base/s$seq", seq = seq)
+      def quarRows(): Map[Long, (String, Long)] =
+        MergeTable.read(spark, quarT).collect().map(r =>
+          r.getAs[Long]("media_id") ->
+            (r.getAs[String]("status"), r.getAs[Long]("routed_seq"))).toMap
+      // sustained corruption: each seq 1..4 corrupts key 10+s, repairs
+      // key 10+s-1 (resolved at seq 2..4); key 11 resolved at seq=2 is
+      // the oldest tombstone
+      (1L to 4L).foreach { s =>
+        val corrupt = Multimodal.MediaRow(10 + s, "image", png.take(5))
+        val repair =
+          if (s == 1L) Nil
+          else Seq(Multimodal.MediaRow(10 + s - 1, "image", png))
+        route(corrupt +: repair, s)
+      }
+      assert(quarRows() == Map(
+        11L -> ("resolved", 2L), 12L -> ("resolved", 3L),
+        13L -> ("resolved", 4L), 14L -> ("quarantined", 4L)))
+      // horizon = 2 batches: tombstones with routed_seq < 3 retire
+      val retired = Multimodal.quarantineRetire(spark, quarT,
+        retireBefore = 3L)
+      assert(retired == 1L, "exactly key 11's tombstone ages out")
+      assert(quarRows() == Map(
+        12L -> ("resolved", 3L), 13L -> ("resolved", 4L),
+        14L -> ("quarantined", 4L)),
+        "active + in-horizon rows must survive retirement")
+      // idempotent: same horizon again retires nothing
+      assert(Multimodal.quarantineRetire(spark, quarT, 3L) == 0L)
+      // replayed repair of the RETIRED key (checkpoint recovery of its
+      // old batch): no quarantined row to match → resolves nothing,
+      // retired state is stable
+      route(Seq(Multimodal.MediaRow(11L, "image", png)), 2L)
+      assert(!quarRows().contains(11L),
+        "a replayed repair must not resurrect a retired tombstone")
+      // retire everything resolved; only the active row remains
+      assert(Multimodal.quarantineRetire(spark, quarT, 100L) == 2L)
+      assert(quarRows() == Map(14L -> ("quarantined", 4L)))
+      // repair the last active key, then full retirement empties the
+      // table — which must read as ABSENT (deferred-creation state),
+      // not as an unreadable zero-bucket layout
+      route(Seq(Multimodal.MediaRow(14L, "image", png)), 5L)
+      assert(Multimodal.quarantineRetire(spark, quarT, 100L) == 1L)
+      assert(!new java.io.File(quarT).exists,
+        "an all-retired quarantine table must read as absent")
+      // and the route recreates it cleanly on the next corruption
+      route(Seq(Multimodal.MediaRow(20L, "image", png.take(5))), 6L)
+      assert(quarRows() == Map(20L -> ("quarantined", 6L)))
+      // retiring an absent table is a clean no-op too
+      assert(Multimodal.quarantineRetire(spark, s"$base/nope", 1L) == 0L)
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base)))
+  }
 }
