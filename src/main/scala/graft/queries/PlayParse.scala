@@ -119,9 +119,70 @@ object PlayParse {
       |FROM params
       |ORDER BY game_id""".stripMargin
 
+  /** q94: the typed normalization layer ([[graft.ingest.Ingest
+    * .typedLayer]], SURVEY §1.2) under the full oracle gate — the one
+    * SURVEY §2 row that was previously spec-only (round-14 verdict,
+    * Next-round #3). An all-string frame in the ingest output shape is
+    * synthesized deterministically from orders (with planted NULL
+    * pockets: every 97th key has no clock, every 89th no year — the
+    * dirty-data path must degrade to typed NULLs, never throw under
+    * ANSI), run through the REAL typedLayer, and the typed projections
+    * are compared against a DuckDB twin that casts the same strings
+    * independently. seconds_remaining is derived via STRING parse on
+    * both sides ("M" *60 + "SS.f") so the doubles are bit-identical —
+    * computing sec = s + f/10 arithmetically instead can differ from
+    * the parsed value by an ulp.
+    */
+  def typedNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ingest.Ingest
+    val o = Tables.orders(spark, dir)
+    def s(c: Column): Column = c.cast("string")
+    val base = o.select(
+      s(col("o_orderkey")).as("game_id"),
+      when(col("o_orderkey") % 89 === 0, lit(null).cast("string"))
+        .otherwise(s(col("o_orderkey") % 30 + 1996)).as("year"),
+      s(col("o_custkey") % 12 + 1).as("month"),
+      s(col("o_orderkey") % 28 + 1).as("day"),
+      s(col("o_orderkey") % 500 - 250).as("x"),
+      s(col("o_custkey") % 400 - 50).as("y"),
+      s(col("o_orderkey") % 150).as("winner_score"),
+      s(col("o_custkey") % 150).as("loser_score"),
+      s(col("o_orderkey") % 4 + 1).as("quarter"),
+      when(col("o_orderkey") % 97 === 0, lit(null).cast("string"))
+        .otherwise(concat(s(col("o_orderkey") % 12), lit(":"),
+          lpad(s(col("o_custkey") % 60), 2, "0"), lit("."),
+          s(col("o_orderkey") % 10))).as("time_remaining"))
+    Ingest.typedLayer(base)
+      .select(col("game_id"), col("x_i"), col("y_i"),
+        col("winner_score_i"), col("loser_score_i"), col("quarter_i"),
+        col("game_date"), col("seconds_remaining"))
+      .orderBy(col("game_id"))
+  }
+
+  val typedNormalizeSql: String =
+    """SELECT CAST(o_orderkey AS VARCHAR) AS game_id,
+      |  CAST(o_orderkey % 500 - 250 AS INT) AS x_i,
+      |  CAST(o_custkey % 400 - 50 AS INT) AS y_i,
+      |  CAST(o_orderkey % 150 AS INT) AS winner_score_i,
+      |  CAST(o_custkey % 150 AS INT) AS loser_score_i,
+      |  CAST(o_orderkey % 4 + 1 AS INT) AS quarter_i,
+      |  CASE WHEN o_orderkey % 89 = 0 THEN NULL
+      |    ELSE make_date(CAST(o_orderkey % 30 + 1996 AS INT),
+      |      CAST(o_custkey % 12 + 1 AS INT),
+      |      CAST(o_orderkey % 28 + 1 AS INT)) END AS game_date,
+      |  CASE WHEN o_orderkey % 97 = 0 THEN NULL
+      |    ELSE CAST(CAST(o_orderkey % 12 AS VARCHAR) AS DOUBLE) * 60 +
+      |      CAST(lpad(CAST(o_custkey % 60 AS VARCHAR), 2, '0') || '.' ||
+      |        CAST(o_orderkey % 10 AS VARCHAR) AS DOUBLE) END
+      |    AS seconds_remaining
+      |FROM orders
+      |ORDER BY game_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q07_play_parse" -> (playParse _))
+    "q07_play_parse" -> (playParse _),
+    "q94_typed_layer" -> (typedNormalize _))
 
   val oracle: Map[String, String] = Map(
-    "q07_play_parse" -> playParseSql)
+    "q07_play_parse" -> playParseSql,
+    "q94_typed_layer" -> typedNormalizeSql)
 }

@@ -48,16 +48,20 @@ object PipelineMain {
       case "ingest" => ingest(spark, opts)
       case "merge" => mergePublish(spark, opts)
       case "run" => ingest(spark, opts); mergePublish(spark, opts)
+      case "quarantine" => quarantine(spark, opts)
       case other => throw new IllegalArgumentException(
         s"unknown command '$other'\n$usage")
     }
   }
 
   val usage: String =
-    """usage: PipelineMain <ingest|merge|run> [--key value ...]
+    """usage: PipelineMain <ingest|merge|run|quarantine> [--key value ...]
       |  ingest: --servers --topic --out --checkpoint
       |          [--format kafka|kafka-log] [--min-partitions] [--max-offsets]
-      |  merge:  --season --delta [--publish] [--csv-name] [--tmp]""".stripMargin
+      |  merge:  --season --delta [--publish] [--csv-name] [--tmp]
+      |  quarantine: --blobs --main --quar --checkpoint
+      |          [--buckets N] [--retire-horizon N] [--tmp dir]
+      |          [--crash-after-batch N (fault-injection seam)]""".stripMargin
 
   private[graft] def parseOpts(args: Array[String]): Map[String, String] = {
     require(args.length % 2 == 0, s"dangling flag in ${args.mkString(" ")}\n$usage")
@@ -109,5 +113,64 @@ object PipelineMain {
       else delta.dropDuplicates(Merge.dedupKeys)
     Merge.publishTgz(merged.orderBy(Merge.dedupKeys.map(col): _*),
       tmpDir, outTgz, csvName)
+  }
+
+  /** Stage 3 (the engine extension beyond the reference's two jobs): the
+    * corruption-tolerant media ingest — a checkpointed AvailableNow drain
+    * of a blob parquet dir through [[graft.multimodal.Multimodal
+    * .decodeMetaTotal]] and [[graft.multimodal.Multimodal
+    * .quarantineRoute]]: ok rows upsert the maintained bucketed meta
+    * table, corrupt rows land in the keyed quarantine table, and a blob
+    * re-arriving clean resolves its quarantine row. Re-running the
+    * command drains only unseen files (restart = catch-up), and a run
+    * killed mid-drain replays its uncommitted batch idempotently —
+    * exactly the q92/q93 semantics, CLI-shaped.
+    *
+    * `--retire-horizon N` additionally ages out `resolved` tombstones
+    * older than N batches behind this drain's last batch (quarantine
+    * size then tracks active corruption, not history).
+    *
+    * `--crash-after-batch N` is a fault-injection seam for restart
+    * drills (PipelineE2ESpec uses it): the drain throws AFTER batch N's
+    * route is applied but BEFORE its checkpoint commit — the adversarial
+    * exactly-once window.
+    */
+  def quarantine(spark: SparkSession, opts: Map[String, String]): Unit = {
+    import graft.multimodal.Multimodal
+    val blobs = req(opts, "blobs")
+    val mainT = req(opts, "main")
+    val quarT = req(opts, "quar")
+    val cp = req(opts, "checkpoint")
+    val nBuckets = opts.getOrElse("buckets", "16").toInt
+    val tmp = opts.getOrElse("tmp", mainT + ".quarantine-tmp")
+    val crashAfter = opts.get("crash-after-batch").map(_.toLong)
+    val lastSeq = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val schema = org.apache.spark.sql.Encoders
+      .product[Multimodal.MediaRow].schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(blobs)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val stage = s"$tmp/dec$id"
+        Multimodal.decodeMetaTotal(
+          batch.as[Multimodal.MediaRow](
+            org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]))
+          .toDF()
+          .write.mode("overwrite").parquet(stage)
+        Multimodal.quarantineRoute(spark.read.parquet(stage),
+          mainT, quarT, nBuckets, scratch = s"$tmp/scratch$id", seq = id)
+        lastSeq.set(math.max(lastSeq.get, id))
+        if (crashAfter.contains(id))
+          throw new RuntimeException(s"injected crash after batch $id route")
+      }
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    opts.get("retire-horizon").map(_.toLong).foreach { horizon =>
+      if (lastSeq.get >= 0)
+        Multimodal.quarantineRetire(spark, quarT,
+          retireBefore = lastSeq.get - horizon + 1)
+    }
   }
 }

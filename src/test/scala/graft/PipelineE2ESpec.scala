@@ -277,4 +277,70 @@ class PipelineE2ESpec extends SparkTestBase {
     assert(out.select("team").as[String].collect()(0) == "Utah")
     assert(out.select("winner_score").as[String].collect()(0) == "70")
   }
+
+  test("PipelineMain `quarantine`: CLI corruption loop with a kill " +
+      "mid-drain, a restart, a later repair wave, and tombstone " +
+      "retention — both tables converge") {
+    // The round-14 verdict's Next-round #6: the engine-level DAG
+    // equivalent gains the corruption stage, driven through the SAME
+    // public method the command line runs. Four invocations on one
+    // checkpoint: (1) corrupted wave killed after batch 1's route but
+    // before its commit, (2) restart catches up idempotently, (3) the
+    // repair wave arrives as new files and resolves across the restart
+    // boundary, (4) a retention run ages the resolved tombstones out.
+    import graft.multimodal.Multimodal
+    import graft.tools.PipelineMain
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe-q").toString
+    val png = Multimodal.ImageCodec.encode(20, 10, seed = 1, "png")
+    val wav = Multimodal.AudioCodec.encode(nSamples = 77,
+      sampleRateHz = 8200, seed = 3)
+    def pristine(id: Long): Multimodal.MediaRow =
+      if (id % 2 == 0) Multimodal.MediaRow(id, "image", png)
+      else Multimodal.MediaRow(id, "audio", wav)
+    val wave1 = (1L to 8L).map { id =>
+      val r = pristine(id)
+      if (id % 3 == 0) r.copy(content = r.content.take(5)) else r // 3, 6
+    }
+    wave1.toDS().toDF().repartitionByRange(3, col("media_id"))
+      .write.parquet(s"$dir/blobs")
+    def cli(extra: String*): Unit = PipelineMain.quarantine(spark,
+      PipelineMain.parseOpts(Array("--blobs", s"$dir/blobs",
+        "--main", s"$dir/meta", "--quar", s"$dir/quar",
+        "--checkpoint", s"$dir/ckpt", "--buckets", "4",
+        "--tmp", s"$dir/qtmp") ++ extra))
+    // run 1: killed after batch 1 routed, before it committed
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      cli("--crash-after-batch", "1")
+    }
+    assert(boom.getMessage.contains("injected crash") ||
+      Option(boom.getCause).exists(_.getMessage.contains("injected crash")))
+    // run 2: restart replays the torn batch and finishes the wave
+    cli()
+    def mainIds() = graft.merge.MergeTable.read(spark, s"$dir/meta")
+      .select("media_id").collect().map(_.getLong(0)).toSeq.sorted
+    def quarRows() = graft.merge.MergeTable.read(spark, s"$dir/quar")
+      .select("media_id", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq.sorted
+    assert(mainIds() == (1L to 8L).filterNot(_ % 3 == 0),
+      "restart must converge the maintained table, each ok key once")
+    assert(quarRows() == Seq(3L -> "quarantined", 6L -> "quarantined"))
+    // run 3: the repair wave lands as new files; same checkpoint drains
+    // only them, resolving across the restart boundary — with retention
+    // keeping one batch of history, which preserves the fresh tombstones
+    Seq(pristine(3L), pristine(6L)).toDS().toDF().coalesce(1)
+      .write.mode("append").parquet(s"$dir/blobs")
+    cli("--retire-horizon", "1")
+    assert(mainIds() == (1L to 8L),
+      "repair wave must complete the maintained table")
+    assert(quarRows() == Seq(3L -> "resolved", 6L -> "resolved"),
+      "fresh tombstones are inside the horizon and must survive")
+    // run 4: another wave (one new corrupt blob) pushes the batch seq
+    // past the horizon — the old tombstones retire, the active row stays
+    Seq(Multimodal.MediaRow(9L, "image", png.take(5))).toDS().toDF()
+      .coalesce(1).write.mode("append").parquet(s"$dir/blobs")
+    cli("--retire-horizon", "1")
+    assert(quarRows() == Seq(9L -> "quarantined"),
+      "retention must retire the aged tombstones and keep active rows")
+    assert(mainIds() == (1L to 8L))
+  }
 }

@@ -14,6 +14,69 @@ class StreamingSpec extends SparkTestBase {
   private def streamEvents = Streaming.fileEventSource(spark, sf)
   private def batchEvents = Tables.events(spark, sf)
 
+  test("watermark state eviction is observable in StreamingQueryProgress: " +
+      "numRowsTotal shrinks when the watermark passes a window, and a " +
+      "too-late row is counted in numRowsDroppedByWatermark") {
+    // Round-14 verdict item 4: "state evicts at the watermark" was
+    // inferred from flat 100× drain curves; pin it DIRECTLY on the
+    // engine's state-store metrics so a future change that silently
+    // retains state past the watermark fails here, not in an OOM at
+    // scale. Three single-file drains on one checkpoint (the watermark
+    // persists in the commit log across restarts):
+    //   drain 1: rows 10:00, 10:05            → state = {w10}
+    //   drain 2: row 11:00 + LATE row 9:50    → 9:50 < wm(10:00) dropped;
+    //                                            state = {w10, w11}
+    //   drain 3: row 12:00                    → wm(10:55) > w10's end:
+    //                                            w10 emitted + EVICTED in
+    //                                            the data batch; the
+    //                                            closing no-data batch
+    //                                            advances wm to 11:55 and
+    //                                            evicts w11 too → {w12}
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-evict-").toString
+    try {
+      val in = s"$base/in"
+      def write(ts: String*): Unit =
+        ts.map(t => Tuple1(java.sql.Timestamp.valueOf(t))).toDF("ts")
+          .coalesce(1).write.mode("append").parquet(in)
+      write("2024-01-01 10:00:00", "2024-01-01 10:05:00")
+      val schema = spark.read.parquet(in).schema
+      def drain() = {
+        val q = spark.readStream.schema(schema).parquet(in)
+          .withWatermark("ts", "5 minutes")
+          .groupBy(window(col("ts"), "10 minutes")).agg(count(lit(1)).as("n"))
+          .writeStream.format("parquet").option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/cp")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        q.recentProgress.toSeq.flatMap(_.stateOperators)
+      }
+      val p1 = drain()
+      assert(p1.map(_.numRowsDroppedByWatermark).sum == 0)
+      assert(p1.map(_.numRowsTotal).max == 1, "one open window after drain 1")
+      write("2024-01-01 11:00:00", "2024-01-01 09:50:00")
+      val p2 = drain()
+      assert(p2.map(_.numRowsDroppedByWatermark).sum == 1,
+        "the 09:50 row is behind the 10:00 watermark and must be dropped")
+      assert(p2.map(_.numRowsTotal).max == 2, "w10 + w11 held in state")
+      write("2024-01-01 12:00:00")
+      val p3 = drain()
+      assert(p3.last.numRowsTotal == 1,
+        "closed windows must be EVICTED once the watermark passed their " +
+          s"end: state rows = ${p3.map(_.numRowsTotal).mkString(",")}")
+      // the evicted windows were emitted downstream exactly once, the
+      // late row excluded from w10's count
+      val out = spark.read.parquet(s"$base/out")
+        .selectExpr("window.start AS s", "n").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1)).sorted
+      assert(out.toSeq == Seq("2024-01-01 10:00:00.0" -> 2L,
+        "2024-01-01 11:00:00.0" -> 1L),
+        "exactly the closed windows emit, late row excluded")
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base)))
+  }
+
   test("windowed rollup: streaming emits a correct prefix of the batch result") {
     val got = Streaming.drainToBatch(
       Streaming.windowedRollup(streamEvents), "rollup_t")
