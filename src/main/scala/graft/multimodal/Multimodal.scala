@@ -481,13 +481,20 @@ object Multimodal {
           keys = Seq("media_id"), nBuckets = nBuckets)
     // one routed decision per key: error-row-wins, then the full row
     // lexicographically — a hash aggregate (map-side partial), not a
-    // window, so normalization costs one O(batch) shuffle, no sort
+    // window, so normalization costs one O(batch) shuffle, no sort.
+    // Staged to parquet so the shuffle executes ONCE: the normalized
+    // frame feeds three separate plans below (main merge, quarantine
+    // delta, bucket pruning), each of which would otherwise re-run the
+    // aggregate over the whole batch. Explicit schema on the re-read —
+    // an empty batch stages zero part files.
     val rowCols = decoded.columns.map(col)
-    val one = decoded.groupBy(col("media_id"))
+    val norm0 = decoded.groupBy(col("media_id"))
       .agg(max_by(struct(rowCols: _*),
         struct(col("error").isNotNull.as("err_wins"),
           struct(rowCols: _*).as("row"))).as("r"))
       .select(col("r.*"))
+    norm0.write.mode("overwrite").parquet(scratch + "__norm")
+    val one = spark.read.schema(norm0.schema).parquet(scratch + "__norm")
     val ok = one.filter(col("error").isNull)
     mergeUnlessVacuous(ok.drop("error"), mainTable)
     val newQuar = one.filter(col("error").isNotNull)

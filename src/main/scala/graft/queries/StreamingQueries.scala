@@ -587,15 +587,22 @@ object StreamingQueries {
     *
     * Two waves on ONE checkpoint:
     *  1. the full corpus with the planted `media_id % 7` corruption,
-    *     4 files → an AvailableNow drain routes 4 micro-batches
-    *     (batches 0–3): ok rows build the maintained table, corrupt
+    *     3 files → an AvailableNow drain routes 3 micro-batches
+    *     (batches 0–2): ok rows build the maintained table, corrupt
     *     keys land `quarantined`;
     *  2. pristine replacement blobs for EXACTLY the corrupt keys,
     *     2 more files appended to the same source dir → a second
     *     AvailableNow drain on the same checkpoint picks up only the
-    *     unseen files (batches 4–5), re-decodes them clean, upserts
+    *     unseen files (batches 3–4), re-decodes them clean, upserts
     *     them into the maintained table, and flips their quarantine
     *     rows to `resolved` via the bucket-pruned semi-join.
+    *
+    * File counts are the smallest that keep the semantics multi-batch
+    * on BOTH sides of the restart (corrupt keys spread across several
+    * quarantining batches; resolutions spread across several repair
+    * batches) — each extra micro-batch is ~1.2 s of pure drain
+    * constant at bench scale, pure overhead against what the oracle
+    * can distinguish.
     *
     * The oracle predicts the final state of BOTH tables from the `% 7`
     * rule alone — maintained table complete (every key, full width sum)
@@ -620,7 +627,7 @@ object StreamingQueries {
         if (r.media_id % 7 == 0) r.copy(content = r.content.take(5)) else r
       }
       .toDF()
-      .repartitionByRange(4, col("media_id"))
+      .repartitionByRange(3, col("media_id"))
       .write.parquet(src)
     val schema = spark.read.parquet(src).schema
     def drain(): Unit = withDrainPartitions(spark) {
@@ -641,14 +648,14 @@ object StreamingQueries {
         .start()
       q.awaitTermination()
     }
-    drain() // corruption wave: batches 0–3
+    drain() // corruption wave: batches 0–2
     // the repair wave arrives AFTER the first drain stopped — appended
     // as new files, picked up by the restarted query from the same
     // checkpoint (seen-files log skips the corruption wave's files)
     blobs.filter(_.media_id % 7 == 0).toDF()
       .repartitionByRange(2, col("media_id"))
       .write.mode("append").parquet(src)
-    drain() // repair wave: batches 4–5 resolve across the restart
+    drain() // repair wave: batches 3–4 resolve across the restart
     MultimodalOps.quarantineSnapshot(spark, mainT, quarT, 1)
       .drop("cycle").orderBy(col("media_type"))
   }
