@@ -276,9 +276,15 @@ object MergeTable {
     *    that is complete and consistent (some buckets new, the rest old);
     *    re-merging the same delta is idempotent per key and converges to
     *    the fully-merged state.
+    *
+    * Returns the delta's affected bucket ids (≤ nBuckets, already
+    * computed for partition pruning) so a caller that next READS the
+    * table keyed by the same delta (e.g. the quarantine route's
+    * resolved-side semi-join via [[readBuckets]]) can prune without
+    * paying a second distinct-buckets job over the delta.
     */
   def merge(delta: DataFrame, path: String, keys: Seq[String],
-      nBuckets: Int): Unit =
+      nBuckets: Int): Seq[Int] =
     merge(delta, path, keys, nBuckets, _ => ())
 
   /** Test seam: `onBucketSwapped(b)` runs after bucket `b`'s swap
@@ -286,17 +292,22 @@ object MergeTable {
     * swaps. Production callers use the 4-arg overload.
     */
   private[graft] def merge(delta: DataFrame, path: String, keys: Seq[String],
-      nBuckets: Int, onBucketSwapped: Int => Unit): Unit = {
+      nBuckets: Int, onBucketSwapped: Int => Unit): Seq[Int] = {
     val spark = delta.sparkSession
     val (fs, p) = fsOf(spark, path)
     recover(spark, path)
-    if (!fs.exists(p)) { write(delta, path, keys, nBuckets); return }
+    if (!fs.exists(p)) {
+      write(delta, path, keys, nBuckets)
+      // create path: the bucket set wasn't needed for pruning, so it is
+      // computed here once (table creation happens once per table)
+      return bucketIds(delta, keys, nBuckets).toSeq.sorted
+    }
     checkMeta(fs, p, keys, nBuckets)
     val d = delta.withColumn(BucketCol, bucketOf(keys, nBuckets))
     // bounded by nBuckets rows — metadata-scale, never data-scale
     val affected = d.select(col(BucketCol)).distinct()
       .collect().map(_.getInt(0)).sorted
-    if (affected.isEmpty) return
+    if (affected.isEmpty) return Nil
     // partition-pruned base read: only affected bucket dirs are scanned
     val base = spark.read.parquet(path)
       .filter(col(BucketCol).isin(affected.map(Integer.valueOf): _*))
@@ -333,6 +344,7 @@ object MergeTable {
       onBucketSwapped(b)
     }
     fs.delete(staging, true)
+    affected.toSeq
   }
 
   /** DELETE: remove every row matching `predicate`, rewriting only the

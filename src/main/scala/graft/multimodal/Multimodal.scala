@@ -475,10 +475,15 @@ object Multimodal {
     // batch routes an empty main delta. Merging an empty delta into an
     // EXISTING table is a cheap no-op (its distinct-bucket set is
     // empty), so the guard is only on creation.
-    def mergeUnlessVacuous(delta: DataFrame, table: String): Unit =
+    // returns the delta's affected buckets (empty when the merge was
+    // skipped for a vacuous delta) — the main-table merge's set doubles
+    // as the resolved-side read pruning below, saving a per-batch
+    // distinct-buckets job
+    def mergeUnlessVacuous(delta: DataFrame, table: String): Seq[Int] =
       if (exists(table) || !delta.isEmpty)
         graft.merge.MergeTable.merge(delta, table,
           keys = Seq("media_id"), nBuckets = nBuckets)
+      else Nil
     // one routed decision per key: error-row-wins, then the full row
     // lexicographically — a hash aggregate (map-side partial), not a
     // window, so normalization costs one O(batch) shuffle, no sort.
@@ -496,20 +501,22 @@ object Multimodal {
     norm0.write.mode("overwrite").parquet(scratch + "__norm")
     val one = spark.read.schema(norm0.schema).parquet(scratch + "__norm")
     val ok = one.filter(col("error").isNull)
-    mergeUnlessVacuous(ok.drop("error"), mainTable)
+    val okAffected = mergeUnlessVacuous(ok.drop("error"), mainTable)
     val newQuar = one.filter(col("error").isNotNull)
       .select(col("media_id"), col("media_type"), col("error"))
       .withColumn("status", lit("quarantined"))
     val quarExists = exists(quarTable)
     // resolved side reads ONLY the quarantine buckets the batch's ok
-    // keys hash to (≤ nBuckets-row bounded collect) — a key can only
-    // match inside its own bucket, so the pruned read sees every
-    // possible resolution while per-batch read cost stays O(touched
-    // buckets) even when the quarantine table is data-scale
-    val okBuckets =
-      if (quarExists)
-        graft.merge.MergeTable.bucketIds(ok, Seq("media_id"), nBuckets)
-      else Set.empty[Int]
+    // keys hash to — a key can only match inside its own bucket (both
+    // tables share the media_id/nBuckets bucketing), so the pruned read
+    // sees every possible resolution while per-batch read cost stays
+    // O(touched buckets) even when the quarantine table is data-scale.
+    // The bucket set is the main merge's own affected set, already
+    // computed — no extra job. An ok delta routed while the main merge
+    // was skipped can only be EMPTY (mergeUnlessVacuous skips only when
+    // the table is absent AND the delta is empty), so an empty set here
+    // always means "nothing can resolve".
+    val okBuckets = if (quarExists) okAffected.toSet else Set.empty[Int]
     val resolved =
       if (!quarExists || okBuckets.isEmpty)
         newQuar.limit(0) // nothing to resolve
