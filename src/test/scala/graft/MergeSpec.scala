@@ -345,4 +345,34 @@ class MergeSpec extends SparkTestBase {
     // and deleting from an absent table is a no-op
     assert(MergeTable.deleteWhere(spark, path, lit(true)) == 0L)
   }
+
+  test("MergeTable.deleteWhere recovers a bucket stranded in .old by a " +
+      "crashed writer, and its pruned read takes the .old fallback") {
+    import graft.merge.MergeTable
+    val path = Files.createTempDirectory("graft-mtdwc").toString + "/t"
+    val rows = (1L to 120L).map(i => (i, if (i % 2 == 0) "del" else "keep"))
+    MergeTable.write(rows.toDF("k", "tag"), path, Seq("k"), nBuckets = 4)
+    // simulate the crash window a writer can leave: one bucket's swap
+    // got as far as live -> .old (live dir missing, backup present)
+    val live = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith(MergeTable.BucketCol + "=")).head
+    val bak = new java.io.File(live.getParent, live.getName + ".old")
+    assert(live.renameTo(bak))
+    val strandedBucket = bak.getName.stripPrefix(MergeTable.BucketCol + "=")
+      .stripSuffix(".old").toInt
+    // a PRUNED read targeting the stranded bucket must fall back to .old
+    // without mutating (same contract as the full read)
+    val pruned = MergeTable.readBuckets(spark, path, Set(strandedBucket))
+    assert(pruned.count() > 0, "pruned read must see the .old fallback")
+    assert(bak.exists() && !live.exists(), "reader must not repair")
+    // the next WRITER (deleteWhere) recovers first, then deletes — the
+    // stranded bucket's rows participate like every other bucket's
+    assert(MergeTable.deleteWhere(spark, path, col("tag") === "del") == 60L)
+    val left = MergeTable.read(spark, path).collect()
+      .map(r => r.getLong(0)).sorted
+    assert(left.toSeq == (1L to 120L).filter(_ % 2 == 1),
+      "recovery + delete must converge to exactly the kept rows")
+    val names = new java.io.File(path).listFiles().map(_.getName)
+    assert(!names.exists(_.endsWith(".old")), "no crash debris")
+  }
 }

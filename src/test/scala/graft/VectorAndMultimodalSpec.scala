@@ -517,6 +517,51 @@ class VectorAndMultimodalSpec extends SparkTestBase {
       .deleteDirectory(new java.io.File(base)))
   }
 
+  test("quarantineRoute normalization is deterministic under " +
+      "partitioning: the same conflicted batch routes identically " +
+      "however its staged file is laid out") {
+    // The error-wins tie-break orders by (error IS NOT NULL, full row):
+    // with several ERROR copies of one key in one batch, the winner must
+    // be the lexicographically greatest row, independent of which
+    // partition/task saw which copy — otherwise replays (which re-read
+    // the same stage but may plan a different partitioning) could flip
+    // the recorded error class between runs.
+    import spark.implicits._
+    import graft.merge.MergeTable
+    val png = Multimodal.ImageCodec.encode(20, 10, seed = 1, "png")
+    val base =
+      java.nio.file.Files.createTempDirectory("graft-q91det-").toString
+    try {
+      // two distinct corruptions of key 1 → two distinct error rows
+      // (different n_bytes), plus a clean copy that must LOSE to both
+      val rows = Seq(
+        Multimodal.MediaRow(1, "image", png.take(5)),
+        Multimodal.MediaRow(1, "image", png.take(9)),
+        Multimodal.MediaRow(1, "image", png),
+        Multimodal.MediaRow(2, "image", png))
+      def routed(layout: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame, tag: String) = {
+        val stage = s"$base/d$tag"
+        layout(Multimodal.decodeMetaTotal(rows.toDS()).toDF())
+          .write.mode("overwrite").parquet(stage)
+        Multimodal.quarantineRoute(spark.read.parquet(stage),
+          s"$base/main$tag", s"$base/quar$tag", 4, s"$base/s$tag", 1L)
+        (MergeTable.read(spark, s"$base/main$tag").orderBy("media_id")
+           .collect().toSeq,
+         MergeTable.read(spark, s"$base/quar$tag").orderBy("media_id")
+           .collect().toSeq)
+      }
+      val a = routed(_.coalesce(1), "a")
+      val b = routed(_.repartition(7), "b")
+      assert(a == b, "routing must not depend on stage partitioning")
+      assert(a._1.map(_.getAs[Long]("media_id")) == Seq(2L),
+        "the conflicted key must lose to its error copies")
+      assert(a._2.map(r => (r.getAs[Long]("media_id"),
+        r.getAs[String]("status"))) == Seq((1L, "quarantined")))
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base)))
+  }
+
   test("quarantineRetire: resolved tombstones age out at the horizon, " +
       "active rows never do, and a replayed repair after retirement " +
       "is a no-op") {
