@@ -346,6 +346,40 @@ class MergeSpec extends SparkTestBase {
     assert(MergeTable.deleteWhere(spark, path, lit(true)) == 0L)
   }
 
+  test("MergeTable.deleteWhere rewrites ONLY the buckets holding " +
+      "matching rows — untouched dirs keep their exact files") {
+    // The pruning claim made for retention at 100 TB, proven on disk the
+    // same way the merge test proves its write-side pruning: at a real
+    // corruption rate the horizon-crossing tombstones live in a few
+    // buckets, and a delete that rewrote every bucket would be O(table)
+    // maintenance while returning the same row counts.
+    import graft.merge.MergeTable
+    val path = Files.createTempDirectory("graft-mtdwp").toString + "/t"
+    // keys 1..1000; delete targets three specific keys → ≤ 3 buckets
+    val base = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+    MergeTable.write(base, path, Seq("k"), nBuckets = 16)
+    def listing: Map[String, Set[(String, Long)]] =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith(MergeTable.BucketCol + "="))
+        .map(d => d.getName ->
+          d.listFiles().map(f => (f.getName, f.lastModified())).toSet)
+        .toMap
+    val before = listing
+    val victims = Seq(5L, 6L, 777L)
+    val affectedDirs = victims.toDF("k")
+      .select(pmod(xxhash64(col("k")), lit(16L)).cast("int").as("b"))
+      .distinct().collect().map(r => s"${MergeTable.BucketCol}=${r.getInt(0)}")
+      .toSet
+    assert(MergeTable.deleteWhere(spark, path,
+      col("k").isin(victims.map(java.lang.Long.valueOf): _*)) == 3L)
+    val after = listing
+    before.foreach { case (d, files) =>
+      if (!affectedDirs(d)) assert(after(d) === files, s"dir $d rewritten")
+      else assert(after(d) !== files, s"dir $d NOT rewritten")
+    }
+    assert(MergeTable.read(spark, path).count() == 997L)
+  }
+
   test("MergeTable.deleteWhere recovers a bucket stranded in .old by a " +
       "crashed writer, and its pruned read takes the .old fallback") {
     import graft.merge.MergeTable
