@@ -380,6 +380,50 @@ class MergeSpec extends SparkTestBase {
     assert(MergeTable.read(spark, path).count() == 997L)
   }
 
+  test("MergeTable.deleteWhere equals a reference full rewrite across " +
+      "randomized tables and predicate shapes") {
+    // Deterministic-seed randomized comparison: whatever the predicate
+    // matches (none, some keys, a value class, NULL-valued rows, or
+    // everything), the surviving rows must equal filter(NOT coalesce(p,
+    // false)) over the original data — the three-valued-logic reference.
+    import graft.merge.MergeTable
+    val rng = new scala.util.Random(421)
+    val preds: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      ("none", col("k") < 0),
+      ("one-key", col("k") === 7L),
+      ("value-class", col("tag") === "b"),
+      ("null-guard", col("tag").isNull || col("k") % 5 === 0),
+      ("all", lit(true)))
+    preds.foreach { case (label, p) =>
+      val path = Files.createTempDirectory(s"graft-mtdwr").toString + "/t"
+      val n = 50 + rng.nextInt(200)
+      val rows = (1L to n.toLong).map { i =>
+        (i, rng.nextInt(4) match {
+          case 0 => "a"
+          case 1 => "b"
+          case 2 => null
+          case _ => s"x$i"
+        })
+      }
+      val df = rows.toDF("k", "tag")
+      MergeTable.write(df, path, Seq("k"), nBuckets = 1 + rng.nextInt(12))
+      val want = df.filter(!coalesce(p, lit(false)))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1) // keys unique; tag can be null (unsortable)
+      val wantDeleted = n - want.length
+      assert(MergeTable.deleteWhere(spark, path, p) == wantDeleted.toLong,
+        s"[$label] deleted count")
+      val survived =
+        if (new java.io.File(path).exists)
+          MergeTable.read(spark, path).collect()
+            .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        else Array.empty[(Long, String)]
+      assert(survived.toSeq == want.toSeq, s"[$label] surviving rows")
+      scala.util.Try(org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(path).getParentFile))
+    }
+  }
+
   test("MergeTable.deleteWhere recovers a bucket stranded in .old by a " +
       "crashed writer, and its pruned read takes the .old fallback") {
     import graft.merge.MergeTable
