@@ -44,19 +44,37 @@ object Merge {
     * shuffle order.
     */
   def mergeDeterministic(season: DataFrame, delta: DataFrame,
-      keys: Seq[String] = dedupKeys): DataFrame = {
-    val tagged = season.withColumn("__src", lit(1))
+      keys: Seq[String] = dedupKeys): DataFrame =
+    deterministicWinner(season, delta, keys, extraPartitionCols = Nil)
+
+  /** [[mergeDeterministic]] generalized with leading extra partition
+    * columns that must each be a PURE FUNCTION of the keys (e.g.
+    * [[MergeTable]]'s `__bucket`). When present, the union is hash-
+    * repartitioned on THOSE columns and the window partitions by
+    * (extra ++ keys): the hash partitioning on `extra` — a subset of the
+    * window's cluster columns — already satisfies the window's required
+    * clustering, so Catalyst inserts NO second exchange and the winner
+    * selection rides the same single shuffle that clusters the output
+    * for the caller's partitioned write. Winner semantics are unchanged:
+    * grouping by (f(keys), keys) is grouping by keys.
+    */
+  private[merge] def deterministicWinner(season: DataFrame, delta: DataFrame,
+      keys: Seq[String], extraPartitionCols: Seq[String]): DataFrame = {
+    val tagged0 = season.withColumn("__src", lit(1))
       .unionByName(delta.withColumn("__src", lit(0)), allowMissingColumns = true)
+    val tagged = if (extraPartitionCols.isEmpty) tagged0
+      else tagged0.repartition(extraPartitionCols.map(col): _*)
     // tie-break only on orderable columns — a map-typed payload column
     // would fail Window.orderBy analysis (maps are unorderable); frames
     // whose non-key columns are all unorderable degrade to __src-only
     // ordering (arbitrary within-source winner, as the reference had)
     val orderable = tagged.schema.fields
-      .filterNot(f => (keys :+ "__src").contains(f.name))
+      .filterNot(f =>
+        (keys ++ extraPartitionCols :+ "__src").contains(f.name))
       .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
         .isOrderable(f.dataType))
       .map(_.name).sorted
-    val w = Window.partitionBy(keys.map(col): _*)
+    val w = Window.partitionBy((extraPartitionCols ++ keys).map(col): _*)
       .orderBy(col("__src") +: orderable.map(col): _*)
     tagged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -45,6 +45,16 @@ object MergeTable {
   private def bucketOf(keys: Seq[String], nBuckets: Int) =
     pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int")
 
+  /** The table's bucket-id column for `keys` under `nBuckets` — public
+    * so a caller that pre-computes a delta's affected-bucket set (e.g.
+    * with `observe` on a staging write it already pays for, then passing
+    * the set through [[merge]]'s `knownAffected`) derives ids with the
+    * TABLE's own hash function, never a caller-side reimplementation
+    * that could drift from the persisted layout.
+    */
+  def bucketColumn(keys: Seq[String], nBuckets: Int): Column =
+    bucketOf(keys, nBuckets)
+
   private def fsOf(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -106,6 +116,19 @@ object MergeTable {
             "bucketing would land keys in wrong bucket dirs")
       case None => writeMeta(fs, p, keys, nBuckets)
     }
+
+  /** The staged-rewrite frame for a (base, delta) pair, both carrying
+    * [[BucketCol]] — factored out so PlanShapeSpec gates the PRODUCTION
+    * plan's single-exchange property (one bucket-hash shuffle feeding
+    * both the winner window and the partitioned write; see the
+    * single-shuffle note inside [[merge]]). Public only as a plan
+    * builder (PLANS.md generation runs outside the package); [[merge]]
+    * is the production entry point.
+    */
+  def rewritePlan(base: DataFrame, d: DataFrame,
+      keys: Seq[String]): DataFrame =
+    Merge.deterministicWinner(base, d, keys,
+      extraPartitionCols = Seq(BucketCol))
 
   /** Recover any bucket dir a crashed merge left only in `.old`. Called
     * by the WRITER (merge) only — a reader must never mutate the table,
@@ -182,10 +205,37 @@ object MergeTable {
     * O(table) instead of O(touched buckets). When none of the requested
     * buckets exist the table's schema is still returned (empty frame) —
     * schema comes from a metadata-only `limit(0)` over the live dirs.
+    *
+    * CONTRACT: `buckets` must have been derived with the table's
+    * PERSISTED bucketing (`_meta`) — ids computed with a different
+    * nBuckets or key set silently prune away matching rows. Callers that
+    * derive ids themselves should use the validated overload below,
+    * which cross-checks their bucketing against `_meta` the way the
+    * write path's checkMeta does.
     */
   def readBuckets(spark: SparkSession, path: String,
       buckets: Set[Int]): DataFrame =
     readPruned(spark, path, Some(buckets))
+
+  /** [[readBuckets]] with the caller's bucketing validated against the
+    * table's persisted `_meta` — the read-side twin of checkMeta. The
+    * write path fails loudly on mismatched bucketing; without this check
+    * a pruned READ with stale bucketing would not fail at all, just
+    * silently miss rows, which is strictly worse. Tables predating
+    * `_meta` (none in-repo) validate vacuously.
+    */
+  def readBuckets(spark: SparkSession, path: String, buckets: Set[Int],
+      keys: Seq[String], nBuckets: Int): DataFrame = {
+    val (fs, p) = fsOf(spark, path)
+    readMeta(fs, p).foreach { case (mb, mk) =>
+      require(mb == nBuckets && mk == keys,
+        s"MergeTable.readBuckets: table at $path was written with " +
+          s"nBuckets=$mb keys=[${mk.mkString(",")}] but bucket ids were " +
+          s"derived with nBuckets=$nBuckets keys=[${keys.mkString(",")}] — " +
+          "the pruned read would silently miss matching rows")
+    }
+    readPruned(spark, path, Some(buckets))
+  }
 
   /** The distinct bucket ids of `df`'s keys under this table layout —
     * bounded by nBuckets rows (metadata-scale collect, same contract as
@@ -289,61 +339,96 @@ object MergeTable {
 
   /** Test seam: `onBucketSwapped(b)` runs after bucket `b`'s swap
     * completes — specs use it to observe (or kill) the merge between
-    * swaps. Production callers use the 4-arg overload.
+    * swaps. Production callers use the 4-arg overload. `probe` is the
+    * perf-attribution seam (tools/DrainProbe), no-op by default.
+    *
+    * `knownAffected`, when provided, MUST be exactly the delta's
+    * distinct bucket set under this table's (keys, nBuckets) — derived
+    * with [[bucketColumn]], e.g. observed for free on a staging write
+    * the caller already performs. The merge then skips its own
+    * distinct-buckets job (one fewer Spark job per merge — measurable
+    * in a per-micro-batch loop, tools/DrainProbe). A WRONG set breaks
+    * the merge the same way stale bucketing would (missed or unpruned
+    * buckets), which is why the only sanctioned derivation is
+    * [[bucketColumn]] + the same delta rows.
     */
   private[graft] def merge(delta: DataFrame, path: String, keys: Seq[String],
-      nBuckets: Int, onBucketSwapped: Int => Unit): Seq[Int] = {
+      nBuckets: Int, onBucketSwapped: Int => Unit,
+      probe: (String, Long) => Unit = (_, _) => (),
+      knownAffected: Option[Seq[Int]] = None): Seq[Int] = {
+    def timed[A](phase: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      probe(phase, System.nanoTime() - t0)
+      r
+    }
     val spark = delta.sparkSession
     val (fs, p) = fsOf(spark, path)
     recover(spark, path)
     if (!fs.exists(p)) {
-      write(delta, path, keys, nBuckets)
+      timed("create") { write(delta, path, keys, nBuckets) }
       // create path: the bucket set wasn't needed for pruning, so it is
-      // computed here once (table creation happens once per table)
-      return bucketIds(delta, keys, nBuckets).toSeq.sorted
+      // computed here once (table creation happens once per table) —
+      // unless the caller already knows it
+      return knownAffected.map(_.sorted)
+        .getOrElse(bucketIds(delta, keys, nBuckets).toSeq.sorted)
     }
     checkMeta(fs, p, keys, nBuckets)
     val d = delta.withColumn(BucketCol, bucketOf(keys, nBuckets))
     // bounded by nBuckets rows — metadata-scale, never data-scale
-    val affected = d.select(col(BucketCol)).distinct()
-      .collect().map(_.getInt(0)).sorted
+    val affected = knownAffected.map(_.sorted.toArray).getOrElse {
+      timed("affected") {
+        d.select(col(BucketCol)).distinct()
+          .collect().map(_.getInt(0)).sorted
+      }
+    }
     if (affected.isEmpty) return Nil
     // partition-pruned base read: only affected bucket dirs are scanned
     val base = spark.read.parquet(path)
       .filter(col(BucketCol).isin(affected.map(Integer.valueOf): _*))
       .withColumn(BucketCol, col(BucketCol).cast("int"))
-    val merged = Merge.mergeDeterministic(base, d, keys)
-    // one staged write for all affected buckets, then per-dir swaps: every
+    // Single-shuffle staged rewrite (r16): the union is hash-partitioned
+    // on the bucket column ONCE, and the winner window partitions by
+    // (__bucket, keys) — the same grouping as keys alone, since the
+    // bucket is a pure function of the keys, and a clustering the bucket
+    // hash partitioning already satisfies, so no second exchange.
+    // Pre-r16 this ran mergeDeterministic's own keys-exchange and THEN a
+    // bucket repartition: two full shuffles of the merged rows per merge
+    // — the dominant per-micro-batch cost in the drain attribution
+    // (tools/DrainProbe, BUILD_NOTES R16). The bucket shuffle also lands
+    // each bucket in one task → one file per bucket dir, which IS the
+    // table's intended layout (partitionBy alone would write one file
+    // per (task, bucket) pair — 256 tiny files from a 16-task merge
+    // touching 16 buckets, re-read and re-planned by every later merge).
+    val merged = rewritePlan(base, d, keys)
+    // staged write for all affected buckets, then per-dir swaps: every
     // bucket dir has a complete copy (live or .old) at every instant.
-    // Cluster rows by bucket first: partitionBy alone writes one file per
-    // (task, bucket) pair — a 16-task merge touching 16 buckets scatters
-    // 256 tiny files that every later merge re-reads and re-plans. The
-    // hash repartition lands each bucket in one task → one file per
-    // bucket dir, which IS the table's intended layout (bucket count is
-    // sized so one bucket ≈ one healthy file).
     val staging = new org.apache.hadoop.fs.Path(path + "__staging")
     if (fs.exists(staging)) fs.delete(staging, true)
-    merged.repartition(col(BucketCol))
-      .write.partitionBy(BucketCol).parquet(staging.toString)
-    affected.foreach { b =>
-      val live = new org.apache.hadoop.fs.Path(p, s"$BucketCol=$b")
-      val bak = new org.apache.hadoop.fs.Path(p, s"$BucketCol=$b.old")
-      val next = new org.apache.hadoop.fs.Path(staging, s"$BucketCol=$b")
-      // Fail loudly BEFORE touching the live dir if the staged output is
-      // missing: delta-wins semantics guarantee every affected bucket has
-      // rows, so an absent staging dir means a writer anomaly — renaming
-      // live away and deleting its backup would silently destroy the
-      // bucket's only copy.
-      require(fs.exists(next),
-        s"MergeTable: staged output missing for bucket $b under $staging")
-      if (fs.exists(bak)) fs.delete(bak, true)
-      if (fs.exists(live))
-        require(fs.rename(live, bak), s"MergeTable: backup rename failed for bucket $b")
-      require(fs.rename(next, live), s"MergeTable: swap rename failed for bucket $b")
-      fs.delete(bak, true)
-      onBucketSwapped(b)
+    timed("stage_write") {
+      merged.write.partitionBy(BucketCol).parquet(staging.toString)
     }
-    fs.delete(staging, true)
+    timed("swap") {
+      affected.foreach { b =>
+        val live = new org.apache.hadoop.fs.Path(p, s"$BucketCol=$b")
+        val bak = new org.apache.hadoop.fs.Path(p, s"$BucketCol=$b.old")
+        val next = new org.apache.hadoop.fs.Path(staging, s"$BucketCol=$b")
+        // Fail loudly BEFORE touching the live dir if the staged output is
+        // missing: delta-wins semantics guarantee every affected bucket has
+        // rows, so an absent staging dir means a writer anomaly — renaming
+        // live away and deleting its backup would silently destroy the
+        // bucket's only copy.
+        require(fs.exists(next),
+          s"MergeTable: staged output missing for bucket $b under $staging")
+        if (fs.exists(bak)) fs.delete(bak, true)
+        if (fs.exists(live))
+          require(fs.rename(live, bak), s"MergeTable: backup rename failed for bucket $b")
+        require(fs.rename(next, live), s"MergeTable: swap rename failed for bucket $b")
+        fs.delete(bak, true)
+        onBucketSwapped(b)
+      }
+      fs.delete(staging, true)
+    }
     affected.toSeq
   }
 
@@ -365,9 +450,16 @@ object MergeTable {
     *    starts from, so the next delta recreates it cleanly instead of
     *    hitting an unreadable zero-bucket layout.
     *
-    * Idempotent: re-running the same delete matches nothing. Cost is
-    * O(matching-bucket bytes), never O(table) — the affected-bucket set
-    * is computed with one bounded aggregate (≤ nBuckets rows collected).
+    * Idempotent: re-running the same delete matches nothing. Cost: the
+    * REWRITE is O(matching-bucket bytes), but the FIND phase (locating
+    * matches — one bounded aggregate, ≤ nBuckets rows collected) reads
+    * every live bucket once: the predicate is arbitrary, so no bucket
+    * can be ruled out a priori. Parquet footer/row-group statistics
+    * pushdown mitigates for stat-friendly predicates (the retention
+    * caller's `routed_seq < N` skips whole row groups), but it is a
+    * table-wide scan, not O(matching buckets) — a caller that KNOWS the
+    * candidate buckets (predicate keyed on the bucket key) should
+    * filter a [[readBuckets]] view and merge instead.
     * Returns the number of rows deleted.
     */
   def deleteWhere(spark: SparkSession, path: String,
@@ -398,6 +490,25 @@ object MergeTable {
     if (fs.exists(staging)) fs.delete(staging, true)
     kept.repartition(col(BucketCol))
       .write.partitionBy(BucketCol).parquet(staging.toString)
+    // Buckets with SURVIVING rows — the kept-side twin of the `hit`
+    // aggregate, bounded by nBuckets rows, over the same pruned read.
+    // An absent staged dir is ambiguous on its own: "every row in this
+    // bucket matched" (legitimate — partitionBy writes no dir for an
+    // empty bucket, the live dir is dropped) vs "the staged write lost a
+    // bucket" (writer anomaly — dropping the live dir would destroy the
+    // bucket's only copy). merge() guards the same case with a plain
+    // exists-check because delta-wins guarantees every affected bucket
+    // has staged rows; here only this independently computed set can
+    // tell the two apart, so validate ALL buckets before the first
+    // rename — fail loudly while the table is still untouched.
+    val keptBuckets = kept.select(col(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    keptBuckets.foreach { b =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(staging, s"$BucketCol=$b")),
+        s"MergeTable.deleteWhere: staged output missing for bucket $b, " +
+          s"which has surviving rows, under $staging — refusing to drop " +
+          "the live dir")
+    }
     affected.foreach { b =>
       val live = new org.apache.hadoop.fs.Path(p, s"$BucketCol=$b")
       val bak = new org.apache.hadoop.fs.Path(p, s"$BucketCol=$b.old")

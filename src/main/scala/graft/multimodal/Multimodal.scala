@@ -431,19 +431,28 @@ object Multimodal {
     *    same decoded batch (streaming checkpoint recovery, crash rerun)
     *    re-merges every row to the value it already has.
     *
-    * Contract: `decoded` must be a MATERIALIZED table (the caller stages
-    * decode output to parquet first) — it is consumed by three plans
-    * here, and staging is what keeps the expensive codec pass at one
-    * execution; at 100 TB the staged frame is meta-only (no blob bytes),
-    * a vanishing fraction of the corpus. The quarantine delta is staged
-    * to `scratch` BEFORE the quarantine merge for the same single-writer
+    * Contract: `decoded` is consumed EXACTLY ONCE — by the
+    * normalization stage write below — so callers pass the LAZY decode
+    * plan directly (no separate staging pair; pre-r16 the route required
+    * a materialized input and every drain paid a redundant
+    * write+read of the full decoded batch per micro-batch). The
+    * normalization output staged to `scratch__norm` is the single
+    * materialization, and it is what feeds the three downstream
+    * consumers (main merge, quarantine delta, resolution); at 100 TB
+    * the staged frame is meta-only (no blob bytes), a vanishing
+    * fraction of the corpus. The quarantine delta is staged to
+    * `scratch` BEFORE the quarantine merge for the single-writer
     * reason: the resolved-side semi-join reads the quarantine table, and
     * materializing first means the merge never scans the table it is
     * mid-swap on. Both merges shuffle only on the bucket key and touch
     * only affected bucket dirs, and the resolved-side quarantine read is
     * bucket-PRUNED to the ok keys' own buckets ([[graft.merge.MergeTable
-    * .readBuckets]]) — per-batch cost is O(delta + touched buckets),
-    * never O(table), on the write AND read side.
+    * .readBuckets]], bucketing validated against the table's `_meta`) —
+    * per-batch cost is O(delta + touched buckets),
+    * never O(table), on the write AND read side. Both staging dirs are
+    * batch-scoped and removed on completion, so a long-running drain
+    * leaves no per-batch debris (a replayed batch rewrites them with
+    * mode overwrite before any read, so cleanup is never load-bearing).
     *
     * Key uniqueness: one routed decision per `media_id` per batch. A
     * batch carrying several rows for one key (e.g. a corrupt copy and
@@ -459,10 +468,39 @@ object Multimodal {
     * batch reuse its id, so the stamp is replay-stable. It is what
     * [[quarantineRetire]]'s age horizon prunes on.
     */
+  /** The route's key-normalization aggregate, factored out so the plan
+    * gate covers the PRODUCTION expression (PlanShapeSpec pins: one
+    * exchange hash-partitioned on media_id, a partial max_by BELOW it —
+    * map-side combine — no Expand, no Window, no ObjectHashAggregate).
+    * Semantics: one surviving row per media_id — error-row-wins, then
+    * the full row lexicographically, so the winner never depends on
+    * partition layout (spec-pinned determinism). Public only as a plan
+    * builder (PLANS.md generation runs outside the package); the route
+    * is the production entry point.
+    */
+  def normalizedDecisions(decoded: DataFrame): DataFrame = {
+    val rowCols = decoded.columns.map(col)
+    decoded.groupBy(col("media_id"))
+      .agg(max_by(struct(rowCols: _*),
+        struct(col("error").isNotNull.as("err_wins"),
+          struct(rowCols: _*).as("row"))).as("r"))
+      .select(col("r.*"))
+  }
+
   def quarantineRoute(decoded: DataFrame, mainTable: String,
       quarTable: String, nBuckets: Int, scratch: String,
-      seq: Long = 0L): Unit = {
+      seq: Long = 0L,
+      // perf-attribution seam (tools/DrainProbe): called with (phase,
+      // elapsed nanos) after each of the route's four eager stages —
+      // default is a no-op, zero cost in the production path
+      probe: (String, Long) => Unit = (_, _) => ()): Unit = {
     val spark = decoded.sparkSession
+    def timed[A](phase: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      probe(phase, System.nanoTime() - t0)
+      r
+    }
     def exists(path: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -479,29 +517,61 @@ object Multimodal {
     // skipped for a vacuous delta) — the main-table merge's set doubles
     // as the resolved-side read pruning below, saving a per-batch
     // distinct-buckets job
-    def mergeUnlessVacuous(delta: DataFrame, table: String): Seq[Int] =
-      if (exists(table) || !delta.isEmpty)
+    // `buckets` is the delta's observed bucket set (collected for free
+    // on a staging write below via MergeTable.bucketColumn — the table's
+    // own hash, not a reimplementation): the merge skips its own
+    // distinct-buckets job, the empty-delta check costs no job at all
+    // (empty bucket set ⇔ empty delta — the bucket column is never
+    // null), and the creation guard still holds: an empty delta never
+    // creates a table.
+    def mergeUnlessVacuous(delta: DataFrame, table: String,
+        tag: String, buckets: Seq[Int]): Seq[Int] =
+      if (exists(table) || buckets.nonEmpty)
         graft.merge.MergeTable.merge(delta, table,
-          keys = Seq("media_id"), nBuckets = nBuckets)
+          keys = Seq("media_id"), nBuckets = nBuckets, _ => (),
+          probe = (ph, ns) => probe(s"$tag.$ph", ns),
+          knownAffected = Some(buckets))
       else Nil
+    val bucketCol =
+      graft.merge.MergeTable.bucketColumn(Seq("media_id"), nBuckets)
+    def observedBuckets(obs: org.apache.spark.sql.Observation,
+        name: String): Seq[Int] =
+      obs.get(name).asInstanceOf[scala.collection.Seq[Int]].toSeq.sorted
     // one routed decision per key: error-row-wins, then the full row
-    // lexicographically — a hash aggregate (map-side partial), not a
-    // window, so normalization costs one O(batch) shuffle, no sort.
-    // Staged to parquet so the shuffle executes ONCE: the normalized
+    // lexicographically — a grouping aggregate with a MAP-SIDE PARTIAL,
+    // not a window, so normalization costs one O(batch) shuffle of
+    // combined partials. Physically it plans as SortAggregate (r16
+    // correction — not HashAggregate as previously claimed): max_by
+    // carries the candidate row in its buffer, and a variable-length
+    // buffer is not UnsafeRow-mutable, so hash aggregation is
+    // UNATTAINABLE for winner-selection over a wide row in vanilla
+    // Spark (ObjectHashAggregate would need a TypedImperative agg and
+    // sort-falls-back past 128 in-memory groups anyway — memory lesson
+    // from the q32 Expand incident). The per-partition sorts are the
+    // accepted cost; the plan shape that matters — ONE exchange,
+    // partial_max_by below it, no Expand, no Window — is gated in
+    // PlanShapeSpec. Staged to parquet so the shuffle executes ONCE: the normalized
     // frame feeds three separate plans below (main merge, quarantine
     // delta, bucket pruning), each of which would otherwise re-run the
     // aggregate over the whole batch. Explicit schema on the re-read —
     // an empty batch stages zero part files.
-    val rowCols = decoded.columns.map(col)
-    val norm0 = decoded.groupBy(col("media_id"))
-      .agg(max_by(struct(rowCols: _*),
-        struct(col("error").isNotNull.as("err_wins"),
-          struct(rowCols: _*).as("row"))).as("r"))
-      .select(col("r.*"))
-    norm0.write.mode("overwrite").parquet(scratch + "__norm")
+    val norm0 = normalizedDecisions(decoded)
+    // both routed sides' bucket sets ride the normalization write as
+    // observed aggregates — zero extra jobs (collect_set skips the
+    // nulls the `when` leaves on the other side's rows)
+    val normObs = org.apache.spark.sql.Observation()
+    timed("norm_stage") {
+      norm0.observe(normObs,
+          collect_set(when(col("error").isNull, bucketCol)).as("ok_buckets"),
+          collect_set(when(col("error").isNotNull, bucketCol)).as("err_buckets"))
+        .write.mode("overwrite").parquet(scratch + "__norm")
+    }
     val one = spark.read.schema(norm0.schema).parquet(scratch + "__norm")
     val ok = one.filter(col("error").isNull)
-    val okAffected = mergeUnlessVacuous(ok.drop("error"), mainTable)
+    val okAffected = timed("main_merge") {
+      mergeUnlessVacuous(ok.drop("error"), mainTable, "main",
+        observedBuckets(normObs, "ok_buckets"))
+    }
     val newQuar = one.filter(col("error").isNotNull)
       .select(col("media_id"), col("media_type"), col("error"))
       .withColumn("status", lit("quarantined"))
@@ -521,7 +591,8 @@ object Multimodal {
       if (!quarExists || okBuckets.isEmpty)
         newQuar.limit(0) // nothing to resolve
       else ok.join(
-        graft.merge.MergeTable.readBuckets(spark, quarTable, okBuckets)
+        graft.merge.MergeTable.readBuckets(spark, quarTable, okBuckets,
+            keys = Seq("media_id"), nBuckets = nBuckets)
           .filter(col("status") === lit("quarantined")).select("media_id"),
         Seq("media_id"), "left_semi")
         .select(col("media_id"), col("media_type"))
@@ -529,9 +600,26 @@ object Multimodal {
         .withColumn("status", lit("resolved"))
     val qdelta = newQuar.unionByName(resolved)
       .withColumn("routed_seq", lit(seq))
-    qdelta.write.mode("overwrite").parquet(scratch)
-    mergeUnlessVacuous(
-      spark.read.schema(qdelta.schema).parquet(scratch), quarTable)
+    val qObs = org.apache.spark.sql.Observation()
+    timed("qdelta_stage") {
+      qdelta.observe(qObs, collect_set(bucketCol).as("q_buckets"))
+        .write.mode("overwrite").parquet(scratch)
+    }
+    timed("quar_merge") {
+      mergeUnlessVacuous(
+        spark.read.schema(qdelta.schema).parquet(scratch), quarTable, "quar",
+        observedBuckets(qObs, "q_buckets"))
+    }
+    // batch-scoped staging dirs: every consumer above has EXECUTED (the
+    // merges are eager — collect, staged write, renames), so the dirs
+    // are dead weight now; removing them keeps a long-running drain's
+    // disk footprint at O(tables), not O(tables + batches-ever-routed)
+    timed("cleanup") {
+      Seq(scratch + "__norm", scratch).foreach { s =>
+        val sp = new org.apache.hadoop.fs.Path(s)
+        sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+      }
+    }
   }
 
   /** Retention for the quarantine table: retire `resolved` tombstones
@@ -549,9 +637,15 @@ object Multimodal {
     * checkpoint's replay window (one micro-batch) — any horizon ≥ 1
     * batch satisfies that.
     *
-    * Cost: one bounded aggregate to find affected buckets, then a
-    * bucket-pruned delete-rewrite with [[graft.merge.MergeTable]]'s swap
-    * discipline — O(matching buckets), never O(table). An all-retired
+    * Cost: the find phase (one bounded aggregate locating affected
+    * buckets) reads every live quarantine bucket once — `routed_seq`
+    * and `status` are stat-friendly columns, so parquet row-group
+    * pushdown skips most data, but it is a table-wide listing, not
+    * O(matching buckets); the REWRITE is then a bucket-pruned
+    * delete-rewrite with [[graft.merge.MergeTable]]'s swap discipline,
+    * O(matching-bucket bytes). The quarantine table itself is
+    * active-corruption-sized (that is what this retention maintains),
+    * so the find scan is bounded in steady state. An all-retired
     * table is removed entirely and reads as absent (the deferred-creation
     * state the route starts from). Returns rows retired.
     */

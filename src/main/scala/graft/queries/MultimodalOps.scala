@@ -291,8 +291,9 @@ object MultimodalOps {
     * (round-13 verdict item 1).
     *
     * Cycle 1 ingests the corpus with the SAME planted corruption as q90
-    * (`media_id % 7 == 0` truncated to 5 bytes): decode output is staged
-    * once, then [[Multimodal.quarantineRoute]] upserts the ok rows into
+    * (`media_id % 7 == 0` truncated to 5 bytes): the decode plan feeds
+    * [[Multimodal.quarantineRoute]], whose normalization stage
+    * materializes it once; the route upserts the ok rows into
     * a bucketed [[graft.merge.MergeTable]] meta table and lands the
     * error rows in a keyed quarantine table. Cycle 2 is the repair pass:
     * pristine blobs arrive for exactly the quarantined keys (a semi-join
@@ -322,24 +323,24 @@ object MultimodalOps {
     // whose per-partition constants dominate at bench scale; a
     // deployment sizes the conf to its data instead.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // AQE off for the loop's bounded merge jobs, same rationale and
+    // measurement as StreamingQueries.withDrainPartitions
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     val base = java.nio.file.Files.createTempDirectory("graft-q91-").toString
     try {
       val mainT = s"$base/media_meta"
       val quarT = s"$base/quarantine"
       val nB = 16
-      def decodeToStage(blobs: org.apache.spark.sql.Dataset[
-          Multimodal.MediaRow], stage: String): DataFrame = {
-        Multimodal.decodeMetaTotal(blobs).toDF()
-          .write.mode("overwrite").parquet(stage)
-        spark.read.parquet(stage)
-      }
+      // lazy decode plans go straight into the route — the route's own
+      // normalization stage is the single materialization (one staging
+      // pair per cycle, not two; the codec pass still executes once)
       val corrupted = Multimodal.documentBlobs(spark, dir).map { r =>
         if (r.media_id % 7 == 0) r.copy(content = r.content.take(5)) else r
       }
-      val d1 = decodeToStage(corrupted, s"$base/dec1")
-      Multimodal.quarantineRoute(d1, mainT, quarT, nB, s"$base/scratch1",
-        seq = 1L)
+      Multimodal.quarantineRoute(Multimodal.decodeMetaTotal(corrupted).toDF(),
+        mainT, quarT, nB, s"$base/scratch1", seq = 1L)
       val snap1 = quarantineSnapshot(spark, mainT, quarT, 1)
       val schema = snap1.schema
       val s1 = snap1.collect()
@@ -348,15 +349,19 @@ object MultimodalOps {
       val repaired = Multimodal.documentBlobs(spark, dir).toDF()
         .join(quarKeys, Seq("media_id"), "left_semi")
         .as[Multimodal.MediaRow]
-      val d2 = decodeToStage(repaired, s"$base/dec2")
-      Multimodal.quarantineRoute(d2, mainT, quarT, nB, s"$base/scratch2",
-        seq = 2L)
+      // `repaired` lazily reads the quarantine table (quarKeys), which
+      // executes inside the route's normalization write — BEFORE the
+      // route's quarantine merge starts its swaps, so the single-writer
+      // discipline holds
+      Multimodal.quarantineRoute(Multimodal.decodeMetaTotal(repaired).toDF(),
+        mainT, quarT, nB, s"$base/scratch2", seq = 2L)
       val s2 = quarantineSnapshot(spark, mainT, quarT, 2).collect()
       import scala.jdk.CollectionConverters._
       spark.createDataFrame((s1 ++ s2).toSeq.asJava, schema)
         .orderBy(col("cycle"), col("media_type"))
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       scala.util.Try(org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(base)))
     }

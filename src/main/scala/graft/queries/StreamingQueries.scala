@@ -45,8 +45,21 @@ object StreamingQueries {
     */
   private def withDrainPartitions[A](spark: SparkSession)(body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // AQE off for the drain's foreachBatch jobs too (streaming plans
+    // disable it themselves): every per-batch job here is a BOUNDED
+    // merge/stage over one micro-batch, where AQE's per-stage
+    // re-planning is pure latency (~0.2 s × jobs × batches — measured
+    // 9.5 → 7.6 s on the q93 shape, tools/DrainProbe, BUILD_NOTES R16)
+    // and its payoffs (skew joins, coalescing huge shuffles) cannot
+    // apply. Deployment code (PipelineMain) inherits the session conf
+    // unchanged.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   /** q79: hourly event-type rollup computed BY THE STREAMING ENGINE.
@@ -501,7 +514,8 @@ object StreamingQueries {
     * batches (with corruption riding along, same planted `media_id % 7`
     * rule as q90/q91) arrive as a stream, and EVERY micro-batch routes
     * through the same [[graft.multimodal.Multimodal.quarantineRoute]]
-    * the batch loop uses — decode staged once per batch, ok rows upsert
+    * the batch loop uses — the lazy decode plan materialized exactly
+    * once by the route's normalization stage (r16), ok rows upsert
     * the maintained bucketed MergeTable, error rows land in the keyed
     * quarantine table, all inside `foreachBatch` on a checkpointed
     * AvailableNow drain.
@@ -539,13 +553,15 @@ object StreamingQueries {
     withDrainPartitions(spark) {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val stage = s"$base/dec$batchId"
-          graft.multimodal.Multimodal.decodeMetaTotal(
-            batch.as[graft.multimodal.Multimodal.MediaRow]).toDF()
-            .write.mode("overwrite").parquet(stage)
+          // lazy decode straight into the route: its single
+          // materialization is the route's normalization stage (one
+          // staging pair per batch, not two — the codec pass still
+          // executes exactly once)
           graft.multimodal.Multimodal.quarantineRoute(
-            spark.read.parquet(stage), mainT, quarT, nBuckets = 16,
-            scratch = s"$base/scratch$batchId", seq = batchId)
+            graft.multimodal.Multimodal.decodeMetaTotal(
+              batch.as[graft.multimodal.Multimodal.MediaRow]).toDF(),
+            mainT, quarT, nBuckets = 16,
+            scratch = s"$base/scratch", seq = batchId)
         }
         .option("checkpointLocation", s"$base/cp")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -635,13 +651,13 @@ object StreamingQueries {
         .option("maxFilesPerTrigger", "1").parquet(src)
         .writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val stage = s"$base/dec$batchId"
-          graft.multimodal.Multimodal.decodeMetaTotal(
-            batch.as[graft.multimodal.Multimodal.MediaRow]).toDF()
-            .write.mode("overwrite").parquet(stage)
+          // lazy decode straight into the route (see q92) — one staging
+          // pair per batch instead of two
           graft.multimodal.Multimodal.quarantineRoute(
-            spark.read.parquet(stage), mainT, quarT, nBuckets = 16,
-            scratch = s"$base/scratch$batchId", seq = batchId)
+            graft.multimodal.Multimodal.decodeMetaTotal(
+              batch.as[graft.multimodal.Multimodal.MediaRow]).toDF(),
+            mainT, quarT, nBuckets = 16,
+            scratch = s"$base/scratch", seq = batchId)
         }
         .option("checkpointLocation", s"$base/cp")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

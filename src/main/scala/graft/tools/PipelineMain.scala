@@ -58,6 +58,7 @@ object PipelineMain {
     """usage: PipelineMain <ingest|merge|run|quarantine> [--key value ...]
       |  ingest: --servers --topic --out --checkpoint
       |          [--format kafka|kafka-log] [--min-partitions] [--max-offsets]
+      |          [--typed true]
       |  merge:  --season --delta [--publish] [--csv-name] [--tmp]
       |  quarantine: --blobs --main --quar --checkpoint
       |          [--buckets N] [--retire-horizon N] [--tmp dir]
@@ -79,16 +80,27 @@ object PipelineMain {
     * headered `ongoing/` CSV delta (spark_processing.py's job). The
     * checkpoint makes re-runs drain only unseen offsets — an empty
     * incremental drain leaves the delta as-is.
+    *
+    * `--typed true` is the gated capability-add of SURVEY §1.2: it
+    * APPENDS the typed twin columns ([[Ingest.typedLayer]] — q94's
+    * oracle-gated semantics) after the parse chain. Default OFF: the
+    * legacy all-string artifact (the reference's net schema,
+    * `scripts/spark_processing.py:78-133`) stays the default output,
+    * and the typed layer never touches the legacy columns, so flag-off
+    * output is identical to pre-flag output (PipelineE2ESpec pins
+    * both).
     */
-  def ingest(spark: SparkSession, opts: Map[String, String]): Unit =
-    Ingest.streamToCsv(
-      Ingest.transform(Ingest.kafkaStreamSource(spark,
-        servers = req(opts, "servers"),
-        topic = req(opts, "topic"),
-        minPartitions = opts.getOrElse("min-partitions", "0").toInt,
-        maxOffsetsPerTrigger = opts.getOrElse("max-offsets", "0").toLong,
-        format = opts.getOrElse("format", "kafka"))),
-      req(opts, "out"), req(opts, "checkpoint"))
+  def ingest(spark: SparkSession, opts: Map[String, String]): Unit = {
+    val transformed = Ingest.transform(Ingest.kafkaStreamSource(spark,
+      servers = req(opts, "servers"),
+      topic = req(opts, "topic"),
+      minPartitions = opts.getOrElse("min-partitions", "0").toInt,
+      maxOffsetsPerTrigger = opts.getOrElse("max-offsets", "0").toLong,
+      format = opts.getOrElse("format", "kafka")))
+    val out = if (opts.get("typed").exists(_.toBoolean))
+      Ingest.typedLayer(transformed) else transformed
+    Ingest.streamToCsv(out, req(opts, "out"), req(opts, "checkpoint"))
+  }
 
   /** Stage 2: season tgz ∪ delta CSV → [[Merge.mergeDeterministic]] →
     * republish (spark_merge_dfs.py's job). A missing season bootstraps
@@ -127,8 +139,12 @@ object PipelineMain {
     * exactly the q92/q93 semantics, CLI-shaped.
     *
     * `--retire-horizon N` additionally ages out `resolved` tombstones
-    * older than N batches behind this drain's last batch (quarantine
-    * size then tracks active corruption, not history).
+    * older than N batches behind the checkpoint's LAST COMMITTED batch
+    * (quarantine size then tracks active corruption, not history). The
+    * anchor is read from the checkpoint's commits log, not from batches
+    * drained in THIS invocation — a pure-retention run against a
+    * caught-up source (zero new batches) still retires on the true
+    * horizon instead of silently no-oping.
     *
     * `--crash-after-batch N` is a fault-injection seam for restart
     * drills (PipelineE2ESpec uses it): the drain throws AFTER batch N's
@@ -144,22 +160,24 @@ object PipelineMain {
     val nBuckets = opts.getOrElse("buckets", "16").toInt
     val tmp = opts.getOrElse("tmp", mainT + ".quarantine-tmp")
     val crashAfter = opts.get("crash-after-batch").map(_.toLong)
-    val lastSeq = new java.util.concurrent.atomic.AtomicLong(-1L)
     val schema = org.apache.spark.sql.Encoders
       .product[Multimodal.MediaRow].schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(blobs)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        val stage = s"$tmp/dec$id"
-        Multimodal.decodeMetaTotal(
-          batch.as[Multimodal.MediaRow](
-            org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]))
-          .toDF()
-          .write.mode("overwrite").parquet(stage)
-        Multimodal.quarantineRoute(spark.read.parquet(stage),
-          mainT, quarT, nBuckets, scratch = s"$tmp/scratch$id", seq = id)
-        lastSeq.set(math.max(lastSeq.get, id))
+        // the lazy decode plan goes straight into the route — its one
+        // materialization is the route's own normalization stage, so the
+        // expensive codec pass still executes exactly once per batch
+        // (quarantineRoute's input contract; pre-r16 this staged the
+        // decoded batch to parquet first, a redundant write+read pair
+        // every micro-batch)
+        Multimodal.quarantineRoute(
+          Multimodal.decodeMetaTotal(
+            batch.as[Multimodal.MediaRow](
+              org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]))
+            .toDF(),
+          mainT, quarT, nBuckets, scratch = s"$tmp/scratch", seq = id)
         if (crashAfter.contains(id))
           throw new RuntimeException(s"injected crash after batch $id route")
       }
@@ -168,9 +186,34 @@ object PipelineMain {
       .start()
     q.awaitTermination()
     opts.get("retire-horizon").map(_.toLong).foreach { horizon =>
-      if (lastSeq.get >= 0)
+      val anchor = lastCommittedBatch(spark, cp)
+      if (anchor >= 0)
         Multimodal.quarantineRetire(spark, quarT,
-          retireBefore = lastSeq.get - horizon + 1)
+          retireBefore = anchor - horizon + 1)
+      else System.err.println(
+        "PipelineMain quarantine: --retire-horizon skipped — no committed " +
+          "batches in the checkpoint, so there is no batch horizon to age " +
+          "against yet")
     }
+  }
+
+  /** Last committed batch id in a streaming checkpoint's commits log, or
+    * -1 when nothing has ever committed. This is the durable form of
+    * "how far has this pipeline progressed": batches drained in the
+    * current invocation are a subset of it (a caught-up source drains
+    * zero), and a batch that routed but crashed before its commit is
+    * deliberately NOT counted — retirement must never assume effects
+    * newer than what a replay is still allowed to rewrite. The commit
+    * log is one file per batch named by its id (Spark's HDFSMetadataLog
+    * layout — public on-disk contract of the checkpoint dir).
+    */
+  private[graft] def lastCommittedBatch(spark: SparkSession,
+      checkpoint: String): Long = {
+    val dir = new org.apache.hadoop.fs.Path(checkpoint, "commits")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return -1L
+    fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .foldLeft(-1L)((m, n) => math.max(m, n.toLong))
   }
 }

@@ -311,6 +311,20 @@ class MergeSpec extends SparkTestBase {
     // requesting only absent buckets yields schema, zero rows
     val empty = MergeTable.readBuckets(spark, path, Set(997))
     assert(empty.schema == got.schema && empty.count() == 0L)
+    // the validated overload (r15 ADVICE): bucketing cross-checked
+    // against _meta. The write path fails loudly on a mismatch; a
+    // pruned READ with stale bucketing would not fail at all — it would
+    // silently miss matching rows, which is strictly worse.
+    assert(MergeTable.readBuckets(spark, path, want, Seq("k"), 8)
+      .select("k").collect().map(_.getLong(0)).toSet == expected)
+    val staleN = intercept[IllegalArgumentException] {
+      MergeTable.readBuckets(spark, path, want, Seq("k"), 16)
+    }
+    assert(staleN.getMessage.contains("silently miss"))
+    val staleK = intercept[IllegalArgumentException] {
+      MergeTable.readBuckets(spark, path, want, Seq("other"), 8)
+    }
+    assert(staleK.getMessage.contains("silently miss"))
   }
 
   test("MergeTable.deleteWhere retires matching rows bucket-pruned, " +

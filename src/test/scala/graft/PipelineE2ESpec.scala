@@ -278,6 +278,65 @@ class PipelineE2ESpec extends SparkTestBase {
     assert(out.select("winner_score").as[String].collect()(0) == "70")
   }
 
+  test("PipelineMain ingest --typed: gated typed layer — flag OFF leaves " +
+      "the legacy all-string artifact byte-identical to the pre-flag " +
+      "path, flag ON appends q94's typed twins") {
+    // SURVEY §1.2's "gated capability-add, legacy shape default": the
+    // typed layer must be strictly additive and strictly opt-in. Three
+    // drains of the same topic: the CLI without the flag, the CLI with
+    // it, and the pre-flag code path (streamToCsv∘transform) as the
+    // byte-identity reference.
+    import graft.sources.KafkaLog
+    import graft.tools.PipelineMain
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe-typed").toString
+    val root = s"$dir/log"
+    KafkaLog.createTopic(root, "shots", 1)
+    KafkaLog.produce(root, "shots", 0, Seq(KafkaLog.Record("k0",
+      envelopeJson("g1", "Utah", "Chicago",
+        "2nd Q, 5:30.0 remaining<br>Lauri Markkanen made 3-pointer from 24 ft<br>Utah leads 70-60"),
+      1700000000000L)))
+    def cliDrain(out: String, ckpt: String, extra: String*): Unit =
+      PipelineMain.ingest(spark, PipelineMain.parseOpts(
+        Array("--servers", root, "--topic", "shots",
+          "--format", KafkaLog.Format,
+          "--out", s"$dir/$out", "--checkpoint", s"$dir/$ckpt") ++ extra))
+    cliDrain("off", "ck-off")
+    cliDrain("on", "ck-on", "--typed", "true")
+    Ingest.streamToCsv(
+      Ingest.transform(Ingest.kafkaStreamSource(spark, servers = root,
+        topic = "shots", format = KafkaLog.Format)),
+      s"$dir/ref", s"$dir/ck-ref")
+    def partText(sub: String): String = {
+      val files = new java.io.File(s"$dir/$sub").listFiles
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+        .sortBy(_.getName)
+      assert(files.nonEmpty, s"no csv part files under $dir/$sub")
+      files.map(f => new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).mkString
+    }
+    assert(partText("off") == partText("ref"),
+      "flag-off CLI output must be byte-identical to the pre-flag path")
+    val off = spark.read.option("header", "true").csv(s"$dir/off")
+    val on = spark.read.option("header", "true").csv(s"$dir/on")
+    val typedCols = Seq("x_i", "y_i", "winner_score_i", "loser_score_i",
+      "quarter_i", "game_date", "seconds_remaining")
+    assert(off.columns.toSeq == on.columns.toSeq.dropRight(typedCols.size),
+      "typed layer must be strictly additive over the legacy columns")
+    assert(on.columns.toSeq.takeRight(typedCols.size) == typedCols)
+    assert(!off.columns.exists(typedCols.contains(_)),
+      "flag-off artifact must not carry typed columns")
+    // legacy projection of the typed run equals the legacy run's rows
+    assert(on.select(off.columns.map(col): _*).collect().toSeq ==
+      off.collect().toSeq)
+    // typed values carry q94's oracle-gated semantics
+    val r = on.collect()(0)
+    assert(r.getAs[String]("seconds_remaining") == "330.0")
+    assert(r.getAs[String]("quarter_i") == "2")
+    assert(r.getAs[String]("game_date") == "2025-01-15")
+    assert(r.getAs[String]("x_i") == "10")
+    assert(r.getAs[String]("winner_score_i") == "70")
+  }
+
   test("PipelineMain `quarantine`: CLI corruption loop with a kill " +
       "mid-drain, a restart, a later repair wave, and tombstone " +
       "retention — both tables converge") {
@@ -342,5 +401,26 @@ class PipelineE2ESpec extends SparkTestBase {
     assert(quarRows() == Seq(9L -> "quarantined"),
       "retention must retire the aged tombstones and keep active rows")
     assert(mainIds() == (1L to 8L))
+    // runs 5-7: the PURE-RETENTION contract (r15 ADVICE). Repair blob 9
+    // (batch 5) and land one new corrupt blob 10 (batch 6), each with a
+    // horizon wide enough to keep every tombstone; then invoke with NO
+    // new files: the drain processes zero batches, and retirement must
+    // still anchor on the checkpoint's last COMMITTED batch (6) — the
+    // pre-r16 code anchored on batches drained in the invocation and
+    // silently no-oped here, contradicting the flag's bounded-size
+    // intent.
+    Seq(pristine(9L)).toDS().toDF().coalesce(1)
+      .write.mode("append").parquet(s"$dir/blobs")
+    cli("--retire-horizon", "10")
+    assert(quarRows() == Seq(9L -> "resolved"))
+    Seq(Multimodal.MediaRow(10L, "image", png.take(5))).toDS().toDF()
+      .coalesce(1).write.mode("append").parquet(s"$dir/blobs")
+    cli("--retire-horizon", "10")
+    assert(quarRows() == Seq(9L -> "resolved", 10L -> "quarantined"))
+    cli("--retire-horizon", "1") // caught-up source: zero new batches
+    assert(quarRows() == Seq(10L -> "quarantined"),
+      "pure-retention on a caught-up source must retire against the " +
+        "checkpoint's committed horizon, not this invocation's batches")
+    assert(mainIds() == (1L to 9L))
   }
 }

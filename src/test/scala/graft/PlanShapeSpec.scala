@@ -333,6 +333,103 @@ class PlanShapeSpec extends SparkTestBase {
       "q91's repair semi-join must be an equi join")
   }
 
+  test("quarantine-route normalization: one media_id exchange with a " +
+      "map-side partial max_by below it — no Expand, no Window, no " +
+      "ObjectHashAggregate fallback") {
+    // r15 verdict item 3: the error-wins max_by over a wide struct is
+    // exactly the aggregate shape that can silently degrade as columns
+    // widen. This gates the PRODUCTION expression
+    // (Multimodal.normalizedDecisions — the same frame every route
+    // batch writes): the plan must stay ONE shuffle of map-side
+    // COMBINED partials. Physically Spark plans it as SortAggregate —
+    // a hash aggregate is unattainable here (max_by's buffer carries
+    // the candidate row; variable-length buffers are not
+    // UnsafeRow-mutable) and ObjectHashAggregate would both require a
+    // typed-imperative aggregate and sort-fallback past 128 in-memory
+    // groups. The properties that matter at 100 TB are pinned instead:
+    // partial BELOW the exchange (shuffle moves one combined row per
+    // (partition, key), not the raw batch), no Expand blow-up, no
+    // unpartitioned Window, single exchange keyed on media_id.
+    import spark.implicits._
+    val decoded = Seq(
+      (1L, "image", 10L, Option.empty[String]),
+      (1L, "image", 10L, Option("TruncatedBlob")),
+      (2L, "audio", 20L, Option.empty[String]))
+      .toDF("media_id", "media_type", "n_bytes", "error")
+    val prepared = graft.multimodal.Multimodal.normalizedDecisions(decoded)
+      .queryExecution.executedPlan
+    val nodes = collectAll(prepared)
+    val ex = nodes.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.size == 1, s"normalization must shuffle exactly once, got ${ex.size}")
+    ex.head.outputPartitioning match {
+      case h: HashPartitioning =>
+        assert(h.expressions.exists(_.references.map(_.name)
+            .exists(_ == "media_id")),
+          "normalization exchange must hash on media_id")
+      case other => fail(s"normalization exchange partitioning was $other")
+    }
+    import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, ObjectHashAggregateExec}
+    val aggs = nodes.collect { case a: BaseAggregateExec => a }
+    assert(aggs.nonEmpty, "normalization lost its aggregate")
+    assert(!aggs.exists(_.isInstanceOf[ObjectHashAggregateExec]),
+      "normalization fell back to ObjectHashAggregate — sort-based past " +
+        "128 in-memory groups (the q32-Expand failure class)")
+    val belowExchange = collectAll(ex.head.child)
+    assert(belowExchange.exists {
+        case a: BaseAggregateExec => a.aggregateExpressions.exists(
+          _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial)
+        case _ => false
+      },
+      "no partial aggregate below the exchange — the shuffle would move " +
+        "every raw batch row instead of one combined row per (task, key)")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.ExpandExec]),
+      "an Expand crept into the normalization")
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "normalization must be an aggregate, not a window sort")
+  }
+
+  test("MergeTable staged rewrite: ONE bucket-hash exchange feeds both " +
+      "the winner window and the partitioned write") {
+    // r16: the merge's dominant per-batch cost was TWO full shuffles of
+    // the merged rows (the winner window's keys-exchange, then the
+    // bucket repartition for the one-file-per-bucket-dir layout). The
+    // single-shuffle rewrite hash-partitions on __bucket once and the
+    // window partitions by (__bucket, keys) — a clustering the bucket
+    // hashing already satisfies, since the bucket is a pure function of
+    // the keys. This pins it: exactly one exchange, keyed on __bucket,
+    // with the window ABOVE it and no second exchange between them — a
+    // regression re-doubles every MergeTable merge's shuffle volume
+    // (q87/q91/q92/q93 and the PipelineMain quarantine stage) while all
+    // correctness rows stay green.
+    import spark.implicits._
+    import graft.merge.MergeTable
+    val bucket = MergeTable.bucketColumn(Seq("k"), 8)
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .withColumn(MergeTable.BucketCol, bucket)
+    val delta = Seq((2L, "c"), (3L, "d")).toDF("k", "v")
+      .withColumn(MergeTable.BucketCol, bucket)
+    val prepared = MergeTable.rewritePlan(base, delta, Seq("k"))
+      .queryExecution.executedPlan
+    val nodes = collectAll(prepared)
+    val ex = nodes.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.size == 1,
+      s"staged rewrite must shuffle exactly once, got ${ex.size}:\n$prepared")
+    ex.head.outputPartitioning match {
+      case h: HashPartitioning =>
+        assert(h.expressions.exists(_.references.map(_.name)
+            .exists(_ == MergeTable.BucketCol)),
+          "rewrite exchange must hash on the bucket column")
+      case other => fail(s"rewrite exchange partitioning was $other")
+    }
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.size == 1, "staged rewrite must have exactly one window")
+    assert(windows.head.partitionSpec.nonEmpty,
+      "winner window lost its partitioning")
+    assert(collectAll(windows.head.child).contains(ex.head),
+      "the winner window must sit ABOVE the bucket exchange (riding its " +
+        "shuffle), not below it")
+  }
+
   test("full-surface join/window/sort audit: no cartesian, no " +
       "unpartitioned window, no interior global sort, every " +
       "nested-loop join has a bounded build side") {

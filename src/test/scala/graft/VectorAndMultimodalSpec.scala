@@ -474,6 +474,91 @@ class VectorAndMultimodalSpec extends SparkTestBase {
       .deleteDirectory(new java.io.File(base)))
   }
 
+  test("quarantineRetire against a drain killed mid-swap: writer-side " +
+      "recovery, correct retirement, and the replayed batch converges") {
+    // r15 verdict item 4: PipelineMain SEQUENCES route and retire, but a
+    // drain can die anywhere inside its quarantine merge — between two
+    // buckets' swaps, or inside ONE bucket's two-rename window (live →
+    // .old done, staged → live not). quarantineRetire then runs against
+    // the torn table. Contract under test: retire's writer-side
+    // recover() repairs the table before finding matches, the crashed
+    // merge's stale staging is discarded, retirement touches exactly the
+    // aged tombstones, and the drain's replayed batch (checkpoint
+    // recovery) converges — no row lost, duplicated, or resurrected.
+    // Reference analogue: the DAG's strictly sequential task graph
+    // (dags/kafka_stream_dag.py:85) never interleaves its jobs; the
+    // engine must stay safe when crash-restarts make the interleave real.
+    import spark.implicits._
+    import graft.merge.MergeTable
+    val png = Multimodal.ImageCodec.encode(20, 10, seed = 1, "png")
+    val base =
+      java.nio.file.Files.createTempDirectory("graft-q91ret-").toString
+    try {
+      val mainT = s"$base/main"; val quarT = s"$base/quar"
+      def stage(rows: Seq[Multimodal.MediaRow], p: String) = {
+        Multimodal.decodeMetaTotal(rows.toDS()).toDF()
+          .write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
+      def quarState(): Map[Long, String] =
+        MergeTable.read(spark, quarT).collect()
+          .map(r => r.getAs[Long]("media_id") -> r.getAs[String]("status"))
+          .toMap
+      // batch 1: keys 1-8 with 3 and 6 corrupt; batch 2: 3 repaired
+      Multimodal.quarantineRoute(stage((1L to 8L).map(id =>
+          if (id % 3 == 0) Multimodal.MediaRow(id, "image", png.take(5))
+          else Multimodal.MediaRow(id, "image", png)), s"$base/d1"),
+        mainT, quarT, 4, s"$base/s1", seq = 1L)
+      Multimodal.quarantineRoute(
+        stage(Seq(Multimodal.MediaRow(3L, "image", png)), s"$base/d2"),
+        mainT, quarT, 4, s"$base/s2", seq = 2L)
+      assert(quarState() == Map(3L -> "resolved", 6L -> "quarantined"))
+      // batch 3's quarantine merge dies right after its FIRST bucket
+      // swap (the same merge code path the route calls) ...
+      val qdelta3 = Seq(11L, 12L, 13L, 14L).map(id =>
+          (id, "image", "TruncatedBlob", "quarantined", 3L))
+        .toDF("media_id", "media_type", "error", "status", "routed_seq")
+      var swaps = 0
+      val boom = intercept[RuntimeException] {
+        MergeTable.merge(qdelta3, quarT, Seq("media_id"), 4, _ => {
+          swaps += 1
+          if (swaps == 1)
+            throw new RuntimeException("drain killed between bucket swaps")
+        })
+      }
+      assert(boom.getMessage.contains("killed between bucket swaps"))
+      // ... and the kill also caught another bucket inside its
+      // two-rename window: live renamed away, only `.old` remains
+      val quarDir = new java.io.File(quarT)
+      val victim = quarDir.listFiles
+        .filter(_.getName.startsWith(MergeTable.BucketCol + "="))
+        .sortBy(_.getName).last
+      assert(victim.renameTo(
+        new java.io.File(quarDir, victim.getName + ".old")))
+      assert(new java.io.File(quarT + "__staging").exists,
+        "precondition: the crashed merge left its staging behind")
+      // retire runs next (exactly PipelineMain's sequencing after a
+      // failed drain invocation)
+      val retired = Multimodal.quarantineRetire(spark, quarT,
+        retireBefore = 3L)
+      assert(retired == 1L,
+        "exactly the batch-2 resolved tombstone must retire")
+      assert(!quarDir.listFiles.map(_.getName).exists(_.endsWith(".old")),
+        "retire's writer-side recovery must leave no crash debris")
+      // the drain resumes: the checkpoint replays batch 3 in full
+      MergeTable.merge(qdelta3, quarT, Seq("media_id"), 4)
+      assert(quarState() ==
+          Seq(6L, 11L, 12L, 13L, 14L).map(_ -> "quarantined").toMap,
+        "converged: unrepaired + replayed batch-3 keys active exactly " +
+          "once, retired tombstone stays gone")
+      // the maintained table was never touched by any of it
+      assert(MergeTable.read(spark, mainT).select("media_id").collect()
+          .map(_.getLong(0)).toSet ==
+        (1L to 8L).filterNot(_ % 3 == 0).toSet + 3L)
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base)))
+  }
+
   test("quarantineRoute: a batch carrying BOTH an ok and an error row " +
       "for one key routes it to exactly one side — error wins") {
     // ADVICE r14: without normalization the key would upsert main AND
@@ -505,6 +590,11 @@ class VectorAndMultimodalSpec extends SparkTestBase {
         .map(r => r.getLong(0) -> r.getString(1)).toSeq ==
         Seq(1L -> "quarantined"),
         "the conflicted key must be quarantined exactly once")
+      // batch-scoped staging is removed on completion (r15 ADVICE: a
+      // long-running drain must not accumulate per-batch scratch debris)
+      assert(!new java.io.File(s"$base/s1").exists &&
+        !new java.io.File(s"$base/s1__norm").exists,
+        "route must clean its scratch dirs")
       // its clean copy arriving ALONE in a later batch resolves it
       Multimodal.quarantineRoute(
         stage(Seq(Multimodal.MediaRow(1, "image", png)), s"$base/d2"),

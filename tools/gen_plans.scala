@@ -23,8 +23,7 @@ out.println("Generated with `.explain(\"formatted\")` at sf0.001. What to look f
 out.println("each: scans prune columns (`ReadSchema`) and push filters")
 out.println("(`PushedFilters`), small sides broadcast, and `WholeStageCodegen` spans")
 out.println("cover the narrow pipelines. Regenerate: tools/gen_plans.scala.")
-picks.foreach { case (name, why) =>
-  val df = graft.SparkEntry.queries(name)(spark, sf)
+def emit(name: String, why: String, df: org.apache.spark.sql.DataFrame): Unit = {
   val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
   out.println()
   out.println(s"## $name")
@@ -36,5 +35,25 @@ picks.foreach { case (name, why) =>
   out.println(plan.split("\n\n")(0))
   out.println("```")
 }
+picks.foreach { case (name, why) =>
+  emit(name, why, graft.SparkEntry.queries(name)(spark, sf))
+}
+// q91/q92/q93's declared frames are collected state snapshots
+// (LocalTableScan - vacuous to render), so the quarantine-route entries
+// show the PER-BATCH plans the drains actually execute, built from the
+// same production plan builders PlanShapeSpec gates.
+val decoded = graft.multimodal.Multimodal.decodeMetaTotal(
+  graft.multimodal.Multimodal.documentBlobs(spark, sf)).toDF()
+emit("q91-q93 route: per-batch key normalization",
+  "The quarantine route's first stage (Multimodal.normalizedDecisions): one routed decision per media_id, error-row-wins. ONE exchange hashed on media_id with a PARTIAL max_by below it - the shuffle moves one combined row per (task, key), never the raw batch. SortAggregate is the correct (and only attainable) physical form: max_by over a wide row needs a variable-length buffer, which hash aggregation cannot hold; no Expand, no Window (both plan-gated). The decode (mapPartitions) sits below, map-only - blob bytes never shuffle.",
+  graft.multimodal.Multimodal.normalizedDecisions(decoded))
+val bCol = graft.merge.MergeTable.bucketColumn(Seq("media_id"), 16)
+val mtBase = decoded.filter(org.apache.spark.sql.functions.col("error").isNull)
+  .drop("error").withColumn(graft.merge.MergeTable.BucketCol, bCol)
+val mtDelta = decoded.filter(org.apache.spark.sql.functions.col("error").isNull)
+  .drop("error").withColumn(graft.merge.MergeTable.BucketCol, bCol)
+emit("q87/q91-q93 MergeTable: single-shuffle staged rewrite",
+  "The bucketed MERGE's staged rewrite (MergeTable.rewritePlan, r16): the base-union-delta frame is hash-partitioned on __bucket ONCE, and the delta-wins winner window partitions by (__bucket, keys) - a clustering the bucket hashing already satisfies, so there is NO second exchange (pre-r16 this shuffled twice: the window's keys-exchange plus the bucket repartition). The same shuffle lands each bucket in one task for the one-file-per-bucket-dir staged layout. Plan-gated: exactly one exchange, keyed on __bucket, window above it.",
+  graft.merge.MergeTable.rewritePlan(mtBase, mtDelta, Seq("media_id")))
 out.close()
 println("WROTE /tmp/PLANS.md")
