@@ -488,21 +488,35 @@ object MergeTable {
     val kept = base.filter(!coalesce(predicate, lit(false)))
     val staging = new org.apache.hadoop.fs.Path(path + "__staging")
     if (fs.exists(staging)) fs.delete(staging, true)
-    kept.repartition(col(BucketCol))
-      .write.partitionBy(BucketCol).parquet(staging.toString)
-    // Buckets with SURVIVING rows — the kept-side twin of the `hit`
-    // aggregate, bounded by nBuckets rows, over the same pruned read.
+    // Buckets with SURVIVING rows, observed for free on the staged
+    // write (collect_set over the rows the writer itself processes).
     // An absent staged dir is ambiguous on its own: "every row in this
     // bucket matched" (legitimate — partitionBy writes no dir for an
     // empty bucket, the live dir is dropped) vs "the staged write lost a
     // bucket" (writer anomaly — dropping the live dir would destroy the
     // bucket's only copy). merge() guards the same case with a plain
     // exists-check because delta-wins guarantees every affected bucket
-    // has staged rows; here only this independently computed set can
-    // tell the two apart, so validate ALL buckets before the first
-    // rename — fail loudly while the table is still untouched.
-    val keptBuckets = kept.select(col(BucketCol)).distinct()
-      .collect().map(_.getInt(0)).toSet
+    // has staged rows; here only this set can tell the two apart, so
+    // validate ALL buckets before the first rename — fail loudly while
+    // the table is still untouched. The observation sees exactly the
+    // rows handed to the writer, so a commit-side bucket loss (the
+    // anomaly class the guard exists for) cannot hide from it.
+    val keptObs = org.apache.spark.sql.Observation()
+    kept.observe(keptObs, collect_set(col(BucketCol)).as("kept_buckets"))
+      .repartition(col(BucketCol))
+      .write.partitionBy(BucketCol).parquet(staging.toString)
+    // When the observed subtree executes ZERO tasks (an all-deleted
+    // table: `kept` is empty and AQE's empty-relation propagation
+    // replaces the staged write's input outright), the CollectMetrics
+    // accumulator never updates and the observation completes with an
+    // EMPTY row — `get` then has no key at all, not an empty set. Fall
+    // back to the explicit bounded aggregate (<= nBuckets rows) over
+    // the same pruned read; it runs only in this degenerate case.
+    val keptBuckets = keptObs.get.get("kept_buckets") match {
+      case Some(s) => s.asInstanceOf[scala.collection.Seq[Int]].toSet
+      case None => kept.select(col(BucketCol)).distinct()
+        .collect().map(_.getInt(0)).toSet
+    }
     keptBuckets.foreach { b =>
       require(fs.exists(new org.apache.hadoop.fs.Path(staging, s"$BucketCol=$b")),
         s"MergeTable.deleteWhere: staged output missing for bucket $b, " +

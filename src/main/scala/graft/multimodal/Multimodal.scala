@@ -534,9 +534,23 @@ object Multimodal {
       else Nil
     val bucketCol =
       graft.merge.MergeTable.bucketColumn(Seq("media_id"), nBuckets)
+    // When the observed stage executes ZERO tasks (a degenerate empty
+    // batch: AQE's empty-relation propagation can replace the whole
+    // staged write's input), the CollectMetrics accumulator never
+    // updates and the observation completes with an EMPTY row — the key
+    // is absent entirely. Fall back to the explicit bounded aggregate
+    // over the STAGED parquet (zero part files → empty frame → empty
+    // set); it runs only in that degenerate case, so the hot path stays
+    // at zero extra jobs while an empty replayed batch can never wedge
+    // the drain on a missing metric.
     def observedBuckets(obs: org.apache.spark.sql.Observation,
-        name: String): Seq[Int] =
-      obs.get(name).asInstanceOf[scala.collection.Seq[Int]].toSeq.sorted
+        name: String, fallback: => DataFrame): Seq[Int] =
+      obs.get.get(name) match {
+        case Some(s) =>
+          s.asInstanceOf[scala.collection.Seq[Int]].toSeq.sorted
+        case None => fallback.select(bucketCol.as("__b")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+      }
     // one routed decision per key: error-row-wins, then the full row
     // lexicographically — a grouping aggregate with a MAP-SIDE PARTIAL,
     // not a window, so normalization costs one O(batch) shuffle of
@@ -570,7 +584,7 @@ object Multimodal {
     val ok = one.filter(col("error").isNull)
     val okAffected = timed("main_merge") {
       mergeUnlessVacuous(ok.drop("error"), mainTable, "main",
-        observedBuckets(normObs, "ok_buckets"))
+        observedBuckets(normObs, "ok_buckets", ok))
     }
     val newQuar = one.filter(col("error").isNotNull)
       .select(col("media_id"), col("media_type"), col("error"))
@@ -608,7 +622,8 @@ object Multimodal {
     timed("quar_merge") {
       mergeUnlessVacuous(
         spark.read.schema(qdelta.schema).parquet(scratch), quarTable, "quar",
-        observedBuckets(qObs, "q_buckets"))
+        observedBuckets(qObs, "q_buckets",
+          spark.read.schema(qdelta.schema).parquet(scratch)))
     }
     // batch-scoped staging dirs: every consumer above has EXECUTED (the
     // merges are eager — collect, staged write, renames), so the dirs

@@ -474,6 +474,47 @@ class VectorAndMultimodalSpec extends SparkTestBase {
       .deleteDirectory(new java.io.File(base)))
   }
 
+  test("quarantineRoute: a fully EMPTY batch is a no-op — the observed " +
+      "bucket sets' empty-stage fallback never wedges the drain") {
+    // A crash-replay can hand foreachBatch an empty batch. With AQE on,
+    // empty-relation propagation can drop the staged write's observed
+    // CollectMetrics node entirely — the metric key is then ABSENT (not
+    // an empty set), and without the fallback the route would throw and
+    // wedge the drain in a deterministic replay-crash loop. (Found via
+    // deleteWhere's all-deleted case, same mechanism.)
+    import spark.implicits._
+    import graft.merge.MergeTable
+    val png = Multimodal.ImageCodec.encode(20, 10, seed = 1, "png")
+    val base =
+      java.nio.file.Files.createTempDirectory("graft-q91empty-").toString
+    try {
+      val mainT = s"$base/main"; val quarT = s"$base/quar"
+      val empty = spark.emptyDataset[Multimodal.DecodedTryRow].toDF()
+      // empty batch against ABSENT tables: neither table is created
+      Multimodal.quarantineRoute(empty, mainT, quarT, 4, s"$base/s0",
+        seq = 0L)
+      assert(!new java.io.File(mainT).exists && !new java.io.File(quarT).exists,
+        "an empty batch must never create a table")
+      // seed real state, then an empty batch against EXISTING tables
+      Multimodal.quarantineRoute(
+        Multimodal.decodeMetaTotal(Seq(
+          Multimodal.MediaRow(1, "image", png),
+          Multimodal.MediaRow(2, "image", png.take(5))).toDS()).toDF(),
+        mainT, quarT, 4, s"$base/s1", seq = 1L)
+      val mainBefore = MergeTable.read(spark, mainT)
+        .orderBy("media_id").collect().toSeq
+      val quarBefore = MergeTable.read(spark, quarT)
+        .orderBy("media_id").collect().toSeq
+      Multimodal.quarantineRoute(empty, mainT, quarT, 4, s"$base/s2",
+        seq = 2L)
+      assert(MergeTable.read(spark, mainT).orderBy("media_id")
+        .collect().toSeq == mainBefore, "empty batch changed the main table")
+      assert(MergeTable.read(spark, quarT).orderBy("media_id")
+        .collect().toSeq == quarBefore, "empty batch changed quarantine")
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base)))
+  }
+
   test("quarantineRetire against a drain killed mid-swap: writer-side " +
       "recovery, correct retirement, and the replayed batch converges") {
     // r15 verdict item 4: PipelineMain SEQUENCES route and retire, but a
