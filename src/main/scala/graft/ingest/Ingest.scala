@@ -110,6 +110,13 @@ object Ingest {
     * JSON and unparseable plays are counted during whatever action the
     * caller runs — no second scan of a 100 TB input. Read the counters
     * from the returned Observation after the action completes.
+    *
+    * Caller caveat (the zero-task observation hazard, BUILD_NOTES R16):
+    * if the observed plan executes NO tasks — an empty source under
+    * AQE's empty-relation propagation — the observation completes with
+    * an EMPTY row and the counter keys are ABSENT from `obs.get`, not
+    * zero. Read counters with `obs.get.getOrElse(key, 0L)`, never
+    * `obs.get(key)`.
     */
   def observedTransform(envelope: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
     val obs = org.apache.spark.sql.Observation("ingest_quality")

@@ -327,6 +327,38 @@ class MergeSpec extends SparkTestBase {
     assert(staleK.getMessage.contains("silently miss"))
   }
 
+  test("MergeTable.merge knownAffected contract: a caller-supplied " +
+      "bucket set produces the identical table and return value as the " +
+      "self-computed one") {
+    // r16: the route derives affected-bucket sets with observe() on a
+    // staging write and passes them through `knownAffected` to skip the
+    // merge's own distinct-buckets job. This pins the contract both
+    // ways: same final table, same returned set — and the sanctioned
+    // derivation (bucketColumn over the same delta) is exactly what the
+    // self-computed path does.
+    import graft.merge.MergeTable
+    val pathA = Files.createTempDirectory("graft-mtka").toString + "/t"
+    val pathB = Files.createTempDirectory("graft-mtkb").toString + "/t"
+    val seed = (1L to 120L).map(i => (i, s"v$i")).toDF("k", "v")
+    MergeTable.write(seed, pathA, Seq("k"), 8)
+    MergeTable.write(seed, pathB, Seq("k"), 8)
+    val delta = (100L to 140L).map(i => (i, s"NEW$i")).toDF("k", "v")
+    val known = delta
+      .select(MergeTable.bucketColumn(Seq("k"), 8).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val retSelf = MergeTable.merge(delta, pathA, Seq("k"), 8)
+    val retKnown = MergeTable.merge(delta, pathB, Seq("k"), 8, _ => (),
+      knownAffected = Some(known))
+    assert(retSelf == retKnown, "returned bucket sets must match")
+    val a = MergeTable.read(spark, pathA).orderBy("k").collect().toSeq
+    val b = MergeTable.read(spark, pathB).orderBy("k").collect().toSeq
+    assert(a == b, "knownAffected merge must produce the identical table")
+    // empty known set on an existing table: a zero-job no-op
+    assert(MergeTable.merge(spark.emptyDataset[(Long, String)].toDF("k", "v"),
+      pathB, Seq("k"), 8, _ => (), knownAffected = Some(Nil)) == Nil)
+    assert(MergeTable.read(spark, pathB).orderBy("k").collect().toSeq == b)
+  }
+
   test("MergeTable.deleteWhere retires matching rows bucket-pruned, " +
       "keeps NULL-predicate rows, and drops an all-deleted table") {
     import graft.merge.MergeTable
