@@ -327,6 +327,40 @@ class MergeSpec extends SparkTestBase {
     assert(staleK.getMessage.contains("silently miss"))
   }
 
+  test("single-shuffle winner selection is row-identical to " +
+      "mergeDeterministic on randomized conflicted inputs") {
+    // r16: MergeTable's staged rewrite moved from mergeDeterministic's
+    // keys-exchange-then-bucket-repartition to the single-shuffle
+    // rewritePlan form (window partitioned by (__bucket, keys) riding
+    // the bucket exchange). The two must pick the SAME winner for every
+    // key — delta-wins, then the full-row lexicographic tie-break —
+    // under duplicate keys within and across sources, at any bucket
+    // count. Deterministic-seed randomized pin, 5 rounds.
+    import graft.merge.MergeTable
+    val rng = new scala.util.Random(1617)
+    (1 to 5).foreach { round =>
+      val nKeys = 20 + rng.nextInt(60)
+      val nb = 1 + rng.nextInt(8)
+      def mk(src: String) = (1 to 2).flatMap { _ =>
+        (1L to nKeys.toLong).filter(_ => rng.nextBoolean()).map { k =>
+          (k, s"$src${rng.nextInt(3)}", rng.nextInt(100))
+        }
+      }
+      val season = mk("s").toDF("k", "tag", "n")
+      val delta = mk("d").toDF("k", "tag", "n")
+      val expected = Merge.mergeDeterministic(season, delta, Seq("k"))
+        .select("k", "tag", "n").orderBy("k").collect().toSeq
+      val bCol = MergeTable.bucketColumn(Seq("k"), nb)
+      val got = MergeTable.rewritePlan(
+          season.withColumn(MergeTable.BucketCol, bCol),
+          delta.withColumn(MergeTable.BucketCol, bCol), Seq("k"))
+        .select("k", "tag", "n").orderBy("k").collect().toSeq
+      assert(got == expected,
+        s"round $round (nb=$nb): single-shuffle winners diverged from " +
+          "mergeDeterministic")
+    }
+  }
+
   test("MergeTable.merge knownAffected contract: a caller-supplied " +
       "bucket set produces the identical table and return value as the " +
       "self-computed one") {
