@@ -198,6 +198,72 @@ class MergeSpec extends SparkTestBase {
     assert(!new java.io.File(path + "__staging").exists())
   }
 
+  test("randomized crash drill: merges killed at random swap points " +
+      "always read consistently in the crash window and converge on " +
+      "replay") {
+    // Fuzz companion to the directed crash tests: a SEQUENCE of merges
+    // with kills planted at random swap indices, each followed by a
+    // crash-window read (every key exactly once, value entirely old or
+    // entirely new — never torn, never missing) and a replay; the table
+    // must track a plain driver-side delta-wins fold exactly at every
+    // step. Deterministic seed; a divergence prints its (round, step).
+    import graft.merge.MergeTable
+    val rng = new scala.util.Random(2026)
+    (1 to 2).foreach { round =>
+      val nb = 2 + rng.nextInt(7)
+      val path = Files.createTempDirectory("graft-mtfz").toString + "/t"
+      var ref = (1L to 100L).map(i => i -> s"v0_$i").toMap
+      MergeTable.write(ref.toSeq.toDF("k", "v"), path, Seq("k"), nb)
+      (1 to 5).foreach { step =>
+        val dRows = (1L to 120L).filter(_ => rng.nextInt(3) == 0)
+          .map(k => k -> s"v${step}_$k")
+        val delta = dRows.toDF("k", "v")
+        if (dRows.nonEmpty) {
+          if (rng.nextBoolean()) {
+            // kill after a random swap (if the delta reaches that many
+            // buckets — otherwise the merge just completes)
+            val killAfter = 1 + rng.nextInt(nb)
+            var c = 0
+            try MergeTable.merge(delta, path, Seq("k"), nb, _ => {
+              c += 1
+              if (c == killAfter) throw new RuntimeException("fuzz kill")
+            }) catch {
+              case e: RuntimeException if e.getMessage == "fuzz kill" =>
+            }
+            // crash-window read: complete and consistent
+            val seen = MergeTable.read(spark, path).collect()
+              .map(r => r.getLong(0) -> r.getString(1))
+            assert(seen.map(_._1).distinct.length == seen.length,
+              s"round $round step $step: duplicate keys in crash window")
+            val dMap = dRows.toMap
+            val expectedKeys = ref.keySet ++ dMap.keySet
+            seen.foreach { case (k, v) =>
+              assert(ref.get(k).contains(v) || dMap.get(k).contains(v),
+                s"round $round step $step: key $k torn value $v")
+            }
+            // a key can be missing from the crash window ONLY if it is
+            // delta-new and its bucket had not swapped yet
+            seen.map(_._1).toSet.foreach { k: Long =>
+              assert(expectedKeys.contains(k)) }
+            (ref.keySet -- seen.map(_._1)).foreach { k =>
+              fail(s"round $round step $step: pre-existing key $k vanished")
+            }
+            // replay = checkpoint recovery
+            MergeTable.merge(delta, path, Seq("k"), nb)
+          } else MergeTable.merge(delta, path, Seq("k"), nb)
+          ref = ref ++ dRows
+        }
+        val got = MergeTable.read(spark, path).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(got == ref, s"round $round step $step diverged from the " +
+          "delta-wins fold")
+        val names = new java.io.File(path).listFiles().map(_.getName)
+        assert(!names.exists(_.endsWith(".old")),
+          s"round $round step $step left crash debris")
+      }
+    }
+  }
+
   test("MergeTable: _meta pins bucketing — mismatched nBuckets/keys fail loudly") {
     import graft.merge.MergeTable
     val path = Files.createTempDirectory("graft-mtm").toString + "/t"

@@ -474,6 +474,85 @@ class VectorAndMultimodalSpec extends SparkTestBase {
       .deleteDirectory(new java.io.File(base)))
   }
 
+  test("randomized route fuzz: batch sequences with key conflicts, " +
+      "repairs, empties and retirements track a driver-side reference " +
+      "state machine exactly") {
+    // Fuzz companion to the directed route specs: random decoded-shaped
+    // batches (several rows per key, ok and error mixed, occasionally
+    // empty) routed in sequence with occasional retirements, and BOTH
+    // tables compared after every batch to a plain Scala fold of the
+    // route's contract: error-wins lexicographic-max normalization per
+    // key, ok winner upserts main and resolves a currently-quarantined
+    // key, error winner (re)quarantines, retire drops resolved rows
+    // older than the horizon. Deterministic seed.
+    import spark.implicits._
+    import graft.merge.MergeTable
+    val rng = new scala.util.Random(9161)
+    (1 to 2).foreach { round =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-q91fz-").toString
+      try {
+        val mainT = s"$base/main"; val quarT = s"$base/quar"
+        // reference state: main key -> (type, bytes); quar key ->
+        // (type, error, status, seq)
+        var refMain = Map.empty[Long, (String, Long)]
+        var refQuar = Map.empty[Long, (String, Option[String], String, Long)]
+        (1 to 6).foreach { step =>
+          val rows: Seq[(Long, String, Long, Option[String])] =
+            (1L to 30L).filter(_ => rng.nextInt(4) == 0).flatMap { k =>
+              val mt = Seq("image", "audio", "video")(rng.nextInt(3))
+              (0 until 1 + rng.nextInt(3)).map { _ =>
+                (k, mt, rng.nextInt(1000).toLong,
+                  if (rng.nextBoolean()) Some("E" + rng.nextInt(3)) else None)
+              }
+            }
+          Multimodal.quarantineRoute(
+            rows.toDF("media_id", "media_type", "n_bytes", "error"),
+            mainT, quarT, 4, s"$base/s", seq = step.toLong)
+          // reference fold: Spark's max_by(struct(row), struct(err_wins,
+          // row)) = max by (error-present, media_type, n_bytes, error)
+          // (media_id is constant within a key; struct fields compare in
+          // column order; ASCII strings so UTF-16 order == binary)
+          rows.groupBy(_._1).foreach { case (k, g) =>
+            val w = g.max(Ordering.by { r: (Long, String, Long, Option[String]) =>
+              (r._4.isDefined, r._2, r._3, r._4.getOrElse("")) })
+            if (w._4.isEmpty) {
+              refMain += k -> (w._2, w._3)
+              if (refQuar.get(k).exists(_._3 == "quarantined"))
+                refQuar += k -> (w._2, None, "resolved", step.toLong)
+            } else refQuar += k -> (w._2, w._4, "quarantined", step.toLong)
+          }
+          if (rng.nextInt(3) == 0) {
+            val horizon = step.toLong - rng.nextInt(3)
+            Multimodal.quarantineRetire(spark, quarT, retireBefore = horizon)
+            refQuar = refQuar.filterNot { case (_, (_, _, st, sq)) =>
+              st == "resolved" && sq < horizon }
+          }
+          val gotMain =
+            if (new java.io.File(mainT).exists)
+              MergeTable.read(spark, mainT).collect().map(r =>
+                r.getAs[Long]("media_id") ->
+                  (r.getAs[String]("media_type"), r.getAs[Long]("n_bytes")))
+                .toMap
+            else Map.empty
+          assert(gotMain == refMain,
+            s"round $round step $step: main table diverged")
+          val gotQuar =
+            if (new java.io.File(quarT).exists)
+              MergeTable.read(spark, quarT).collect().map(r =>
+                r.getAs[Long]("media_id") -> (r.getAs[String]("media_type"),
+                  Option(r.getAs[String]("error")),
+                  r.getAs[String]("status"), r.getAs[Long]("routed_seq")))
+                .toMap
+            else Map.empty
+          assert(gotQuar == refQuar,
+            s"round $round step $step: quarantine table diverged")
+        }
+      } finally scala.util.Try(org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(base)))
+    }
+  }
+
   test("quarantineRoute: a fully EMPTY batch is a no-op — the observed " +
       "bucket sets' empty-stage fallback never wedges the drain") {
     // A crash-replay can hand foreachBatch an empty batch. With AQE on,
