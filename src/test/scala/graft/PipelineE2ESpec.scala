@@ -423,4 +423,108 @@ class PipelineE2ESpec extends SparkTestBase {
         "checkpoint's committed horizon, not this invocation's batches")
     assert(mainIds() == (1L to 9L))
   }
+
+  test("randomized CLI quarantine drill: waves with random kill points " +
+      "and retirements converge to the wave fold") {
+    // Fuzz companion to the directed CLI test: one blob wave appended
+    // per invocation (so batch id == wave index, stable across kills),
+    // each invocation randomly either crashes after its wave's route
+    // (before the commit — the adversarial exactly-once window, then
+    // the NEXT invocation replays it) or completes, completions
+    // randomly carrying a retire horizon; after every SUCCESSFUL
+    // invocation both tables must equal a plain Scala fold of the wave
+    // list (corrupt quarantines at its wave seq, a clean redecode of a
+    // quarantined key resolves at its wave seq, retire drops resolved
+    // older than lastCommitted - h + 1). Deterministic seed.
+    import graft.multimodal.Multimodal
+    import graft.tools.PipelineMain
+    val rng = new scala.util.Random(777)
+    val png = Multimodal.ImageCodec.encode(16, 8, seed = 2, "png")
+    val wav = Multimodal.AudioCodec.encode(nSamples = 50,
+      sampleRateHz = 8000, seed = 4)
+    def blob(id: Long, corrupt: Boolean): Multimodal.MediaRow = {
+      val r = if (id % 2 == 0) Multimodal.MediaRow(id, "image", png)
+        else Multimodal.MediaRow(id, "audio", wav)
+      if (corrupt) r.copy(content = r.content.take(5)) else r
+    }
+    (1 to 2).foreach { round =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-pipe-fz").toString
+      var refMain = Set.empty[Long]
+      var refQuar = Map.empty[Long, (String, Long)] // id -> (status, seq)
+      var nWaves = 0
+      def appendWave(rows: Seq[(Long, Boolean)]): Unit = {
+        rows.map { case (id, c) => blob(id, c) }.toDS().toDF().coalesce(1)
+          .write.mode(if (nWaves == 0) "errorifexists" else "append")
+          .parquet(s"$dir/blobs")
+        val seq = nWaves.toLong
+        rows.foreach { case (id, c) =>
+          if (c) refQuar += id -> ("quarantined", seq)
+          else {
+            refMain += id
+            if (refQuar.get(id).exists(_._1 == "quarantined"))
+              refQuar += id -> ("resolved", seq)
+          }
+        }
+        nWaves += 1
+      }
+      def cli(extra: String*): Unit = PipelineMain.quarantine(spark,
+        PipelineMain.parseOpts(Array("--blobs", s"$dir/blobs",
+          "--main", s"$dir/meta", "--quar", s"$dir/quar",
+          "--checkpoint", s"$dir/ckpt", "--buckets", "4",
+          "--tmp", s"$dir/qtmp") ++ extra))
+      def check(label: String): Unit = {
+        val gotMain = if (new java.io.File(s"$dir/meta").exists)
+          graft.merge.MergeTable.read(spark, s"$dir/meta")
+            .select("media_id").collect().map(_.getLong(0)).toSet
+          else Set.empty[Long]
+        assert(gotMain == refMain, s"round $round $label: main diverged")
+        val gotQuar = if (new java.io.File(s"$dir/quar").exists)
+          graft.merge.MergeTable.read(spark, s"$dir/quar")
+            .select("media_id", "status", "routed_seq").collect()
+            .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+          else Map.empty[Long, (String, Long)]
+        assert(gotQuar == refQuar, s"round $round $label: quarantine diverged")
+      }
+      (1 to 4).foreach { step =>
+        // wave: new ids + occasional repairs of quarantined ids +
+        // occasional re-corruption; one row per id per wave
+        val quarantined = refQuar.collect {
+          case (id, ("quarantined", _)) => id }.toSeq.sorted
+        val newIds = (1L to 40L).filterNot(refMain)
+          .filterNot(refQuar.contains).filter(_ => rng.nextInt(5) == 0)
+        val rows = (newIds.map(id => id -> (rng.nextInt(3) == 0)) ++
+          quarantined.filter(_ => rng.nextBoolean())
+            .map(id => id -> (rng.nextInt(4) == 0))).distinct
+        if (rows.nonEmpty) {
+          appendWave(rows)
+          if (rng.nextBoolean()) {
+            // kill after this wave's route, before its commit; the next
+            // invocation replays it — exactly-once effects
+            val boom = intercept[
+                org.apache.spark.sql.streaming.StreamingQueryException] {
+              cli("--crash-after-batch", (nWaves - 1).toString)
+            }
+            assert(boom.getMessage.contains("injected crash") ||
+              Option(boom.getCause).exists(
+                _.getMessage.contains("injected crash")))
+            cli() // replay + catch up
+            check(s"step $step (post-crash replay)")
+          } else if (rng.nextBoolean()) {
+            val h = 1 + rng.nextInt(3)
+            cli("--retire-horizon", h.toString)
+            val anchor = (nWaves - 1).toLong
+            refQuar = refQuar.filterNot { case (_, (st, sq)) =>
+              st == "resolved" && sq < anchor - h + 1 }
+            check(s"step $step (retire h=$h)")
+          } else {
+            cli()
+            check(s"step $step")
+          }
+        }
+      }
+      scala.util.Try(org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir)))
+    }
+  }
 }
