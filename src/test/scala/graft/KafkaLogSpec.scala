@@ -178,6 +178,82 @@ class KafkaLogSpec extends SparkTestBase {
     assert(all.select("game_id").distinct().count() == 24)
   }
 
+  test("randomized kafka-log drill: interleaved produces, bounded " +
+      "drains and mid-drain kills never lose, duplicate or reorder a " +
+      "record") {
+    // Fuzz companion to the directed source tests: random produces
+    // across 3 partitions interleaved with AvailableNow drains on ONE
+    // checkpoint — admission caps chosen at random, some drains killed
+    // on their first batch AFTER its rows were handed to the sink (the
+    // at-least-once window; the sink is batchId-keyed, so a replay
+    // overwrites — the exactly-once discipline every production
+    // foreachBatch sink needs). At the end the assembled output must be
+    // exactly the produced log: per partition, the same values in the
+    // same order under contiguous offsets. Deterministic seed.
+    val rng = new scala.util.Random(4242)
+    (1 to 2).foreach { round =>
+      val root = tmp("klog-fz")
+      val out = tmp("klog-fz-out")
+      val parts = 3
+      KafkaLog.createTopic(root, "t", parts)
+      var produced = Map.empty[Int, Vector[String]]
+      var nextId = 0
+      // (batchId -> rows) sink: replays overwrite their batch
+      val batches =
+        scala.collection.mutable.Map[Long, Seq[(Int, Long, String)]]()
+      def drain(maxOffsets: Long, crashFirstBatch: Boolean): Unit = {
+        @volatile var armed = crashFirstBatch
+        val env = Ingest.kafkaStreamSource(spark, root, "t",
+          maxOffsetsPerTrigger = maxOffsets, format = KafkaLog.Format)
+        val q = env.selectExpr("partition", "offset",
+            "CAST(value AS STRING) AS v")
+          .writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            val rows = b.collect()
+              .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq
+            batches.synchronized { batches(id) = rows }
+            if (armed) { armed = false; throw new RuntimeException("fz kill") }
+          }
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination()
+        catch { case _: Exception if crashFirstBatch => () }
+      }
+      (1 to 5).foreach { _ =>
+        (0 until parts).foreach { p =>
+          val n = rng.nextInt(4)
+          if (n > 0) {
+            val recs = (1 to n).map { _ =>
+              val id = nextId; nextId += 1
+              KafkaLog.Record(s"k$id", s"val$id", 1700000000000L + id)
+            }
+            KafkaLog.produce(root, "t", p, recs)
+            produced += p ->
+              (produced.getOrElse(p, Vector()) ++ recs.map(_.value))
+          }
+        }
+        val mo = if (rng.nextBoolean()) 0L else 2L + rng.nextInt(5)
+        val crash = rng.nextInt(3) == 0
+        drain(mo, crash)
+        if (crash) drain(mo, crashFirstBatch = false) // replay + catch up
+      }
+      drain(0L, crashFirstBatch = false) // final clean catch-up
+      val assembled = batches.values.flatten.toSeq
+        .groupBy(_._1).map { case (p, rows) =>
+          p -> rows.sortBy(_._2)
+        }
+      assert(assembled.keySet == produced.keySet,
+        s"round $round: partitions diverged")
+      produced.foreach { case (p, vals) =>
+        val got = assembled(p)
+        assert(got.map(_._3) == vals,
+          s"round $round partition $p: values lost, duplicated or reordered")
+        assert(got.map(_._2) == (0L until vals.length.toLong),
+          s"round $round partition $p: offsets not contiguous")
+      }
+    }
+  }
+
   test("startingOffsets=latest: batch scan of existing data is empty") {
     val root = tmp("klog")
     produceShots(root, "shots", 6, parts = 2)
