@@ -474,6 +474,54 @@ class VectorAndMultimodalSpec extends SparkTestBase {
       .deleteDirectory(new java.io.File(base)))
   }
 
+  test("codec round-trip fuzz: random parameters decode to exact " +
+      "planted metadata; random truncations throw or keep the header " +
+      "dims — never silently wrong") {
+    // Property pin for all three real codecs across the parameter space
+    // (the directed specs use a handful of planted shapes). Truncation
+    // contract: decodeMeta over a random prefix either throws (the
+    // total-decode path flags it) or — when the metadata header
+    // survived the cut — returns exactly the planted dimensions; a
+    // wrong-but-plausible decode is the one outcome that may never
+    // happen. Deterministic seed.
+    val rng = new scala.util.Random(31416)
+    (1 to 40).foreach { i =>
+      val w = 1 + rng.nextInt(400); val h = 1 + rng.nextInt(400)
+      val fmt = if (rng.nextBoolean()) "png" else "jpeg"
+      val img = Multimodal.ImageCodec.encode(w, h, seed = i.toLong, fmt)
+      val im = Multimodal.ImageCodec.decodeMeta(img)
+      assert((im.format, im.width, im.height, im.n_frames) == (fmt, w, h, 1),
+        s"iter $i: image $fmt ${w}x$h decoded as $im")
+      val ns = 1 + rng.nextInt(2000); val rate = 4000 + rng.nextInt(44100)
+      val aud = Multimodal.AudioCodec.encode(ns, rate, seed = i.toLong)
+      val am = Multimodal.AudioCodec.decodeMeta(aud)
+      assert((am.width, am.height, am.n_frames) == (rate, 1, ns),
+        s"iter $i: audio rate=$rate ns=$ns decoded as $am")
+      val vw = 16 + rng.nextInt(1904); val vh = 16 + rng.nextInt(1064)
+      val nf = 1 + rng.nextInt(60)
+      val vid = Multimodal.VideoCodec.encode(vw, vh, nf, seed = i.toLong)
+      val vm = Multimodal.VideoCodec.decodeMeta(vid)
+      assert((vm.format, vm.width, vm.height, vm.n_frames) ==
+        ("mp4", vw, vh, nf), s"iter $i: video decoded as $vm")
+      // random-prefix truncations
+      val cases: Seq[(Array[Byte], Array[Byte] => Multimodal.MediaMeta,
+          Multimodal.MediaMeta => Boolean)] = Seq(
+        (img, Multimodal.ImageCodec.decodeMeta _,
+          m => m.width == w && m.height == h),
+        (aud, Multimodal.AudioCodec.decodeMeta _, m => m.width == rate),
+        (vid, Multimodal.VideoCodec.decodeMeta _,
+          m => m.width == vw && m.height == vh))
+      cases.foreach { case (bytes, dec, headerDims) =>
+        val cut = 1 + rng.nextInt(bytes.length)
+        try {
+          val m = dec(bytes.take(cut))
+          assert(headerDims(m),
+            s"iter $i: truncation at $cut/${bytes.length} returned WRONG dims $m")
+        } catch { case scala.util.control.NonFatal(_) => () /* flagged */ }
+      }
+    }
+  }
+
   test("randomized route fuzz: batch sequences with key conflicts, " +
       "repairs, empties and retirements track a driver-side reference " +
       "state machine exactly") {
