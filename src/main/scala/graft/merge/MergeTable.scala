@@ -101,6 +101,18 @@ object MergeTable {
     }
   }
 
+  /** The table's persisted bucketing — `(nBuckets, keys)` from `_meta`,
+    * None for tables predating it. Public so lifecycle callers that own
+    * only the table PATH (e.g. the quarantine retention's sidecar
+    * maintenance) can derive bucket ids with the table's own layout via
+    * [[bucketColumn]] instead of threading write-time parameters
+    * through every call site.
+    */
+  def meta(spark: SparkSession, path: String): Option[(Int, Seq[String])] = {
+    val (fs, p) = fsOf(spark, path)
+    if (!fs.exists(p)) None else readMeta(fs, p)
+  }
+
   /** Validate caller bucketing against the persisted `_meta`; tables
     * created before `_meta` existed are stamped with the caller's values
     * (first merge claims them — subsequent mismatches then fail loudly).
@@ -244,6 +256,19 @@ object MergeTable {
   def bucketIds(df: DataFrame, keys: Seq[String], nBuckets: Int): Set[Int] =
     df.select(bucketOf(keys, nBuckets).as(BucketCol)).distinct()
       .collect().map(_.getInt(0)).toSet
+
+  /** Ids of every bucket dir currently present (live or stranded `.old`
+    * backup) — one fs listing, no Spark job. For callers seeding a
+    * conservative candidate-bucket superset (e.g. the quarantine
+    * retention sidecar adopting a table that predates it).
+    */
+  def presentBucketIds(spark: SparkSession, path: String): Set[Int] = {
+    val (fs, p) = fsOf(spark, path)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith(BucketCol + "="))
+      .map(_.stripPrefix(BucketCol + "=").stripSuffix(".old").toInt).toSet
+  }
 
   private def readPruned(spark: SparkSession, path: String,
       buckets: Option[Set[Int]]): DataFrame = {
@@ -408,6 +433,28 @@ object MergeTable {
     timed("stage_write") {
       merged.write.partitionBy(BucketCol).parquet(staging.toString)
     }
+    // Guard against a WRONG `knownAffected` subset: a delta row hashing
+    // to a bucket NOT in `affected` is staged (partitionBy writes its
+    // dir) but the swap loop below would never rename it in, and the
+    // staging delete would then discard it — silent data loss, the same
+    // failure class the swap's exists-check and deleteWhere's
+    // kept-bucket guard fail loudly on. The staged dir listing IS the
+    // ground truth for which buckets the delta actually touched (the
+    // writer wrote them from the delta's own rows), so requiring
+    // staged ⊆ affected catches a stale or subset caller set BEFORE any
+    // rename, while the live table is still untouched. One cheap fs
+    // listing, no extra Spark job; when `affected` was computed from
+    // the delta itself the check holds by construction.
+    val stagedBuckets = fs.listStatus(staging).map(_.getPath.getName)
+      .filter(_.startsWith(BucketCol + "="))
+      .map(_.stripPrefix(BucketCol + "=").toInt).toSet
+    val unswapped = stagedBuckets -- affected.toSet
+    require(unswapped.isEmpty,
+      s"MergeTable: staged output contains bucket(s) " +
+        s"${unswapped.toSeq.sorted.mkString(",")} absent from the " +
+        s"affected set [${affected.mkString(",")}] — a wrong " +
+        "knownAffected subset would silently drop those rows; aborting " +
+        "before any swap")
     timed("swap") {
       affected.foreach { b =>
         val live = new org.apache.hadoop.fs.Path(p, s"$BucketCol=$b")
@@ -453,24 +500,44 @@ object MergeTable {
     * Idempotent: re-running the same delete matches nothing. Cost: the
     * REWRITE is O(matching-bucket bytes), but the FIND phase (locating
     * matches — one bounded aggregate, ≤ nBuckets rows collected) reads
-    * every live bucket once: the predicate is arbitrary, so no bucket
-    * can be ruled out a priori. Parquet footer/row-group statistics
-    * pushdown mitigates for stat-friendly predicates (the retention
-    * caller's `routed_seq < N` skips whole row groups), but it is a
-    * table-wide scan, not O(matching buckets) — a caller that KNOWS the
-    * candidate buckets (predicate keyed on the bucket key) should
-    * filter a [[readBuckets]] view and merge instead.
+    * every live bucket once by default: the predicate is arbitrary, so
+    * no bucket can be ruled out a priori. Parquet footer/row-group
+    * statistics pushdown mitigates for stat-friendly predicates (the
+    * retention caller's `routed_seq < N` skips whole row groups).
+    * A caller that KNOWS which buckets can hold matching rows passes
+    * `candidateBuckets` (the 4-arg overload) and the find reads only
+    * those dirs — O(candidate buckets), the find-side twin of
+    * [[merge]]'s `knownAffected`.
     * Returns the number of rows deleted.
     */
   def deleteWhere(spark: SparkSession, path: String,
-      predicate: Column): Long = {
+      predicate: Column): Long =
+    deleteWhere(spark, path, predicate, candidateBuckets = None)
+
+  /** [[deleteWhere]] with a pruned FIND phase: only the `candidateBuckets`
+    * dirs are scanned for matching rows. CONTRACT — mirroring
+    * [[merge]]'s `knownAffected`: the set must contain EVERY bucket that
+    * can hold a matching row (a superset is fine; `None` falls back to
+    * the table-wide scan). A bucket wrongly omitted is never scanned, so
+    * its matching rows are silently KEPT — for idempotent retention that
+    * is a deferred delete, not data loss, but the only sanctioned
+    * derivations are (a) ids recorded at write time with the table's own
+    * [[bucketColumn]] (e.g. the quarantine route's resolved-buckets
+    * sidecar) or (b) [[bucketIds]] over the candidate key set of a
+    * bucket-keyed predicate. The rewrite phase is unchanged (affected ⊆
+    * candidates by construction).
+    */
+  def deleteWhere(spark: SparkSession, path: String, predicate: Column,
+      candidateBuckets: Option[Set[Int]]): Long = {
     val (fs, p) = fsOf(spark, path)
     recover(spark, path)
     if (!fs.exists(p)) return 0L
     val (nBuckets, keys) = readMeta(fs, p).getOrElse(throw new
         IllegalStateException(s"MergeTable.deleteWhere: no _meta at $path"))
-    // one bounded job: rows to delete → (count, distinct buckets)
-    val hit = read(spark, path).filter(predicate)
+    if (candidateBuckets.exists(_.isEmpty)) return 0L
+    // one bounded job: rows to delete → (count, distinct buckets);
+    // pruned to the candidate dirs when the caller supplied them
+    val hit = readPruned(spark, path, candidateBuckets).filter(predicate)
       .select(bucketOf(keys, nBuckets).as(BucketCol))
       .agg(count(lit(1)).as("n"), collect_set(col(BucketCol)).as("bs"))
       .collect()(0)

@@ -570,14 +570,16 @@ object Multimodal {
     // aggregate over the whole batch. Explicit schema on the re-read —
     // an empty batch stages zero part files.
     val norm0 = normalizedDecisions(decoded)
-    // both routed sides' bucket sets ride the normalization write as
-    // observed aggregates — zero extra jobs (collect_set skips the
-    // nulls the `when` leaves on the other side's rows)
+    // the ok side's bucket set rides the normalization write as an
+    // observed aggregate — zero extra jobs (collect_set skips the nulls
+    // the `when` leaves on error rows). Only the OK set is needed: the
+    // quarantine merge's buckets come from the qdelta stage's own
+    // q_buckets observation below, which also covers resolved rows
+    // (an err-side set here would be a strict subset and go unread).
     val normObs = org.apache.spark.sql.Observation()
     timed("norm_stage") {
       norm0.observe(normObs,
-          collect_set(when(col("error").isNull, bucketCol)).as("ok_buckets"),
-          collect_set(when(col("error").isNotNull, bucketCol)).as("err_buckets"))
+          collect_set(when(col("error").isNull, bucketCol)).as("ok_buckets"))
         .write.mode("overwrite").parquet(scratch + "__norm")
     }
     val one = spark.read.schema(norm0.schema).parquet(scratch + "__norm")
@@ -616,14 +618,42 @@ object Multimodal {
       .withColumn("routed_seq", lit(seq))
     val qObs = org.apache.spark.sql.Observation()
     timed("qdelta_stage") {
-      qdelta.observe(qObs, collect_set(bucketCol).as("q_buckets"))
+      qdelta.observe(qObs, collect_set(bucketCol).as("q_buckets"),
+          collect_set(when(col("status") === lit("resolved"), bucketCol))
+            .as("resolved_buckets"))
         .write.mode("overwrite").parquet(scratch)
+    }
+    // Record which buckets gained `resolved` tombstones — the sidecar
+    // [[quarantineRetire]] prunes its find phase with. Rides the qdelta
+    // write as a second observed aggregate (zero extra jobs), and is
+    // unioned in BEFORE the quarantine merge so a crash between the two
+    // leaves the sidecar a SUPERSET of on-disk resolved buckets (the
+    // hint contract — an over-wide hint costs a few extra dirs in the
+    // find scan, an under-wide one would strand tombstones). Replays
+    // re-add the same ids: the union is idempotent.
+    timed("sidecar") {
+      val resolvedBuckets = observedBuckets(qObs, "resolved_buckets",
+        spark.read.schema(qdelta.schema).parquet(scratch)
+          .filter(col("status") === lit("resolved"))).toSet
+      if (resolvedBuckets.nonEmpty)
+        addResolvedBuckets(spark, quarTable, resolvedBuckets)
     }
     timed("quar_merge") {
       mergeUnlessVacuous(
         spark.read.schema(qdelta.schema).parquet(scratch), quarTable, "quar",
         observedBuckets(qObs, "q_buckets",
           spark.read.schema(qdelta.schema).parquet(scratch)))
+      // Stamp a table the route just CREATED with an empty sidecar:
+      // "sidecar present" then unambiguously means "every resolved row
+      // ever merged is recorded", so addResolvedBuckets never has to
+      // fall back to the conservative all-buckets seed for this table.
+      // A freshly created table holds no resolved rows (resolution
+      // requires the table to have existed at batch start). Crash
+      // between merge and stamp leaves sidecar-absent = the safe
+      // pre-sidecar fallback, a perf nit only.
+      if (!quarExists && exists(quarTable) &&
+          readResolvedBuckets(spark, quarTable).isEmpty)
+        writeResolvedBuckets(spark, quarTable, Set.empty)
     }
     // batch-scoped staging dirs: every consumer above has EXECUTED (the
     // merges are eager — collect, staged write, renames), so the dirs
@@ -667,10 +697,96 @@ object Multimodal {
   def quarantineRetire(spark: SparkSession, quarTable: String,
       retireBefore: Long): Long = {
     val p = new org.apache.hadoop.fs.Path(quarTable)
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      return 0L
-    graft.merge.MergeTable.deleteWhere(spark, quarTable,
-      col("status") === lit("resolved") && col("routed_seq") < lit(retireBefore))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    // Pruned find: only buckets the route ever recorded `resolved`
+    // tombstones into can hold retirable rows — the sidecar is a
+    // superset of those by its write ordering, so the pruned find sees
+    // every match. Tables predating the sidecar (or a torn sidecar
+    // write, which reads as absent) fall back to the table-wide scan.
+    val hint = readResolvedBuckets(spark, quarTable)
+    val retired = graft.merge.MergeTable.deleteWhere(spark, quarTable,
+      col("status") === lit("resolved") && col("routed_seq") < lit(retireBefore),
+      candidateBuckets = hint)
+    // Tighten the sidecar to the buckets that STILL hold resolved rows
+    // (young tombstones inside the horizon): without this the set only
+    // ever grows and the prune decays to a full scan. One pruned
+    // aggregate over the previous hint set — retention runs rarely, and
+    // the recompute is the same O(hint buckets) the find just paid. An
+    // all-retired table was deleted outright (sidecar went with it).
+    if (retired > 0 && hint.isDefined && fs.exists(p)) {
+      graft.merge.MergeTable.meta(spark, quarTable).foreach {
+        case (nBuckets, keys) =>
+          val remaining = graft.merge.MergeTable.bucketIds(
+            graft.merge.MergeTable.readBuckets(spark, quarTable, hint.get,
+                keys, nBuckets)
+              .filter(col("status") === lit("resolved")),
+            keys, nBuckets)
+          writeResolvedBuckets(spark, quarTable, remaining)
+      }
+    }
+    retired
+  }
+
+  /** Sidecar recording which quarantine buckets may hold `resolved`
+    * tombstones (`_resolved_buckets` inside the table dir — removed
+    * with the table, absent until the first resolution). Maintained by
+    * the route (superset union before each quarantine merge) and
+    * consumed + tightened by [[quarantineRetire]]'s pruned find. Writes
+    * are temp-file + rename so a crash mid-write leaves either the old
+    * sidecar or none (absent reads as "no hint" — full-scan fallback,
+    * never a torn subset).
+    */
+  private val ResolvedBucketsFile = "_resolved_buckets"
+
+  private def sidecarFs(spark: SparkSession, quarTable: String) = {
+    val p = new org.apache.hadoop.fs.Path(quarTable, ResolvedBucketsFile)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private[graft] def readResolvedBuckets(spark: SparkSession,
+      quarTable: String): Option[Set[Int]] = {
+    val (fs, f) = sidecarFs(spark, quarTable)
+    if (!fs.exists(f)) return None
+    try {
+      val in = fs.open(f)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      Some(text.split(",", -1).toSeq.filter(_.nonEmpty).map(_.trim.toInt).toSet)
+    } catch {
+      // unreadable sidecar = no hint (full-scan fallback) — the sidecar
+      // is a pure optimization, never load-bearing for correctness
+      case _: Exception => None
+    }
+  }
+
+  private def writeResolvedBuckets(spark: SparkSession, quarTable: String,
+      buckets: Set[Int]): Unit = {
+    val (fs, f) = sidecarFs(spark, quarTable)
+    val tmp = new org.apache.hadoop.fs.Path(f.getParent, ResolvedBucketsFile + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(buckets.toSeq.sorted.mkString(",").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(f)) fs.delete(f, false)
+    require(fs.rename(tmp, f),
+      s"Multimodal: sidecar rename failed at $f")
+  }
+
+  private def addResolvedBuckets(spark: SparkSession, quarTable: String,
+      add: Set[Int]): Unit = {
+    // An absent sidecar on an EXISTING table means the table predates
+    // the sidecar (or its creation-time stamp was lost to a crash) — it
+    // may hold resolved rows in unrecorded buckets, so seeding with only
+    // `add` would make the retire hint UNDER-wide and strand those
+    // tombstones forever. Seed with every bucket dir present instead
+    // (one fs listing): a guaranteed superset, tightened by the first
+    // retire that deletes anything. Tables the route creates itself are
+    // stamped with an empty sidecar at creation, so they never pay the
+    // wide seed.
+    val existing = readResolvedBuckets(spark, quarTable)
+    val prev = existing.getOrElse(
+      graft.merge.MergeTable.presentBucketIds(spark, quarTable))
+    if (existing.isEmpty || !add.subsetOf(prev))
+      writeResolvedBuckets(spark, quarTable, prev ++ add)
   }
 
   /** Planted image dimensions for [[documentBlobs]] — derived from the

@@ -125,6 +125,25 @@ object DrainProbe {
         graft.merge.MergeTable.read(spark, quarT)
           .groupBy("media_type", "status").count().collect()
       }
+      // Progress events are delivered asynchronously on the listener
+      // bus — removing the listener right after awaitTermination can
+      // drop late events and undercount the durationMs attribution.
+      // The bus-flush API is private[spark], so poll for quiescence:
+      // the totals must hold still across two consecutive reads
+      // (bounded at ~2 s — a missing final event skews one trigger's
+      // share, never the wall segments).
+      locally {
+        def snap(): (Int, Double) =
+          durations.synchronized { (nTriggers, durations.values.sum) }
+        var prev = snap()
+        var settled = 0
+        var waited = 0
+        while (settled < 2 && waited < 20) {
+          Thread.sleep(100); waited += 1
+          val cur = snap()
+          if (cur == prev) settled += 1 else { settled = 0; prev = cur }
+        }
+      }
       spark.streams.removeListener(listener)
       val total = fixtureSec + drain1Sec + repairSec + drain2Sec + snapSec
       def m(map: mutable.Map[String, Double]): String = map.toSeq.sortBy(-_._2)

@@ -570,6 +570,97 @@ class MergeSpec extends SparkTestBase {
     }
   }
 
+  test("MergeTable.merge with a WRONG knownAffected subset fails loudly " +
+      "before any swap — the live table is untouched") {
+    // r16 ADVICE (medium): a delta row hashing to a bucket outside the
+    // caller's knownAffected set is staged but never swapped in, then
+    // discarded with staging — silent data loss unless guarded. The
+    // guard must fire BEFORE the first rename, so the table still holds
+    // exactly its pre-merge contents afterwards.
+    import graft.merge.MergeTable
+    val path = Files.createTempDirectory("graft-mtkg").toString + "/t"
+    val seed = (1L to 120L).map(i => (i, s"v$i")).toDF("k", "v")
+    MergeTable.write(seed, path, Seq("k"), nBuckets = 8)
+    val before = MergeTable.read(spark, path).orderBy("k").collect().toSeq
+    val delta = (100L to 160L).map(i => (i, s"NEW$i")).toDF("k", "v")
+    val trueAffected = delta
+      .select(MergeTable.bucketColumn(Seq("k"), 8).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    assert(trueAffected.size >= 2, "fixture must touch several buckets")
+    val wrongSubset = trueAffected.dropRight(1) // one bucket missing
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.merge(delta, path, Seq("k"), 8, _ => (),
+        knownAffected = Some(wrongSubset))
+    }
+    assert(e.getMessage.contains("absent from the affected set"),
+      s"guard must name the failure class, got: ${e.getMessage}")
+    assert(MergeTable.read(spark, path).orderBy("k").collect().toSeq
+      == before, "failed merge must leave the table byte-for-row intact")
+    assert(!new java.io.File(path).listFiles()
+      .exists(_.getName.endsWith(".old")), "no swap may have started")
+    // the CORRECT set (or any superset) still merges fine afterwards —
+    // the aborted attempt left only a staging dir, which merge clears
+    assert(MergeTable.merge(delta, path, Seq("k"), 8, _ => (),
+      knownAffected = Some(trueAffected)) == trueAffected)
+    assert(MergeTable.read(spark, path)
+      .filter(col("v").startsWith("NEW")).count() == 61L)
+  }
+
+  test("MergeTable.deleteWhere(candidateBuckets) prunes the find phase: " +
+      "a covering hint equals the unpruned delete, an under-wide hint " +
+      "really skips unlisted buckets") {
+    import graft.merge.MergeTable
+    val dir = Files.createTempDirectory("graft-mtdwc").toString
+    val rows = (1L to 400L).map { i =>
+      (i, if (i % 4 == 0) "old" else "new")
+    }
+    def fresh(name: String): String = {
+      val p = s"$dir/$name"
+      MergeTable.write(rows.toDF("k", "tag"), p, Seq("k"), nBuckets = 16)
+      p
+    }
+    val pred = col("tag") === "old"
+    val matchBuckets = rows.filter(_._2 == "old").map(_._1)
+      .toDF("k").select(MergeTable.bucketColumn(Seq("k"), 16).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    // control: unpruned
+    val ctl = fresh("ctl")
+    val wantDeleted = MergeTable.deleteWhere(spark, ctl, pred)
+    val wantLeft = MergeTable.read(spark, ctl).orderBy("k").collect().toSeq
+    // exact hint and a superset hint both equal the control
+    Seq("exact" -> matchBuckets,
+        "superset" -> (matchBuckets ++ Set(0, 1, 2, 3))).foreach {
+      case (label, hint) =>
+        val p = fresh(label)
+        assert(MergeTable.deleteWhere(spark, p, pred, Some(hint))
+          == wantDeleted, s"[$label] deleted count")
+        assert(MergeTable.read(spark, p).orderBy("k").collect().toSeq
+          == wantLeft, s"[$label] surviving rows")
+    }
+    // an EMPTY hint is a zero-cost no-op
+    val e = fresh("empty")
+    assert(MergeTable.deleteWhere(spark, e, pred, Some(Set.empty)) == 0L)
+    assert(MergeTable.read(spark, e).count() == 400L)
+    // an under-wide hint must actually SKIP the unlisted buckets (the
+    // documented contract — this is the proof the find is pruned, not
+    // just filtered after a full read): rows in the omitted bucket
+    // survive, everything in the listed buckets is deleted
+    val omitted = matchBuckets.head
+    val u = fresh("under")
+    val partial =
+      MergeTable.deleteWhere(spark, u, pred, Some(matchBuckets - omitted))
+    assert(partial < wantDeleted, "the omitted bucket's rows must be kept")
+    val leftTags = MergeTable.read(spark, u)
+      .withColumn("b", MergeTable.bucketColumn(Seq("k"), 16))
+      .collect().map(r => (r.getAs[Int]("b"), r.getAs[String]("tag")))
+    assert(leftTags.count { case (b, t) => t == "old" && b == omitted } ==
+      wantDeleted - partial, "every surviving 'old' row sits in the omitted bucket")
+    assert(!leftTags.exists { case (b, t) => t == "old" && b != omitted },
+      "listed buckets must be fully retired")
+    scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir)))
+  }
+
   test("MergeTable.deleteWhere recovers a bucket stranded in .old by a " +
       "crashed writer, and its pruned read takes the .old fallback") {
     import graft.merge.MergeTable
