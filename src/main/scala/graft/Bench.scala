@@ -27,19 +27,32 @@ object Bench {
     // the executors and discards it — full materialization, zero I/O.
     // Methodology change recorded in BASELINE.md (r11): totals before
     // r11 are count()-based, comparable only to each other.
-    def runOnce(name: String): Double = {
+    // Process-CPU seconds sampled around each timed run (r16 verdict
+    // item 3, the GcProbe lesson): wall time on the drain family carries
+    // a ±15-20% ambient spread, but a starved run burns the SAME
+    // cpu-seconds as a fast one while a deopt/rebuild run burns MORE —
+    // cpu_seconds is the stable signal that separates drift from
+    // regression without quiet-window reruns. local[*] executors live
+    // in this JVM, so process CPU captures the whole query's work.
+    val osBean = scala.util.Try(java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]).toOption
+    def cpuNanos: Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
+    def runOnce(name: String): (Double, Double) = {
+      val c0 = cpuNanos
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9,
+          if (c0 < 0) -1.0 else (cpuNanos - c0) / 1e9)
       }
       catch { case e: Throwable =>
         // Error marker, NOT a near-zero time: a broken query must never
         // read as a fast one (it would *improve* the total).
         errors(name) = (e.getClass.getSimpleName + ": " +
           String.valueOf(e.getMessage)).replace('\n', ' ').take(200)
-        -1.0
+        (-1.0, -1.0)
       }
     }
     def load1(): Double = scala.util.Try(
@@ -75,9 +88,10 @@ object Bench {
     // delta per query as `cache_build`, so a nonzero entry flags "this
     // time includes N cache rebuilds" in the artifact itself.
     val cacheBuilds = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    def attempt(n: String): (Double, Double, Long) = {
-      val w = runOnce(n)
-      if (w < 0) return (w, -1.0, 0L)
+    // returns (warm wall, kept wall, kept cache delta, kept cpu-seconds)
+    def attempt(n: String): (Double, Double, Long, Double) = {
+      val (w, _) = runOnce(n)
+      if (w < 0) return (w, -1.0, 0L, -1.0)
       errors.remove(n)
       // Counter sampled around EACH timed run separately, and the delta
       // recorded only for the run whose time is KEPT (min), after both
@@ -88,24 +102,27 @@ object Bench {
       // whole attempt, and a discarded attempt's rebuild must not fail
       // the bench or annotate a kept time that never paid it (ADVICE
       // r13) — the caller commits only the delta of the attempt that
-      // supplied the final kept best.
+      // supplied the final kept best. cpu_seconds travels the same way:
+      // the artifact carries the cpu of the RUN whose wall was kept.
       val b0 = graft.ops.SessionLru.buildsSoFar
-      val a = runOnce(n)
+      val (a, aCpu) = runOnce(n)
       val b1 = graft.ops.SessionLru.buildsSoFar
-      if (a < 0) return (w, -1.0, 0L)
-      val x = runOnce(n)
+      if (a < 0) return (w, -1.0, 0L, -1.0)
+      val (x, xCpu) = runOnce(n)
       val b2 = graft.ops.SessionLru.buildsSoFar
-      if (x < 0) return (w, -1.0, 0L)
+      if (x < 0) return (w, -1.0, 0L, -1.0)
       val keptDelta = if (a <= x) b1 - b0 else b2 - b1
-      (w, math.min(a, x), keptDelta)
+      val keptCpu = if (a <= x) aCpu else xCpu
+      (w, math.min(a, x), keptDelta, keptCpu)
     }
     val perLoad = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val retimed = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val perCpu = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = names.map { n =>
       val lq = load1()
       perLoad(n) = lq
       if (lq > loadMax) loadMax = lq
-      var (warm, best, bestDelta) = attempt(n)
+      var (warm, best, bestDelta, bestCpu) = attempt(n)
       // Suspect iff the timed min exceeds 3x the warm run (and is not
       // trivially small): the warm run bounds the query's true cost
       // from above, so a far-slower timed run means external load hit
@@ -115,13 +132,14 @@ object Bench {
       while (best >= 0 && tries <= 2 && retriesLeft > 0 &&
           best > 3.0 * warm && best > 0.3) {
         retriesLeft -= 1
-        val (w2, b2, d2) = attempt(n)
+        val (w2, b2, d2, c2) = attempt(n)
         if (w2 >= 0 && w2 < warm) warm = w2
-        if (b2 >= 0 && b2 < best) { best = b2; bestDelta = d2 }
+        if (b2 >= 0 && b2 < best) { best = b2; bestDelta = d2; bestCpu = c2 }
         tries += 1
         retimed(n) = tries - 1
       }
       if (best >= 0 && bestDelta > 0) cacheBuilds(n) = bestDelta
+      if (best >= 0) perCpu(n) = bestCpu
       val lEnd = load1()
       if (lEnd > loadMax) loadMax = lEnd
       n -> best
@@ -143,8 +161,12 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => js(k) + ":" + js(v) }
       .mkString("{", ",", "}")
+    val cpuJson = perCpu.map { case (k, v) => js(k) + ":" + "%.2f".format(v) }
+      .mkString("{", ",", "}")
+    val cpuTotal = perCpu.values.filter(_ >= 0).sum
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""cpu_seconds":$cpuJson,"cpu_total":${"%.2f".format(cpuTotal)},""" +
       s""""n_errors":${errors.size},"errors":$errJson,""" +
       s""""loadavg":${js(loadavg)},"load_before":$loadBefore,""" +
       s""""load_per_query":$loadJson,"load_max":${fmtLoad(loadMax)},""" +
@@ -157,6 +179,7 @@ object Bench {
     // log tail (BENCH_r04 lost its total that way). Repeat the headline
     // numbers compactly LAST so any tail window catches them.
     println(s"""{"metric":"total_compact","value":$total,"unit":"sec",""" +
+      s""""cpu_total":${"%.2f".format(cpuTotal)},""" +
       s""""n_queries":${names.size},"n_errors":${errors.size},""" +
       s""""loadavg":${js(loadavg)},"load_max":${fmtLoad(loadMax)},""" +
       s""""n_retimed":${retimed.size},""" +
