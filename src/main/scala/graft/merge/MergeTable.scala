@@ -71,10 +71,20 @@ object MergeTable {
 
   private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, keys: Seq[String], nBuckets: Int): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(p, MetaFile), true)
+    // temp-file + rename: a direct create(overwrite) exposes a
+    // created-but-unwritten `_meta` to concurrent readers (the e2e soak
+    // caught readers failing on "missing nBuckets field" mid-stamp).
+    // With the rename, readers see the old `_meta`, none at all (both
+    // fine — absent skips read-side verification), or the complete new
+    // one — never a torn file.
+    val tmp = new org.apache.hadoop.fs.Path(p, MetaFile + ".tmp")
+    val dst = new org.apache.hadoop.fs.Path(p, MetaFile)
+    val out = fs.create(tmp, true)
     try out.write(s"nBuckets=$nBuckets\nkeys=${keys.map(encKey).mkString(",")}\n"
       .getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"MergeTable: _meta rename failed at $dst")
   }
 
   private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
@@ -151,6 +161,30 @@ object MergeTable {
     * `merge` clears at start — nothing else is ever created inside the
     * table dir.)
     */
+  /** Remove a bucket dir ATOMICALLY from a reader's point of view. A
+    * plain recursive delete has a window where the dir still lists but
+    * its files are already unlinked — a reader that chose that dir then
+    * scans ZERO rows with no error, a silent torn snapshot missing the
+    * whole bucket (found by MergeSpec's reader-vs-writer soak: 224 of
+    * 240 keys, no exception anywhere). Renaming to a dot-hidden name
+    * first is one atomic step out of the reader-visible namespace
+    * (readers match only `__bucket=` prefixes; Hadoop/Spark listings
+    * skip dot-paths): a racing reader either still had the complete
+    * copy or fails with a missing-path error that [[readRetrying]]
+    * classifies and retries. The hidden dir is then deleted invisibly;
+    * a crash between the two leaves only hidden garbage, swept by
+    * [[recover]] on the next writer call.
+    */
+  private def removeFromView(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: org.apache.hadoop.fs.Path,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(dir)) return
+    val hidden = new org.apache.hadoop.fs.Path(tableDir,
+      s".trash-${dir.getName}-${System.nanoTime()}")
+    if (fs.rename(dir, hidden)) fs.delete(hidden, true)
+    else fs.delete(dir, true) // rename refused (shouldn't happen) — degrade
+  }
+
   private def recover(spark: SparkSession, path: String): Unit = {
     val (fs, p) = fsOf(spark, path)
     if (!fs.exists(p)) return
@@ -160,7 +194,9 @@ object MergeTable {
         val live = new org.apache.hadoop.fs.Path(p, name.stripSuffix(".old"))
         if (!fs.exists(live))
           require(fs.rename(st.getPath, live), s"recover: rename failed for $name")
-        else fs.delete(st.getPath, true) // swap completed; drop backup
+        else removeFromView(fs, p, st.getPath) // swap completed; drop backup
+      } else if (name.startsWith(".trash-")) {
+        fs.delete(st.getPath, true) // hidden garbage from a crashed delete
       }
     }
   }
@@ -283,16 +319,52 @@ object MergeTable {
       live ++ names
         .filter(n => n.endsWith(".old") && !live.contains(n.stripSuffix(".old")))
     }
+    // The stability loop alone is NOT enough on a local FS: Hadoop's
+    // RawLocalFileSystem.listStatus stats each readdir name and SKIPS
+    // entries whose stat fails ("the dir list may have changed"), so a
+    // listing racing a bucket's two-rename swap can return with that
+    // bucket present under NEITHER name, and two consecutive listings
+    // torn by two different swaps of the same bucket can agree — a
+    // silent snapshot missing a whole bucket, no exception anywhere
+    // (caught live by MergeSpec's reader-vs-writer soak: 228/240 keys,
+    // all 12 missing keys in one bucket). Directory listings on HDFS
+    // are atomic namenode RPCs, but the reader contract must not
+    // depend on that. So after the listing stabilizes, every candidate
+    // bucket the listing claims ABSENT is re-checked with direct
+    // per-path stats, which are atomic everywhere: live, then backup,
+    // then live again — a swap moving the bucket between the first two
+    // stats lands it back in `live` by the third. A hidden bucket
+    // found = the listing lied = go around again. Cost in the common
+    // case is ZERO extra calls: a healthy read's chosen set covers
+    // every existing bucket, so there are no claimed-absent ids to
+    // stat; only degenerate young/pruned tables stat their (few)
+    // truly-absent ids. Candidate ids come from the prune set or from
+    // `_meta`'s nBuckets; tables with neither skip verification.
+    def claimedAbsentHidden(chosenIds: Set[Int]): Boolean = {
+      val candidates = buckets.getOrElse(
+        readMeta(fs, p).map { case (n, _) => (0 until n).toSet }
+          .getOrElse(Set.empty))
+      (candidates -- chosenIds).exists { id =>
+        val live = new org.apache.hadoop.fs.Path(p, s"$BucketCol=$id")
+        val bak = new org.apache.hadoop.fs.Path(p, s"$BucketCol=$id.old")
+        fs.exists(live) || fs.exists(bak) || fs.exists(live)
+      }
+    }
     var chosen = chosenSet()
-    var stable = false
+    var ok = false
     var tries = 0
-    while (!stable && tries < 5) {
+    while (!ok && tries < 8) {
       val again = chosenSet()
-      stable = again == chosen
-      chosen = again
+      if (again == chosen &&
+          !claimedAbsentHidden(chosen.map(bucketIdOfName))) ok = true
+      else chosen = chosenSet()
       tries += 1
     }
-    require(stable,
+    // typed as the transient condition it is, so readRetrying can
+    // re-attempt it like any other lost race with a live writer —
+    // single-shot read() callers still fail loudly rather than get a
+    // possibly-torn view
+    if (!ok) throw new java.util.ConcurrentModificationException(
       s"MergeTable.read: listing of $path kept changing (concurrent merges?)")
     // explicit leaf dirs: no partition discovery, so `.old` suffixes
     // never reach a partition-value parser; partitionBy-written files
@@ -302,9 +374,28 @@ object MergeTable {
       // table (parquet footers, no data) so the caller still gets a
       // well-typed empty frame
       readPruned(spark, path, None).limit(0)
-    else
-      spark.read.parquet(chosen.toSeq.sorted
+    else {
+      val df = spark.read.parquet(chosen.toSeq.sorted
         .map(n => new org.apache.hadoop.fs.Path(p, n).toString): _*)
+      // Spark's own file enumeration is one more place the swap race
+      // hides: a chosen dir can pass the path-existence glob and then
+      // vanish before the FileIndex lists it, which Spark tolerates as
+      // an EMPTY root — a silent snapshot missing that bucket (the
+      // soak's second find). `inputFiles` exposes the pinned
+      // enumeration driver-side (no job): every chosen dir must have
+      // contributed at least one file — bucket dirs are never empty on
+      // disk (partitionBy writes no dir for an empty bucket and
+      // deleteWhere drops all-deleted dirs), so a file-less chosen dir
+      // always means the enumeration lost a race, never a real state.
+      val covered = df.inputFiles.map(f =>
+        new org.apache.hadoop.fs.Path(f).getParent.getName).toSet
+      val lost = chosen -- covered
+      if (lost.nonEmpty) throw new java.util.ConcurrentModificationException(
+        s"MergeTable.read: bucket dir(s) ${lost.toSeq.sorted.mkString(",")} " +
+          s"of $path vanished between listing and enumeration " +
+          "(concurrent merge swap)")
+      df
+    }
   }
 
   /** Read-and-consume with a bounded retry: re-invokes [[read]] AND the
@@ -316,14 +407,43 @@ object MergeTable {
     */
   def readRetrying[T](spark: SparkSession, path: String, attempts: Int = 3)(
       consume: DataFrame => T): T = {
-    def missingFile(t: Throwable): Boolean =
-      t != null && (t.isInstanceOf[java.io.FileNotFoundException] ||
-        missingFile(t.getCause))
+    // A lost race with a concurrent swap surfaces in FOUR shapes, not
+    // one (found by the reader-vs-writer soak in MergeSpec):
+    //  - scan-time FileNotFoundException in the cause chain (a chosen
+    //    file deleted before its task read it);
+    //  - planning-time AnalysisException PATH_NOT_FOUND (a chosen dir
+    //    renamed away between the listing and relation resolution);
+    //  - SparkException FAILED_READ_FILE.* without an FNF cause (the
+    //    file vanished MID-read — footer fetched, data gone — which
+    //    Spark reports as a generic failed read);
+    //  - ConcurrentModificationException from read()'s own stability
+    //    loop (the listing kept changing under a fast writer).
+    // All four mean the same thing — the read lost a race it can win
+    // next time — so all four re-list and re-consume.
+    def swapRace(t: Throwable): Boolean = t match {
+      case null => false
+      case _: java.io.FileNotFoundException => true
+      case _: java.util.ConcurrentModificationException => true
+      // RawLocalFileSystem reports a dir vanishing mid-listStatus as a
+      // bare IOException with this message (File.list() returned null)
+      case io: java.io.IOException if Option(io.getMessage).exists(
+        _.startsWith("Invalid directory or I/O error occurred")) => true
+      // the JDK's nio stat path can surface a mid-rename dirent as
+      // EACCES -> AccessDeniedException (seen in the soak on a
+      // same-uid /tmp table that is freely readable in steady state);
+      // a GENUINE permission problem still fails every retry and is
+      // rethrown after the bounded attempts
+      case _: java.nio.file.AccessDeniedException => true
+      case st: org.apache.spark.SparkThrowable
+          if Option(st.getCondition).exists(c =>
+            c.startsWith("FAILED_READ_FILE") || c == "PATH_NOT_FOUND") => true
+      case other => swapRace(other.getCause)
+    }
     var last: Throwable = null
     var i = 0
     while (i < attempts) {
       try return consume(read(spark, path))
-      catch { case t: Throwable if missingFile(t) => last = t; i += 1 }
+      catch { case t: Throwable if swapRace(t) => last = t; i += 1 }
     }
     throw last
   }
@@ -467,11 +587,11 @@ object MergeTable {
         // bucket's only copy.
         require(fs.exists(next),
           s"MergeTable: staged output missing for bucket $b under $staging")
-        if (fs.exists(bak)) fs.delete(bak, true)
+        removeFromView(fs, p, bak)
         if (fs.exists(live))
           require(fs.rename(live, bak), s"MergeTable: backup rename failed for bucket $b")
         require(fs.rename(next, live), s"MergeTable: swap rename failed for bucket $b")
-        fs.delete(bak, true)
+        removeFromView(fs, p, bak)
         onBucketSwapped(b)
       }
       fs.delete(staging, true)
@@ -594,14 +714,14 @@ object MergeTable {
       val live = new org.apache.hadoop.fs.Path(p, s"$BucketCol=$b")
       val bak = new org.apache.hadoop.fs.Path(p, s"$BucketCol=$b.old")
       val next = new org.apache.hadoop.fs.Path(staging, s"$BucketCol=$b")
-      if (fs.exists(bak)) fs.delete(bak, true)
+      removeFromView(fs, p, bak)
       if (fs.exists(live))
         require(fs.rename(live, bak),
           s"MergeTable.deleteWhere: backup rename failed for bucket $b")
       if (fs.exists(next))
         require(fs.rename(next, live),
           s"MergeTable.deleteWhere: swap rename failed for bucket $b")
-      fs.delete(bak, true)
+      removeFromView(fs, p, bak)
     }
     fs.delete(staging, true)
     val remaining = fs.listStatus(p)

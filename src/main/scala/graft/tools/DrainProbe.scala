@@ -98,7 +98,10 @@ object DrainProbe {
               graft.multimodal.Multimodal.quarantineRoute(
                 graft.multimodal.Multimodal.decodeMetaTotal(
                   batch.as[graft.multimodal.Multimodal.MediaRow]).toDF(),
-                mainT, quarT, nBuckets = 16,
+                mainT, quarT,
+                // SPARK_GRAFT_NBUCKETS: the r17 bucket-count drill runs
+                // this q93-shaped probe at production bucket counts
+                nBuckets = sys.env.getOrElse("SPARK_GRAFT_NBUCKETS", "16").toInt,
                 scratch = s"$base/scratch", seq = batchId, probe = probe)
             }
             .option("checkpointLocation", s"$base/cp")
