@@ -90,7 +90,7 @@ object BucketScale {
             val delta = inSubset.filter(
               pmod(xxhash64(col("l_orderkey"), col("l_linenumber"),
                 lit(batch)), lit(math.max(1L, 1200L * nTouch / nB))) === 0)
-              .withColumn("l_comment", concat(col("l_comment"), lit(s"#$batch")))
+              .withColumn("l_returnflag", concat(col("l_returnflag"), lit(s"#$batch")))
             val deltaRows = delta.count()
             val touched = MergeTable.bucketIds(delta, keys, nB).toSeq.sorted
             val preBytes = dirBytes(path, touched)
@@ -113,7 +113,7 @@ object BucketScale {
       // constant-isolation datapoint: a near-empty delta (one key) —
       // everything but one bucket's rewrite is per-merge constant
       val one = li.limit(1)
-        .withColumn("l_comment", concat(col("l_comment"), lit("#tiny")))
+        .withColumn("l_returnflag", concat(col("l_returnflag"), lit("#tiny")))
       val oneTouched = MergeTable.bucketIds(one, keys, nB).toSeq
       val (_, tinyWall, tinyCpu) = timedCpu {
         MergeTable.merge(one, path, keys, nB, _ => (),
