@@ -658,6 +658,89 @@ class MergeSpec extends SparkTestBase {
       .deleteDirectory(new java.io.File(path).getParentFile))
   }
 
+  test("concurrent-reader soak vs deleteWhere: generation churn with " +
+      "retirements never tears a snapshot") {
+    // Companion to the merge soak: deleteWhere's swap loop has its own
+    // two-rename dance PLUS the outright bucket-drop path (a bucket
+    // whose rows all match is renamed to .old and removed, with no
+    // staged replacement) — neither was reader-soaked. Fixture:
+    // immortal "keep" rows pin every bucket (so a bucket never
+    // legitimately vanishes) while generations of churn rows are merged
+    // in and deleted two steps later. Per reader thread:
+    //  - no duplicate keys;
+    //  - every keep row present in every successful read (a missing
+    //    one = torn bucket);
+    //  - a churn key observed ABSENT never reappears (generations are
+    //    deleted once, never re-added; the .old fallback only ever
+    //    holds the immediately-previous state, so per-thread
+    //    present -> absent is one-way).
+    import graft.merge.MergeTable
+    val path = Files.createTempDirectory("graft-mtdwsoak").toString + "/t"
+    val keepRows = (1L to 150L).map(i => (i, "keep"))
+    MergeTable.write(keepRows.toDF("k", "tag"), path, Seq("k"), nBuckets = 8)
+    // fixture sanity: keep rows must pin all 8 buckets
+    assert(keepRows.map(_._1).toDF("k")
+      .select(MergeTable.bucketColumn(Seq("k"), 8)).distinct().count() == 8)
+    @volatile var writerDone = false
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val readsOk = new java.util.concurrent.atomic.AtomicInteger(0)
+    def readerLoop(tag: Int): Unit = {
+      var seenPresent = Set.empty[Long] // churn keys ever observed present
+      var gone = Set.empty[Long] // churn keys observed absent AFTER present
+      while (!writerDone && failures.isEmpty) {
+        try {
+          val rows = MergeTable.readRetrying(spark, path, attempts = 8) {
+            df => df.collect().map(r => (r.getLong(0), r.getString(1)))
+          }
+          if (rows.map(_._1).distinct.length != rows.length)
+            failures.add(s"reader $tag: duplicate keys in one snapshot")
+          val ks = rows.map(_._1).toSet
+          val missingKeep = keepRows.map(_._1).filterNot(ks)
+          if (missingKeep.nonEmpty)
+            failures.add(s"reader $tag: keep rows missing " +
+              s"${missingKeep.take(5)} — torn bucket")
+          val resurrected = gone.intersect(ks)
+          if (resurrected.nonEmpty)
+            failures.add(s"reader $tag: deleted keys reappeared " +
+              resurrected.take(5).toString)
+          // a churn key previously seen present and now absent was
+          // deleted — it must stay absent (one-way transition); a key
+          // never yet seen present tells us nothing
+          gone ++= (seenPresent -- ks)
+          seenPresent ++= ks.filter(_ >= 1000L)
+          readsOk.incrementAndGet()
+        } catch { case t: Throwable =>
+          failures.add(s"reader $tag died: ${t.getClass.getSimpleName}: " +
+            String.valueOf(t.getMessage).take(200))
+        }
+      }
+    }
+    val readers = (1 to 2).map(i => new Thread(() => readerLoop(i)))
+    readers.foreach(_.start())
+    (1 to 16).foreach { i =>
+      val gen = (0 until 800).map(j => (1000L * i + j, s"g$i")).toDF("k", "tag")
+      MergeTable.merge(gen, path, Seq("k"), 8)
+      if (i >= 3) {
+        val n = MergeTable.deleteWhere(spark, path, col("tag") === s"g${i - 2}")
+        assert(n == 800L, s"generation ${i - 2} must retire whole, got $n")
+      }
+    }
+    writerDone = true
+    readers.foreach(_.join(60000))
+    assert(readers.forall(!_.isAlive), "reader threads must terminate")
+    assert(failures.isEmpty,
+      s"${failures.size} violations, first: ${failures.peek()}")
+    assert(readsOk.get >= 10,
+      s"soak must complete real concurrent reads (got ${readsOk.get})")
+    val fin = MergeTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val want = (keepRows ++ (0 until 800).flatMap(j =>
+      Seq((15000L + j, "g15"), (16000L + j, "g16")))).sortBy(_._1)
+    assert(fin.toSeq == want, "final table must be keep + last two generations")
+    scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(path).getParentFile))
+  }
+
   test("MergeTable.merge with a WRONG knownAffected subset fails loudly " +
       "before any swap — the live table is untouched") {
     // r16 ADVICE (medium): a delta row hashing to a bucket outside the
