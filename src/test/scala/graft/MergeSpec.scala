@@ -333,6 +333,39 @@ class MergeSpec extends SparkTestBase {
       (1L to 100L).map(i => i -> s"v$i").toMap)
   }
 
+  test("crash debris is swept and invisible: a stranded .trash dir and a " +
+      "torn _meta.tmp never reach readers and vanish on the next write") {
+    // removeFromView renames a backup to `.trash-*` then deletes it; a
+    // crash between the two leaves the hidden dir. writeMeta stages to
+    // `_meta.tmp` then renames; a crash leaves the tmp. Neither may be
+    // visible to reads (dot-prefix / name filters) and both must be
+    // cleaned by the next writer call.
+    import graft.merge.MergeTable
+    val path = Files.createTempDirectory("graft-mttrash").toString + "/t"
+    val rows = (1L to 80L).map(i => (i, s"v$i")).toDF("k", "v")
+    MergeTable.write(rows, path, Seq("k"), nBuckets = 4)
+    // simulate the two crash leftovers
+    val trash = new java.io.File(path, ".trash-__bucket=2.old-123456")
+    assert(trash.mkdir())
+    java.nio.file.Files.write(trash.toPath.resolve("part-stale.parquet"),
+      "junk".getBytes)
+    java.nio.file.Files.write(
+      new java.io.File(path, "_meta.tmp").toPath, "nBuckets=".getBytes)
+    // reads ignore both (table content exact, no failure)
+    val got = MergeTable.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == rows.collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq)
+    // the next writer call sweeps the hidden trash dir
+    MergeTable.merge(Seq((1L, "NEW")).toDF("k", "v"), path, Seq("k"), 4)
+    assert(!trash.exists, ".trash leftover must be swept by recover()")
+    // _meta.tmp is simply re-staged over by the next stamp; it is never
+    // read (readMeta opens `_meta` only) — prove a full rewrite clears it
+    MergeTable.write(rows, path, Seq("k"), nBuckets = 4)
+    assert(!new java.io.File(path, "_meta.tmp").exists)
+    assert(MergeTable.read(spark, path).count() == 80L)
+  }
+
   test("MergeTable read prefers live over a stale .old; merge drops the backup") {
     import graft.merge.MergeTable
     val path = Files.createTempDirectory("graft-mts").toString + "/t"
