@@ -357,7 +357,7 @@ object MergeTable {
       val again = chosenSet()
       if (again == chosen &&
           !claimedAbsentHidden(chosen.map(bucketIdOfName))) ok = true
-      else chosen = chosenSet()
+      else chosen = again // unstable or a hidden bucket: next round re-lists
       tries += 1
     }
     // typed as the transient condition it is, so readRetrying can
@@ -443,7 +443,14 @@ object MergeTable {
     var i = 0
     while (i < attempts) {
       try return consume(read(spark, path))
-      catch { case t: Throwable if swapRace(t) => last = t; i += 1 }
+      catch { case t: Throwable if swapRace(t) =>
+        last = t; i += 1
+        // brief linear backoff: instant retries can all land inside one
+        // long swap window (object-store renames are copies); ~25ms/step
+        // keeps total added latency < attempts² × 25ms while letting the
+        // writer's current bucket complete
+        if (i < attempts) Thread.sleep(25L * i)
+      }
     }
     throw last
   }
