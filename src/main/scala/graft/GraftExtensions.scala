@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{LongDotProduct, RabinKarpHashes}
+import graft.functions.expressions.{LongDotProduct, RabinKarpHashes, WinnowFingerprints, WordNgrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -10,9 +10,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   *   spark.sql.extensions=graft.GraftExtensions
   *
-  * Injects the two codegen'd custom expressions as SQL functions:
-  * `long_dot_product` (the similarity kernel) and `rolling_hashes` (the
-  * O(n) Rabin-Karp k-gram hasher behind winnowing). Play-parser SQL
+  * Injects the codegen'd custom expressions as SQL functions:
+  * `long_dot_product` (the similarity kernel), `rolling_hashes` (the
+  * O(n) Rabin-Karp k-gram hasher) and `winnow_fingerprints` (the fused
+  * hash → window-min → distinct fingerprint pass). Play-parser SQL
   * functions remain per-session (`PlayFunctions.registerSql`) because
   * they are expression rewrites bound to a session's function registry,
   * not standalone expressions.
@@ -54,5 +55,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"rolling_hashes: k out of range: $k")
         RabinKarpHashes(children(0), k.toInt)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (children: Seq[Expression]) => {
+        if (children.size != 3)
+          throw new IllegalArgumentException(
+            s"winnow_fingerprints requires exactly 3 arguments, got ${children.size}")
+        val Seq(k, w) = children.drop(1).zipWithIndex.map { case (e, i) =>
+          constIntArg("winnow_fingerprints", if (i == 0) "k" else "w", e)
+        }
+        WinnowFingerprints(children(0), k, w)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => {
+        if (children.size != 2)
+          throw new IllegalArgumentException(
+            s"word_ngrams requires exactly 2 arguments, got ${children.size}")
+        WordNgrams(children(0), constIntArg("word_ngrams", "n", children(1)))
+      }))
+  }
+
+  /** Constant-foldable integral argument, any integer width. */
+  private def constIntArg(fn: String, name: String, e: Expression): Int = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val v = e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType if e.foldable =>
+        e.eval() match {
+          case null => throw new IllegalArgumentException(
+            s"$fn: $name must not be NULL")
+          case n: Number => n.longValue()
+        }
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $name must be a constant integer expression")
+    }
+    if (v < 1 || v > Int.MaxValue)
+      throw new IllegalArgumentException(s"$fn: $name out of range: $v")
+    v.toInt
   }
 }

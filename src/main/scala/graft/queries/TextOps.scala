@@ -137,18 +137,19 @@ object TextOps {
   val minhashBands = 8 // of 2 rows each
 
   /** Token 3-gram shingles per doc (docs with <3 tokens can't shingle).
-    * Tokens materialize into a column before the transform: expressions
-    * referenced inside a higher-order-function lambda re-evaluate per
-    * element (split() is not hoisted), so the inline form pays O(tokens²)
-    * per document — measured 3x slower on the 4-gram twin.
+    * Shingling runs the fused codegen
+    * [[graft.functions.expressions.WordNgrams]] — one byte pass emitting
+    * substring views, replacing the earlier split + transform/slice/
+    * array_join composition (which allocated a boxed slice and a joined
+    * string per position; spec-pinned equivalent). The emptiness filter
+    * is the composed form's size(t) >= 3 gate: shingle count = tokens-2.
     */
-  private def shingleTableOf(docs: DataFrame): DataFrame =
+  private def shingleTableOf(docs: DataFrame): DataFrame = {
+    import graft.functions.expressions.WordNgrams.wordNgrams
     docs
-      .select(col("doc_id"), tokens.as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"),
-        transform(sequence(lit(0), size(col("t")) - 3),
-          i => array_join(slice(col("t"), i + 1, lit(3)), " ")).as("shingles"))
+      .select(col("doc_id"), wordNgrams("text", 3).as("shingles"))
+      .filter(size(col("shingles")) >= 1)
+  }
 
   private def shingleTable(spark: SparkSession, dir: String): DataFrame =
     shingleTableOf(Tables.documents(spark, dir))
@@ -525,25 +526,25 @@ object TextOps {
   /** Winnowing document fingerprints (the MOSS scheme): all k-gram
     * rolling hashes, then the minimum of each w-hash window, deduplicated
     * — a position-robust fingerprint set for near-dup detection.
-    * Spark side computes hashes with the O(n) codegen'd
-    * [[graft.functions.expressions.RabinKarpHashes]]; the oracle
-    * recomputes every k-gram naively (mod-congruent values), so the
-    * hash-compare also proves the rolling recurrence correct.
+    * Spark side runs the fused O(n) codegen'd
+    * [[graft.functions.expressions.WinnowFingerprints]] (rolling hash +
+    * monotonic-deque window min + distinct in one primitive pass — the
+    * composed transform/slice/array_min form burned ~30 cpu-seconds at
+    * sf0.1 on boxed per-window slices); the oracle recomputes every
+    * k-gram naively (mod-congruent values), so the hash-compare also
+    * proves the rolling recurrence AND the deque window-min correct.
     */
   val winnowK = 8
   val winnowW = 4
 
   def winnowingFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.expressions.RabinKarpHashes.rollingHashes
+    import graft.functions.expressions.WinnowFingerprints.winnowFingerprints
     // rebalance: the rolling-hash + window-min compute dominates the scan;
     // a skinny source would otherwise run it on one task
     graft.ops.ScaleOps.rebalance(Tables.documents(spark, dir))
       .filter(length(col("text")) >= winnowK + winnowW - 1)
-      .select(col("doc_id"), rollingHashes("text", winnowK).as("h"))
       .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("h")) - winnowW + 1),
-          i => array_min(slice(col("h"), i, lit(winnowW)))))).as("fp"))
+        explode(winnowFingerprints("text", winnowK, winnowW)).as("fp"))
       .orderBy(col("doc_id"), col("fp"))
   }
 
@@ -643,10 +644,10 @@ object TextOps {
 
   def topBigrams(spark: SparkSession, dir: String): DataFrame =
     graft.ops.ScaleOps.rebalance(Tables.documents(spark, dir))
-      .select(tokens.as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(explode(transform(sequence(lit(0), size(col("t")) - 2),
-        i => array_join(slice(col("t"), i + 1, lit(2)), " "))).as("bigram"))
+      // fused one-pass shingler; explode drops the <2-token docs that the
+      // composed form's size(t) >= 2 filter removed
+      .select(explode(graft.functions.expressions.WordNgrams
+        .wordNgrams("text", 2)).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
@@ -680,11 +681,9 @@ object TextOps {
 
   def repetitionStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens.as("t"))
-      .filter(size(col("t")) >= repN)
-      .select(col("doc_id"),
-        transform(sequence(lit(0), size(col("t")) - repN),
-          i => array_join(slice(col("t"), i + 1, lit(repN)), " ")).as("gs"))
+      .select(col("doc_id"), graft.functions.expressions.WordNgrams
+        .wordNgrams("text", repN).as("gs"))
+      .filter(size(col("gs")) >= 1) // the composed form's size(t) >= n gate
       .select(col("doc_id"), size(col("gs")).as("n_grams"),
         size(array_distinct(col("gs"))).as("n_distinct"))
       .withColumn("dup_ratio",

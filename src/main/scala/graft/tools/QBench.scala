@@ -3,10 +3,13 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Single-query bench harness for iterating on one query's plan without
-  * paying the full 76-query sweep: `runMain graft.tools.QBench q21 q26`
+  * paying the full 94-query sweep: `runMain graft.tools.QBench q21 q26`
   * times each named query with the same session conf, warm-run, and
-  * min-of-2 discipline as [[graft.Bench]], printing per-iteration times
-  * so a warm-vs-steady gap (cache build cost) is visible.
+  * min-of-2 discipline as [[graft.Bench]], printing per-iteration wall
+  * AND process-cpu seconds so a warm-vs-steady gap (cache build cost)
+  * and a drift-vs-regression cpu signal are both visible. Timed action
+  * is the same noop-sink write as Bench (count() lets Catalyst prune
+  * derived columns and under-measures materialization).
   */
 object QBench {
   def main(args: Array[String]): Unit = {
@@ -26,14 +29,20 @@ object QBench {
       val hits = all.keys.filter(_.startsWith(a)).toSeq.sorted
       if (hits.isEmpty) { println(s"no query matches '$a'"); Nil } else hits
     }
+    val osBean = scala.util.Try(java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]).toOption
+    def cpuNanos: Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
     names.foreach { n =>
       val times = (1 to 3).map { _ =>
+        val c0 = cpuNanos
         val t0 = System.nanoTime()
-        all(n)(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        all(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        ((System.nanoTime() - t0) / 1e9, (cpuNanos - c0) / 1e9)
       }
-      println(f"$n%-28s warm=${times.head}%.3f t1=${times(1)}%.3f " +
-        f"t2=${times(2)}%.3f min=${times.tail.min}%.3f")
+      val best = times.tail.minBy(_._1)
+      println(f"$n%-28s warm=${times.head._1}%.3f t1=${times(1)._1}%.3f " +
+        f"t2=${times(2)._1}%.3f min=${best._1}%.3f cpu=${best._2}%.2f")
     }
     spark.stop()
   }

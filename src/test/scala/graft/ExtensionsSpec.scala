@@ -60,6 +60,19 @@ class ExtensionsSpec extends AnyFunSuite {
           .collect()
       }
       assert(err2.getMessage.contains("constant integer"), err2.getMessage)
+      // winnow_fingerprints: one complete window over 'abcd' with k=3,w=2
+      // → min of the two 3-gram hashes, as a single-element distinct set
+      val wf = spark.sql("SELECT winnow_fingerprints('abcd', 3, 2) AS fp")
+        .collect()(0).getSeq[Long](0)
+      assert(wf == Seq(Seq(expect._1, expect._2).min), wf)
+      val errW = intercept[Exception] {
+        spark.sql("SELECT winnow_fingerprints('abcd', 3)").collect()
+      }
+      assert(errW.getMessage.contains("exactly 3 arguments"), errW.getMessage)
+      // word_ngrams: bigrams are substrings between space boundaries
+      val ng = spark.sql("SELECT word_ngrams('a bb  c', 2) AS g")
+        .collect()(0).getSeq[String](0)
+      assert(ng == Seq("a bb", "bb ", " c"), ng)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)

@@ -81,6 +81,71 @@ class VectorAndMultimodalSpec extends SparkTestBase {
     assert(ranged.count() == 50)
   }
 
+  test("WinnowFingerprints: fused pass equals composed rolling-hash window-min, codegen'd") {
+    import graft.functions.expressions.RabinKarpHashes.rollingHashes
+    import graft.functions.expressions.WinnowFingerprints.winnowFingerprints
+    val (k, w) = (8, 4)
+    val rng = new scala.util.Random(41)
+    val words = Vector("data", "spark", "merge", "row", "join", "scan", "key")
+    val texts = (0 until 40).map(i =>
+      (0 until rng.nextInt(50)).map(_ => words(rng.nextInt(words.size))).mkString(" ")) ++
+      Seq("", "short", "x" * (k + w - 2), "y" * (k + w - 1), "z" * 500)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // composed reference: distinct-of-window-mins over the pinned rolling hasher
+    val composed = df
+      .select($"doc_id", rollingHashes("text", k).as("h"))
+      .select($"doc_id", when(size($"h") - w + 1 >= 1,
+        array_sort(array_distinct(transform(
+          sequence(lit(1), greatest(size($"h") - w + 1, lit(1))),
+          i => array_min(slice($"h", i, lit(w))))))).otherwise(
+        array().cast("array<bigint>")).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val fused = df.select($"doc_id", winnowFingerprints("text", k, w).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    for (id <- fused.keys) assert(fused(id) == composed(id), s"doc $id")
+    // boundary: exactly one complete window yields exactly one fingerprint
+    assert(fused(texts.size - 2L).size == 1)
+    assert(fused(texts.size - 3L).isEmpty) // one byte short of a window
+    // stays inside whole-stage codegen
+    val ranged = spark.range(50)
+      .select(concat(lit("prefix_prefix_"), $"id".cast("string")).as("text"))
+      .select(winnowFingerprints("text", k, w).as("fp"))
+    assert(ranged.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    assert(ranged.count() == 50)
+  }
+
+  test("WordNgrams: equals composed split/transform/slice/array_join, codegen'd") {
+    import graft.functions.expressions.WordNgrams.wordNgrams
+    val rng = new scala.util.Random(43)
+    val words = Vector("alpha", "beta", "g", "", "delta-9", "épsilon", "ζeta")
+    val random = (0 until 60).map(_ =>
+      (0 until rng.nextInt(12)).map(_ => words(rng.nextInt(words.size))).mkString(" "))
+    // the split-semantics edge cases: empties from leading/trailing/
+    // consecutive spaces, single token, empty string, multi-byte UTF-8
+    val edges = Seq("", " ", "  ", "a", "a b", " a b ", "a  b", "héllo wörld x",
+      "one two three four")
+    for (n <- Seq(1, 2, 3)) {
+      val df = (random ++ edges).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val composed = df
+        .select($"doc_id", split($"text", " ").as("t"))
+        .select($"doc_id", when(size($"t") >= n,
+          transform(sequence(lit(0), greatest(size($"t") - n, lit(0))),
+            i => array_join(slice($"t", i + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>")).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      val fused = df.select($"doc_id", wordNgrams("text", n).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      for (id <- fused.keys) assert(fused(id) == composed(id), s"n=$n doc=$id")
+    }
+    // stays inside whole-stage codegen
+    val ranged = spark.range(50)
+      .select(concat(lit("a b c "), $"id".cast("string")).as("text"))
+      .select(wordNgrams("text", 2).as("g"))
+    assert(ranged.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    assert(ranged.count() == 50)
+  }
+
   test("CentroidAggregator: avg of vectors per group, merge-safe") {
     val agg = new VectorFunctions.CentroidAggregator(2)
     val ds = Seq(
