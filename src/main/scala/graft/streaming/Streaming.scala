@@ -68,10 +68,14 @@ object Streaming {
     // fixture into one (testdata is read-only).
     val src = java.nio.file.Paths.get(dir, "events.parquet")
     // stage dir keyed by the md5 of the full path plus the sentinel
-    // variant: collision-proof, bounded length; always refreshed so a
-    // regenerated fixture is never streamed stale, and the sentinel and
+    // variant: collision-proof, bounded length; the sentinel and
     // plain flavors never share a dir (a stale sentinel file would leak
-    // a bogus far-future event into the plain stream).
+    // a bogus far-future event into the plain stream). Staging is
+    // SKIPPED when the marker proves the staged copy derives from the
+    // fixture's current (size, mtime) — a regenerated fixture restages
+    // (write changes mtime), but the every-call copy + max-ts job +
+    // sentinel-write job that used to re-run per drain (3x per benched
+    // query) are gone.
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest((dir + "#s" + sentinelHorizonHours).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
@@ -79,15 +83,45 @@ object Streaming {
       System.getProperty("java.io.tmpdir"), s"graft-events-$key")
     java.nio.file.Files.createDirectories(staged)
     val dst = staged.resolve("events.parquet")
-    java.nio.file.Files.copy(src, dst,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val raw = spark.read.parquet(dst.toString)
-    val schema = raw.schema
-    if (sentinelHorizonHours > 0)
-      stageSentinel(spark, raw, staged, sentinelHorizonHours)
+    val extra = if (sentinelHorizonHours > 0)
+      Seq(staged.resolve("zz-sentinel.parquet")) else Seq.empty
+    if (!stagedCurrent(src, staged, dst +: extra)) {
+      java.nio.file.Files.copy(src, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      if (sentinelHorizonHours > 0)
+        stageSentinel(spark, spark.read.parquet(dst.toString), staged,
+          sentinelHorizonHours)
+      writeStagedMarker(src, staged)
+    }
+    val schema = spark.read.parquet(dst.toString).schema
     graft.Tables.normalizeEventTs(
       spark.readStream.schema(schema).parquet(staged.toString))
   }
+
+  /** True when `staged`'s marker matches the fixture's current
+    * (size, mtimeMillis) and every staged file exists. The marker is
+    * written AFTER staging completes, so a crash mid-staging restages.
+    * Underscore prefix keeps it invisible to the stream's file listing
+    * (Spark skips `_`/`.`-prefixed files, like `_SUCCESS`).
+    */
+  private def stagedMarkerContent(src: java.nio.file.Path): String =
+    java.nio.file.Files.size(src) + ":" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis
+
+  private def stagedCurrent(src: java.nio.file.Path,
+      staged: java.nio.file.Path,
+      required: Seq[java.nio.file.Path]): Boolean = {
+    val marker = staged.resolve("_staged_marker")
+    java.nio.file.Files.exists(marker) &&
+      required.forall(java.nio.file.Files.exists(_)) &&
+      scala.util.Try(new String(java.nio.file.Files.readAllBytes(marker),
+        "UTF-8")).toOption.contains(stagedMarkerContent(src))
+  }
+
+  private def writeStagedMarker(src: java.nio.file.Path,
+      staged: java.nio.file.Path): Unit =
+    java.nio.file.Files.write(staged.resolve("_staged_marker"),
+      stagedMarkerContent(src).getBytes("UTF-8"))
 
   /** Write the sentinel row next to the staged fixture, in the fixture's
     * OWN raw ts shape (TIMESTAMP or legacy nanos-long — the sentinel must
@@ -152,10 +186,13 @@ object Streaming {
     java.nio.file.Files.createDirectories(staged)
     val dst1 = staged.resolve("events.parquet")
     val dst2 = staged.resolve("events-replay.parquet")
-    java.nio.file.Files.copy(src, dst1,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    java.nio.file.Files.copy(src, dst2,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    if (!stagedCurrent(src, staged, Seq(dst1, dst2))) {
+      java.nio.file.Files.copy(src, dst1,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.copy(src, dst2,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      writeStagedMarker(src, staged)
+    }
     val schema = spark.read.parquet(dst1.toString).schema
     graft.Tables.normalizeEventTs(
       spark.readStream.schema(schema).parquet(staged.toString))
