@@ -21,20 +21,28 @@ object TextOps {
   // ---------------------------------------------------------------- stats
   /** Per-document stats: chars, whitespace tokens, distinct types,
     * stopword ratio, punctuation ratio, BPE-ish subword token count.
+    * All seven counters come from the fused one-pass codegen
+    * [[graft.functions.expressions.TextStatsExpr]] (spec-pinned equal to
+    * the composed regexp_extract_all / regexp_replace / split+distinct
+    * column forms, which materialized every regex match and the stripped
+    * string just to count them); the ratios stay as Column divisions so
+    * their null/NaN semantics are untouched.
     */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     val stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is")
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      length(col("text")).as("n_chars_m"),
-      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("n_tokens"),
-      size(array_distinct(tokens)).as("n_types"),
-      (size(filter(tokens, t => t.isin(stopwords: _*))).cast("double") /
-        size(tokens).cast("double")).as("stop_ratio"),
-      (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
-        length(col("text")).cast("double")).as("punct_ratio"),
-      size(regexp_extract_all(col("text"), lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0)))
-        .as("n_bpe_tokens"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.expressions.TextStatsExpr
+        .textStats("text", stopwords).as("s"))
+      .select(
+        col("doc_id"),
+        col("s.n_chars").as("n_chars_m"),
+        col("s.n_tokens").as("n_tokens"),
+        col("s.n_types").as("n_types"),
+        (col("s.n_stop").cast("double") /
+          col("s.n_split").cast("double")).as("stop_ratio"),
+        (col("s.n_punct").cast("double") /
+          col("s.n_chars").cast("double")).as("punct_ratio"),
+        col("s.n_bpe").as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
   }
 
@@ -539,9 +547,13 @@ object TextOps {
 
   def winnowingFingerprints(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.expressions.WinnowFingerprints.winnowFingerprints
-    // rebalance: the rolling-hash + window-min compute dominates the scan;
-    // a skinny source would otherwise run it on one task
-    graft.ops.ScaleOps.rebalance(Tables.documents(spark, dir))
+    // No rebalance: the fused fingerprint pass is ~4 cpu-s over the sf0.1
+    // corpus (scan-class), and the repartition's round-robin shuffle of
+    // the text bytes COSTS 3.6x the compute's cpu (measured 4.1 -> 14.8
+    // cpu-s, equal wall) — the rebalance paid for itself only against the
+    // pre-fusion boxed window-min. At cluster scale the scan is wide and
+    // the question vanishes.
+    Tables.documents(spark, dir)
       .filter(length(col("text")) >= winnowK + winnowW - 1)
       .select(col("doc_id"),
         explode(winnowFingerprints("text", winnowK, winnowW)).as("fp"))
@@ -643,9 +655,12 @@ object TextOps {
   val topBigramsK = 25
 
   def topBigrams(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.ScaleOps.rebalance(Tables.documents(spark, dir))
-      // fused one-pass shingler; explode drops the <2-token docs that the
-      // composed form's size(t) >= 2 filter removed
+    // Fused one-pass shingler; explode drops the <2-token docs that the
+    // composed form's size(t) >= 2 filter removed. No rebalance: emission
+    // + the map-side partial count are scan-class after the fusion, and
+    // the repartition costs 10x the compute's cpu for no wall gain
+    // (measured 0.40 s/1.3 cpu plain vs 0.81 s/13.8 cpu rebalanced).
+    Tables.documents(spark, dir)
       .select(explode(graft.functions.expressions.WordNgrams
         .wordNgrams("text", 2)).as("bigram"))
       .groupBy(col("bigram"))

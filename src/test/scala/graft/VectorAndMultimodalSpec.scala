@@ -146,6 +146,51 @@ class VectorAndMultimodalSpec extends SparkTestBase {
     assert(ranged.count() == 50)
   }
 
+  test("TextStatsExpr: fused counters equal the composed regex/split column forms, codegen'd") {
+    import graft.functions.expressions.TextStatsExpr.textStats
+    val stops = Seq("the", "a", "an", "of", "and", "to", "in", "is")
+    val rng = new scala.util.Random(47)
+    val pieces = Vector("the", "a", "Data", "spark2", "x;y", "!!", "9", "42",
+      "épsilon", "ζeta", "", "MERGE-9a", "of", "..", "a1b2")
+    val random = (0 until 80).map(_ =>
+      (0 until rng.nextInt(15)).map(_ => pieces(rng.nextInt(pieces.size)))
+        .mkString(" "))
+    // regex-adversarial edges: bare/double/leading/trailing spaces,
+    // category flips without separators, pure punctuation, multi-byte
+    val edges = Seq("", " ", "  ", "   ", "a", "a ", " a", "a  b", "ab3cd!e",
+      "ABC", "a1! b2? c3.", "héllo wörld", "...", "9 9  9", "the the the",
+      "tab\there\nnewline", "mixedCASE09;")
+    val df = (random ++ edges).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val toks = split($"text", " ")
+    val composed = df.select($"doc_id",
+      length($"text").as("c1"),
+      size(regexp_extract_all($"text", lit("\\S+"), lit(0))).as("c2"),
+      size(array_distinct(toks)).as("c3"),
+      size(filter(toks, t => t.isin(stops: _*))).as("c4"),
+      size(toks).as("c5"),
+      length(regexp_replace($"text", "[a-z0-9 ]", "")).as("c6"),
+      size(regexp_extract_all($"text", lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"),
+        lit(0))).as("c7"))
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6, r._7, r._8)).toMap
+    val fused = df.select($"doc_id", textStats("text", stops).as("s"))
+      .select($"doc_id", $"s.n_chars", $"s.n_tokens", $"s.n_types",
+        $"s.n_stop", $"s.n_split", $"s.n_punct", $"s.n_bpe")
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6, r._7, r._8)).toMap
+    val texts = (random ++ edges)
+    for (id <- fused.keys.toSeq.sorted)
+      assert(fused(id) == composed(id),
+        s"doc $id text='${texts(id.toInt)}': fused=${fused(id)} composed=${composed(id)}")
+    // stays inside whole-stage codegen
+    val ranged = spark.range(50)
+      .select(concat(lit("a b!3 "), $"id".cast("string")).as("text"))
+      .select(textStats("text", stops).as("s"))
+    assert(ranged.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    assert(ranged.count() == 50)
+  }
+
   test("CentroidAggregator: avg of vectors per group, merge-safe") {
     val agg = new VectorFunctions.CentroidAggregator(2)
     val ds = Seq(
