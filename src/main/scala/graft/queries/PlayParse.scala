@@ -64,20 +64,20 @@ object PlayParse {
     * projection preserves the sort order).
     */
   def playParse(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{PlayFunctions => PF}
-    val p = col("play")
+    // The fused one-pass parse ([[graft.functions.expressions.PlayParsed]],
+    // spec-pinned field-equal to the composed PlayFunctions columns, which
+    // remain the public per-field surface): the composed ten-column
+    // projection re-split the play per column — the F9 branches sit inside
+    // CaseWhen arms codegen's subexpression elimination does not share —
+    // at ~56 cpu-seconds on the 10x fixture.
+    import graft.functions.expressions.PlayParsed.playParsed
     synthesize(spark, dir)
       .orderBy(col("game_id"))
-      .withColumn("time_remaining", PF.timeRemaining(p))
-      .withColumn("quarter", PF.quarter(p))
-      .withColumn("shots_by", PF.shotsBy(p))
-      .withColumn("outcome", PF.outcome(p))
-      .withColumn("attempt", PF.attempt(p))
-      .withColumn("distance", PF.distance(p))
-      .withColumn("team", PF.team(p))
-      .withColumn("winner_score", PF.winnerScore(col("winner"), col("team"), p))
-      .withColumn("loser_score", PF.loserScore(col("loser"), col("team"), p))
-      .drop("play")
+      .withColumn("s", playParsed(col("play"), col("winner"), col("loser")))
+      .select(col("game_id"), col("winner"), col("loser"),
+        col("s.time_remaining"), col("s.quarter"), col("s.shots_by"),
+        col("s.outcome"), col("s.attempt"), col("s.distance"), col("s.team"),
+        col("s.winner_score"), col("s.loser_score"))
   }
 
   /** Oracle: expected values derived straight from the synthesis params. */

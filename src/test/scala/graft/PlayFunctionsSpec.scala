@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.PlayFunctions._
 import graft.ingest.Ingest
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 
 /** Table-driven parity tests for F1–F9 against the play grammar
   * (FIXTURES.md A3), covering every branch of the score parser:
@@ -116,6 +116,70 @@ class PlayFunctionsSpec extends SparkTestBase {
     assert(r.isNullAt(r.fieldIndex("winner_score")))
     val r2 = parseOne("A", "B", "")
     assert(r2.isNullAt(r2.fieldIndex("winner_score")))
+  }
+
+  test("PlayParsed: fused one-pass parse equals the composed F1-F9 columns, field by field") {
+    import graft.functions.expressions.PlayParsed.playParsed
+    val grammar = for {
+      (t, phrase, winnerIsTeam) <- f9Cases
+      score <- Seq("10-15", "0-0", "150-3")
+    } yield {
+      val (w, l) = if (winnerIsTeam) (t, "Opponent") else ("Opponent", t)
+      (w, l, play(t, phrase, score))
+    }
+    val dirty = Seq[(String, String, String)](
+      ("A", "B", "garbage no segments"),
+      ("A", "B", ""),
+      ("A", "B", " "),
+      ("A", "B", "one<br>two"),
+      ("A", "B", "<br><br>"),
+      ("A", "B", "1st Q<br>x<br>"),
+      ("A", "B", "q<br>Solo<br>Boston leads 10"), // dash-less score
+      ("A", "B", "q<br>a b<br>LA"), // two-word city with no second token
+      ("A", "B", "q<br>made missed 2-pointer 3-pointer<br>Boston tied 7-9"),
+      ("A", "B", "q<br>nothing to extract here<br>Boston mumbles 1-2"),
+      ("A", "B", "q<br>x<br>New York now leads 33-44"),
+      (null, "B", play("Boston", "leads")), // null winner → B side
+      ("A", null, play("LA Lakers", "now trails")),
+      (null, null, play("Boston", "tied")))
+    val df = (grammar ++ dirty).zipWithIndex
+      .map { case ((w, l, p), i) => (i.toLong, w, l, p) }
+      .toDF("id", "winner", "loser", "play")
+    val p = col("play")
+    val composed = df
+      .withColumn("team", team(p))
+      .select(col("id"), timeRemaining(p), quarter(p), shotsBy(p),
+        outcome(p), attempt(p), distance(p), col("team"),
+        winnerScore(col("winner"), col("team"), p),
+        loserScore(col("loser"), col("team"), p))
+      .collect().map(r => r.getLong(0) ->
+        (1 to 9).map(i => if (r.isNullAt(i)) null else r.getString(i))).toMap
+    val fused = df
+      .select(col("id"), playParsed(p, col("winner"), col("loser")).as("s"))
+      .select(col("id"), col("s.time_remaining"), col("s.quarter"),
+        col("s.shots_by"), col("s.outcome"), col("s.attempt"),
+        col("s.distance"), col("s.team"), col("s.winner_score"),
+        col("s.loser_score"))
+      .collect().map(r => r.getLong(0) ->
+        (1 to 9).map(i => if (r.isNullAt(i)) null else r.getString(i))).toMap
+    val all = (grammar ++ dirty)
+    for (id <- fused.keys.toSeq.sorted)
+      assert(fused(id) == composed(id),
+        s"case $id ${all(id.toInt)}: fused=${fused(id)} composed=${composed(id)}")
+    // null play → whole struct null (composed: each column null)
+    val np = Seq((1L, null.asInstanceOf[String], "W", "L"))
+      .toDF("id", "play", "winner", "loser")
+      .select(playParsed(col("play"), col("winner"), col("loser")).as("s"))
+      .collect()(0)
+    assert(np.isNullAt(0))
+    // stays inside whole-stage codegen
+    val ranged = spark.range(50)
+      .select(concat(lit("1st Q, 0:0"), col("id").cast("string"),
+        lit(".0 remaining<br>A B made 2-pointer from 5 ft<br>Boston leads 1-2"))
+        .as("play"))
+      .select(playParsed(col("play"), lit("Boston"), lit("X")).as("s"))
+    assert(ranged.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    assert(ranged.count() == 50)
   }
 
   test("typed layer: typed twins added, legacy string columns untouched") {
