@@ -94,16 +94,24 @@ object Ingest {
       .selectExpr("CAST(key AS STRING)", "CAST(value AS STRING)")
       .withColumn("parsed_value", from_json(col("value"), shotJsonSchema))
       .select("parsed_value.*")
+    // Fused single-pass parse (spec-pinned field-equal to the composed
+    // PlayFunctions columns, incl. dirty-input degradation): the composed
+    // ten-column projection re-split the play per column. Output column
+    // names and order are unchanged (FIXTURES.md A3 schema parity).
+    val s = graft.functions.expressions.PlayParsed
+      .playParsed(col("play"), col("winner"), col("loser"))
     parsed
-      .withColumn("time_remaining", PF.timeRemaining(col("play")))
-      .withColumn("quarter", PF.quarter(col("play")))
-      .withColumn("shots_by", PF.shotsBy(col("play")))
-      .withColumn("outcome", PF.outcome(col("play")))
-      .withColumn("attempt", PF.attempt(col("play")))
-      .withColumn("distance", PF.distance(col("play")))
-      .withColumn("team", PF.team(col("play")))
-      .withColumn("winner_score", PF.winnerScore(col("winner"), col("team"), col("play")))
-      .withColumn("loser_score", PF.loserScore(col("loser"), col("team"), col("play")))
+      .withColumn("__p", s)
+      .withColumn("time_remaining", col("__p.time_remaining"))
+      .withColumn("quarter", col("__p.quarter"))
+      .withColumn("shots_by", col("__p.shots_by"))
+      .withColumn("outcome", col("__p.outcome"))
+      .withColumn("attempt", col("__p.attempt"))
+      .withColumn("distance", col("__p.distance"))
+      .withColumn("team", col("__p.team"))
+      .withColumn("winner_score", col("__p.winner_score"))
+      .withColumn("loser_score", col("__p.loser_score"))
+      .drop("__p")
   }
 
   /** Single-pass data-quality metrics via the Observation API: malformed
