@@ -222,7 +222,12 @@ class PlanShapeSpec extends SparkTestBase {
             "exchange's sampling pass will execute it twice:\n" + s)
       }
     }
-    check("q07_play_parse", classOf[RegExpExtract], "the play parse")
+    // r17: the parse is the fused PlayParsed struct expression (one
+    // evaluation per row); the pinned invariant is unchanged — the parse
+    // must sit ABOVE the global sort, or the range exchange's sampling
+    // pass executes it twice.
+    check("q07_play_parse",
+      classOf[graft.functions.expressions.PlayParsed], "the play parse")
     check("q17_json_extract", classOf[GetJsonObject], "the JSON extract")
   }
 
