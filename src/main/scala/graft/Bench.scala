@@ -115,6 +115,27 @@ object Bench {
       val keptCpu = if (a <= x) aCpu else xCpu
       (w, math.min(a, x), keptDelta, keptCpu)
     }
+    // Host-speed calibration (r17): a fixed single-thread xorshift loop
+    // timed before and after the sweep. On a VM the host's clock /
+    // noisy-neighbor state drifts BETWEEN rounds — measured ±40% on
+    // identical code within one day — and neither loadavg (local only)
+    // nor cpu-seconds (which inflate with the clock) can see it. Two
+    // artifacts whose calib values differ are comparable only after
+    // scaling; a calib drift inside one run flags the run itself.
+    def calibOnce(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var s = 0L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < 200000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; s += x; i += 1
+      }
+      val d = (System.nanoTime() - t0) / 1e9
+      if (s == 42L) print("") // defeat dead-code elimination
+      d
+    }
+    def calib(): Double = { calibOnce(); math.min(calibOnce(), calibOnce()) }
+    val calibBefore = calib()
     val perLoad = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val retimed = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val perCpu = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -144,6 +165,7 @@ object Bench {
       if (lEnd > loadMax) loadMax = lEnd
       n -> best
     }
+    val calibAfter = calib()
     val loadContaminated = loadMax > loadThresh
     val loadavg = scala.util.Try(
       new String(java.nio.file.Files.readAllBytes(
@@ -172,6 +194,8 @@ object Bench {
       s""""load_per_query":$loadJson,"load_max":${fmtLoad(loadMax)},""" +
       s""""load_threshold":${fmtLoad(loadThresh)},"retimed":$retimedJson,""" +
       s""""cache_build":$cacheBuildJson,""" +
+      s""""calib_before_s":${"%.3f".format(calibBefore)},""" +
+      s""""calib_after_s":${"%.3f".format(calibAfter)},""" +
       s""""load_contaminated":$loadContaminated,"iterations":2,""" +
       s""""action":"noop_write","sf":"$sfDir"}"""
     println(line)
