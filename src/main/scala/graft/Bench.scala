@@ -172,7 +172,13 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg"))).trim.split(" ").take(3)
         .mkString(" ")).getOrElse("unknown")
     def js(s: String): String = JsonEscape(s)
-    def fmtLoad(v: Double): String = "%.2f".format(v)
+    // Locale.ROOT: scala's "%.2f".format uses the JVM default locale —
+    // a comma-decimal locale would emit 0,52 and break the JSON artifact
+    def fmt2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def fmt3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def fmtLoad(v: Double): String = fmt2(v)
     val qs = results.map { case (k, v) => js(k) + ":" + v }
       .mkString("{", ",", "}")
     val loadJson = perLoad.map { case (k, v) => js(k) + ":" + fmtLoad(v) }
@@ -183,19 +189,19 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => js(k) + ":" + js(v) }
       .mkString("{", ",", "}")
-    val cpuJson = perCpu.map { case (k, v) => js(k) + ":" + "%.2f".format(v) }
+    val cpuJson = perCpu.map { case (k, v) => js(k) + ":" + fmt2(v) }
       .mkString("{", ",", "}")
     val cpuTotal = perCpu.values.filter(_ >= 0).sum
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""cpu_seconds":$cpuJson,"cpu_total":${"%.2f".format(cpuTotal)},""" +
+      s""""cpu_seconds":$cpuJson,"cpu_total":${fmt2(cpuTotal)},""" +
       s""""n_errors":${errors.size},"errors":$errJson,""" +
       s""""loadavg":${js(loadavg)},"load_before":$loadBefore,""" +
       s""""load_per_query":$loadJson,"load_max":${fmtLoad(loadMax)},""" +
       s""""load_threshold":${fmtLoad(loadThresh)},"retimed":$retimedJson,""" +
       s""""cache_build":$cacheBuildJson,""" +
-      s""""calib_before_s":${"%.3f".format(calibBefore)},""" +
-      s""""calib_after_s":${"%.3f".format(calibAfter)},""" +
+      s""""calib_before_s":${fmt3(calibBefore)},""" +
+      s""""calib_after_s":${fmt3(calibAfter)},""" +
       s""""load_contaminated":$loadContaminated,"iterations":2,""" +
       s""""action":"noop_write","sf":"$sfDir"}"""
     println(line)
@@ -203,7 +209,7 @@ object Bench {
     // log tail (BENCH_r04 lost its total that way). Repeat the headline
     // numbers compactly LAST so any tail window catches them.
     println(s"""{"metric":"total_compact","value":$total,"unit":"sec",""" +
-      s""""cpu_total":${"%.2f".format(cpuTotal)},""" +
+      s""""cpu_total":${fmt2(cpuTotal)},""" +
       s""""n_queries":${names.size},"n_errors":${errors.size},""" +
       s""""loadavg":${js(loadavg)},"load_max":${fmtLoad(loadMax)},""" +
       s""""n_retimed":${retimed.size},""" +

@@ -36,24 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (children.size != 2)
           throw new IllegalArgumentException(
             s"rolling_hashes requires exactly 2 arguments, got ${children.size}")
-        // accept any constant-foldable integral k — CAST(3 AS BIGINT),
-        // 2+1, a SMALLINT literal — not just a bare IntegerType Literal
-        import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
-        val kExpr = children(1)
-        val k = kExpr.dataType match {
-          case ByteType | ShortType | IntegerType | LongType if kExpr.foldable =>
-            kExpr.eval() match {
-              case null => throw new IllegalArgumentException(
-                "rolling_hashes: k must not be NULL")
-              case v: Number => v.longValue()
-            }
-          case _ => throw new IllegalArgumentException(
-            "rolling_hashes: k must be a constant integer expression")
-        }
-        if (k < 1 || k > Int.MaxValue)
-          throw new IllegalArgumentException(
-            s"rolling_hashes: k out of range: $k")
-        RabinKarpHashes(children(0), k.toInt)
+        RabinKarpHashes(children(0),
+          constIntArg("rolling_hashes", "k", children(1)))
       }))
     ext.injectFunction((
       new FunctionIdentifier("winnow_fingerprints"),
@@ -62,10 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (children.size != 3)
           throw new IllegalArgumentException(
             s"winnow_fingerprints requires exactly 3 arguments, got ${children.size}")
-        val Seq(k, w) = children.drop(1).zipWithIndex.map { case (e, i) =>
-          constIntArg("winnow_fingerprints", if (i == 0) "k" else "w", e)
-        }
-        WinnowFingerprints(children(0), k, w)
+        WinnowFingerprints(children(0),
+          constIntArg("winnow_fingerprints", "k", children(1)),
+          constIntArg("winnow_fingerprints", "w", children(2)))
       }))
     ext.injectFunction((
       new FunctionIdentifier("word_ngrams"),
@@ -78,7 +61,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
   }
 
-  /** Constant-foldable integral argument, any integer width. */
+  /** Constant-foldable integral argument, any integer width — CAST(3 AS
+    * BIGINT), 2+1, a SMALLINT literal — not just a bare IntegerType
+    * Literal. Shared by every injected function's builder. */
   private def constIntArg(fn: String, name: String, e: Expression): Int = {
     import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
     val v = e.dataType match {

@@ -69,7 +69,9 @@ object WinnowFingerprints {
     * (no complete window exists). */
   def compute(s: UTF8String, k: Int, w: Int): Array[Long] = {
     val n = s.numBytes()
-    if (n < k + w - 1) return Array.emptyLongArray
+    // long arithmetic: SQL-supplied k/w near Int.MaxValue must take the
+    // empty branch here, not overflow past the guard and spin/crash
+    if (n.toLong < k.toLong + w.toLong - 1L) return Array.emptyLongArray
     // B^(k-1) mod M for the rolling eviction term
     var bPow = 1L
     var j = 0

@@ -86,12 +86,16 @@ object Streaming {
     val extra = if (sentinelHorizonHours > 0)
       Seq(staged.resolve("zz-sentinel.parquet")) else Seq.empty
     if (!stagedCurrent(src, staged, dst +: extra)) {
+      // Marker content captured BEFORE the copy: a fixture regenerated
+      // mid-staging must leave a MISMATCHED marker (so the next call
+      // restages), never a marker describing bytes we did not stage.
+      val marker = stagedMarkerContent(src)
       java.nio.file.Files.copy(src, dst,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       if (sentinelHorizonHours > 0)
         stageSentinel(spark, spark.read.parquet(dst.toString), staged,
           sentinelHorizonHours)
-      writeStagedMarker(src, staged)
+      writeStagedMarker(marker, staged)
     }
     val schema = spark.read.parquet(dst.toString).schema
     graft.Tables.normalizeEventTs(
@@ -118,10 +122,10 @@ object Streaming {
         "UTF-8")).toOption.contains(stagedMarkerContent(src))
   }
 
-  private def writeStagedMarker(src: java.nio.file.Path,
+  private def writeStagedMarker(content: String,
       staged: java.nio.file.Path): Unit =
     java.nio.file.Files.write(staged.resolve("_staged_marker"),
-      stagedMarkerContent(src).getBytes("UTF-8"))
+      content.getBytes("UTF-8"))
 
   /** Write the sentinel row next to the staged fixture, in the fixture's
     * OWN raw ts shape (TIMESTAMP or legacy nanos-long — the sentinel must
@@ -187,11 +191,12 @@ object Streaming {
     val dst1 = staged.resolve("events.parquet")
     val dst2 = staged.resolve("events-replay.parquet")
     if (!stagedCurrent(src, staged, Seq(dst1, dst2))) {
+      val marker = stagedMarkerContent(src) // pre-copy capture, as above
       java.nio.file.Files.copy(src, dst1,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       java.nio.file.Files.copy(src, dst2,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      writeStagedMarker(src, staged)
+      writeStagedMarker(marker, staged)
     }
     val schema = spark.read.parquet(dst1.toString).schema
     graft.Tables.normalizeEventTs(

@@ -41,8 +41,11 @@ object QBench {
         ((System.nanoTime() - t0) / 1e9, (cpuNanos - c0) / 1e9)
       }
       val best = times.tail.minBy(_._1)
+      // cpu printed only when the MX bean resolved — a failed cast would
+      // otherwise read as a phantom cpu=0.00 measurement
+      val cpuStr = if (osBean.isDefined) f"cpu=${best._2}%.2f" else "cpu=n/a"
       println(f"$n%-28s warm=${times.head._1}%.3f t1=${times(1)._1}%.3f " +
-        f"t2=${times(2)._1}%.3f min=${best._1}%.3f cpu=${best._2}%.2f")
+        f"t2=${times(2)._1}%.3f min=${best._1}%.3f " + cpuStr)
     }
     spark.stop()
   }
