@@ -73,6 +73,12 @@ class ExtensionsSpec extends AnyFunSuite {
       val ng = spark.sql("SELECT word_ngrams('a bb  c', 2) AS g")
         .collect()(0).getSeq[String](0)
       assert(ng == Seq("a bb", "bb ", " c"), ng)
+      // overflow edge: k+w near Int.MaxValue must take the empty branch
+      // (the guard is long arithmetic), never spin or throw
+      val big = spark.sql(
+        "SELECT winnow_fingerprints('abcdefgh', 2147483647, 2) AS fp")
+        .collect()(0).getSeq[Long](0)
+      assert(big.isEmpty, big)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
