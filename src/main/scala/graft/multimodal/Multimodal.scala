@@ -449,7 +449,12 @@ object Multimodal {
     * bucket-PRUNED to the ok keys' own buckets ([[graft.merge.MergeTable
     * .readBuckets]], bucketing validated against the table's `_meta`) —
     * per-batch cost is O(delta + touched buckets),
-    * never O(table), on the write AND read side. Both staging dirs are
+    * never O(table), on the write AND read side. The main-table merge
+    * and the quarantine chain run CONCURRENTLY per batch (r18): they
+    * write disjoint tables and both read only the immutable norm stage,
+    * so the batch's wall floor is max(main merge, quarantine chain)
+    * instead of their sum — crash-interleaving analysis at the fork
+    * point in the body. Both staging dirs are
     * batch-scoped and removed on completion, so a long-running drain
     * leaves no per-batch debris (a replayed batch rewrites them with
     * mode overwrite before any read, so cleanup is never load-bearing).
@@ -491,9 +496,17 @@ object Multimodal {
       quarTable: String, nBuckets: Int, scratch: String,
       seq: Long = 0L,
       // perf-attribution seam (tools/DrainProbe): called with (phase,
-      // elapsed nanos) after each of the route's four eager stages —
-      // default is a no-op, zero cost in the production path
-      probe: (String, Long) => Unit = (_, _) => ()): Unit = {
+      // elapsed nanos) after each of the route's eager stages —
+      // default is a no-op, zero cost in the production path. The
+      // main_merge phase OVERLAPS the quarantine-chain phases (see
+      // below), so per-phase wall times can sum past the route's wall.
+      probe: (String, Long) => Unit = (_, _) => (),
+      // crash-drill seam (specs only): called with "main_merge" /
+      // "quar_chain" at the START of each overlapped chain, in that
+      // chain's thread. A spec throws from it to plant a crash with a
+      // chosen interleaving (e.g. quarantine committed, main not) —
+      // unreachable any other way now that the chains run concurrently.
+      crashSeam: String => Unit = _ => ()): Unit = {
     val spark = decoded.sparkSession
     def timed[A](phase: String)(body: => A): A = {
       val t0 = System.nanoTime()
@@ -584,76 +597,130 @@ object Multimodal {
     }
     val one = spark.read.schema(norm0.schema).parquet(scratch + "__norm")
     val ok = one.filter(col("error").isNull)
-    val okAffected = timed("main_merge") {
-      mergeUnlessVacuous(ok.drop("error"), mainTable, "main",
-        observedBuckets(normObs, "ok_buckets", ok))
-    }
-    val newQuar = one.filter(col("error").isNotNull)
-      .select(col("media_id"), col("media_type"), col("error"))
-      .withColumn("status", lit("quarantined"))
+    // the ok side's bucket set, observed for free on the norm stage —
+    // computed ONCE here because both overlapped chains below need it:
+    // the main merge's knownAffected AND the resolved-side read pruning
+    val okObserved = observedBuckets(normObs, "ok_buckets", ok)
     val quarExists = exists(quarTable)
-    // resolved side reads ONLY the quarantine buckets the batch's ok
-    // keys hash to — a key can only match inside its own bucket (both
-    // tables share the media_id/nBuckets bucketing), so the pruned read
-    // sees every possible resolution while per-batch read cost stays
-    // O(touched buckets) even when the quarantine table is data-scale.
-    // The bucket set is the main merge's own affected set, already
-    // computed — no extra job. An ok delta routed while the main merge
-    // was skipped can only be EMPTY (mergeUnlessVacuous skips only when
-    // the table is absent AND the delta is empty), so an empty set here
-    // always means "nothing can resolve".
-    val okBuckets = if (quarExists) okAffected.toSet else Set.empty[Int]
-    val resolved =
-      if (!quarExists || okBuckets.isEmpty)
-        newQuar.limit(0) // nothing to resolve
-      else ok.join(
-        graft.merge.MergeTable.readBuckets(spark, quarTable, okBuckets,
-            keys = Seq("media_id"), nBuckets = nBuckets)
-          .filter(col("status") === lit("quarantined")).select("media_id"),
-        Seq("media_id"), "left_semi")
-        .select(col("media_id"), col("media_type"))
-        .withColumn("error", lit(null).cast("string"))
-        .withColumn("status", lit("resolved"))
-    val qdelta = newQuar.unionByName(resolved)
-      .withColumn("routed_seq", lit(seq))
-    val qObs = org.apache.spark.sql.Observation()
-    timed("qdelta_stage") {
-      qdelta.observe(qObs, collect_set(bucketCol).as("q_buckets"),
-          collect_set(when(col("status") === lit("resolved"), bucketCol))
-            .as("resolved_buckets"))
-        .write.mode("overwrite").parquet(scratch)
+    // The main-table merge and the quarantine chain OVERLAP from here
+    // (r17 BUILD_NOTES addendum #7, shipped r18): they write DISJOINT
+    // tables (main vs quarantine + its sidecar, each with its own
+    // `__staging` dir), both read only the immutable `scratch__norm`
+    // stage, and the quarantine chain's only former dependency on the
+    // main merge — the resolved-side bucket pruning — uses the
+    // norm-stage's OBSERVED ok-bucket set, which equals the merge's
+    // affected set by construction (knownAffected is returned verbatim;
+    // a skipped merge ⇔ an empty ok delta ⇔ an empty observed set).
+    // Crash interleavings stay replay-idempotent in BOTH new orders:
+    //  - quar committed / main not: the replayed resolved-side semi-join
+    //    finds the key already 'resolved' (filter keeps only
+    //    'quarantined'), emits nothing new; the main merge replays
+    //    delta-wins to the same state.
+    //  - main committed / quar not: ok ∩ newQuar = ∅ by error-wins
+    //    normalization, so the replayed quarantine delta is the same
+    //    frame; the sidecar union stays a superset (hint contract).
+    // The drain floor was two SEQUENTIAL staged rewrites (~0.5-0.8 s
+    // main + ~1.0-1.5 s quarantine chain at sf0.1); overlapping them
+    // hides the shorter under the longer.
+    val mainChain: () => Unit = () => {
+      crashSeam("main_merge")
+      timed("main_merge") {
+        mergeUnlessVacuous(ok.drop("error"), mainTable, "main", okObserved)
+      }
     }
-    // Record which buckets gained `resolved` tombstones — the sidecar
-    // [[quarantineRetire]] prunes its find phase with. Rides the qdelta
-    // write as a second observed aggregate (zero extra jobs), and is
-    // unioned in BEFORE the quarantine merge so a crash between the two
-    // leaves the sidecar a SUPERSET of on-disk resolved buckets (the
-    // hint contract — an over-wide hint costs a few extra dirs in the
-    // find scan, an under-wide one would strand tombstones). Replays
-    // re-add the same ids: the union is idempotent.
-    timed("sidecar") {
-      val resolvedBuckets = observedBuckets(qObs, "resolved_buckets",
-        spark.read.schema(qdelta.schema).parquet(scratch)
-          .filter(col("status") === lit("resolved"))).toSet
-      if (resolvedBuckets.nonEmpty)
-        addResolvedBuckets(spark, quarTable, resolvedBuckets)
+    val quarChain: () => Unit = () => {
+      crashSeam("quar_chain")
+      val newQuar = one.filter(col("error").isNotNull)
+        .select(col("media_id"), col("media_type"), col("error"))
+        .withColumn("status", lit("quarantined"))
+      // resolved side reads ONLY the quarantine buckets the batch's ok
+      // keys hash to — a key can only match inside its own bucket (both
+      // tables share the media_id/nBuckets bucketing), so the pruned read
+      // sees every possible resolution while per-batch read cost stays
+      // O(touched buckets) even when the quarantine table is data-scale.
+      // The bucket set rode the norm-stage write as an observation — no
+      // extra job — and the read happens BEFORE this chain's own merge
+      // touches the table (single-writer discipline, unchanged by the
+      // overlap: the MAIN merge never reads or writes the quarantine
+      // table).
+      val okBuckets = if (quarExists) okObserved.toSet else Set.empty[Int]
+      val resolved =
+        if (!quarExists || okBuckets.isEmpty)
+          newQuar.limit(0) // nothing to resolve
+        else ok.join(
+          graft.merge.MergeTable.readBuckets(spark, quarTable, okBuckets,
+              keys = Seq("media_id"), nBuckets = nBuckets)
+            .filter(col("status") === lit("quarantined")).select("media_id"),
+          Seq("media_id"), "left_semi")
+          .select(col("media_id"), col("media_type"))
+          .withColumn("error", lit(null).cast("string"))
+          .withColumn("status", lit("resolved"))
+      val qdelta = newQuar.unionByName(resolved)
+        .withColumn("routed_seq", lit(seq))
+      val qObs = org.apache.spark.sql.Observation()
+      timed("qdelta_stage") {
+        qdelta.observe(qObs, collect_set(bucketCol).as("q_buckets"),
+            collect_set(when(col("status") === lit("resolved"), bucketCol))
+              .as("resolved_buckets"))
+          .write.mode("overwrite").parquet(scratch)
+      }
+      // Record which buckets gained `resolved` tombstones — the sidecar
+      // [[quarantineRetire]] prunes its find phase with. Rides the qdelta
+      // write as a second observed aggregate (zero extra jobs), and is
+      // unioned in BEFORE the quarantine merge so a crash between the two
+      // leaves the sidecar a SUPERSET of on-disk resolved buckets (the
+      // hint contract — an over-wide hint costs a few extra dirs in the
+      // find scan, an under-wide one would strand tombstones). Replays
+      // re-add the same ids: the union is idempotent.
+      timed("sidecar") {
+        val resolvedBuckets = observedBuckets(qObs, "resolved_buckets",
+          spark.read.schema(qdelta.schema).parquet(scratch)
+            .filter(col("status") === lit("resolved"))).toSet
+        if (resolvedBuckets.nonEmpty)
+          addResolvedBuckets(spark, quarTable, resolvedBuckets)
+      }
+      timed("quar_merge") {
+        mergeUnlessVacuous(
+          spark.read.schema(qdelta.schema).parquet(scratch), quarTable, "quar",
+          observedBuckets(qObs, "q_buckets",
+            spark.read.schema(qdelta.schema).parquet(scratch)))
+        // Stamp a table the route just CREATED with an empty sidecar:
+        // "sidecar present" then unambiguously means "every resolved row
+        // ever merged is recorded", so addResolvedBuckets never has to
+        // fall back to the conservative all-buckets seed for this table.
+        // A freshly created table holds no resolved rows (resolution
+        // requires the table to have existed at batch start). Crash
+        // between merge and stamp leaves sidecar-absent = the safe
+        // pre-sidecar fallback, a perf nit only.
+        if (!quarExists && exists(quarTable) &&
+            readResolvedBuckets(spark, quarTable).isEmpty)
+          writeResolvedBuckets(spark, quarTable, Set.empty)
+      }
     }
-    timed("quar_merge") {
-      mergeUnlessVacuous(
-        spark.read.schema(qdelta.schema).parquet(scratch), quarTable, "quar",
-        observedBuckets(qObs, "q_buckets",
-          spark.read.schema(qdelta.schema).parquet(scratch)))
-      // Stamp a table the route just CREATED with an empty sidecar:
-      // "sidecar present" then unambiguously means "every resolved row
-      // ever merged is recorded", so addResolvedBuckets never has to
-      // fall back to the conservative all-buckets seed for this table.
-      // A freshly created table holds no resolved rows (resolution
-      // requires the table to have existed at batch start). Crash
-      // between merge and stamp leaves sidecar-absent = the safe
-      // pre-sidecar fallback, a perf nit only.
-      if (!quarExists && exists(quarTable) &&
-          readResolvedBuckets(spark, quarTable).isEmpty)
-        writeResolvedBuckets(spark, quarTable, Set.empty)
+    // Run the shorter main merge on a named thread, the quarantine chain
+    // inline, then join BEFORE any cleanup or rethrow — an exception in
+    // one chain must never leave the other mid-write while the caller
+    // (e.g. a replaying drain) moves on. Spark jobs from both threads
+    // share the session safely (per-thread job submission is a supported
+    // SparkContext contract). Failures compose: if both chains fail the
+    // quarantine chain's error carries the main merge's as suppressed;
+    // either failure aborts the batch, and the replay re-runs both
+    // chains idempotently (see interleaving note above).
+    val mainErr =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val mainThread = new Thread(
+      () => try mainChain() catch { case e: Throwable => mainErr.set(e) },
+      "graft-route-main-merge")
+    mainThread.start()
+    val quarErr =
+      try { quarChain(); None }
+      catch { case scala.util.control.NonFatal(e) => Some(e) }
+    mainThread.join()
+    (Option(mainErr.get), quarErr) match {
+      case (Some(m), Some(q)) => q.addSuppressed(m); throw q
+      case (Some(m), None) => throw m
+      case (None, Some(q)) => throw q
+      case (None, None) => ()
     }
     // batch-scoped staging dirs: every consumer above has EXECUTED (the
     // merges are eager — collect, staged write, renames), so the dirs

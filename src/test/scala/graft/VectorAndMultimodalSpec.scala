@@ -1096,4 +1096,99 @@ class VectorAndMultimodalSpec extends SparkTestBase {
     } finally scala.util.Try(org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(base)))
   }
+
+  test("quarantineRoute overlap: a crash leaving EITHER chain committed " +
+      "without the other replays to the exact clean-run state") {
+    // r18: the main merge and the quarantine chain overlap, which makes
+    // two interleavings reachable that the sequential route could never
+    // produce — (a) quarantine committed (incl. a RESOLUTION tombstone)
+    // while the repaired meta never reached main, and (b) main committed
+    // while the corruption/resolution never reached quarantine. Each is
+    // planted deterministically via the crashSeam (the doomed chain
+    // blocks until the OTHER chain's terminal probe fires, then throws),
+    // then the batch replays cleanly and both tables must equal a
+    // reference run that never crashed.
+    import spark.implicits._
+    import graft.merge.MergeTable
+    import org.apache.spark.sql.functions.col
+    val png = Multimodal.ImageCodec.encode(20, 10, seed = 1, "png")
+    def stage(rows: Seq[Multimodal.MediaRow], p: String) = {
+      Multimodal.decodeMetaTotal(rows.toDS()).toDF()
+        .write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    // batch 1 seeds both tables (keys 4, 8 corrupt); batch 2 repairs
+    // key 4, corrupts key 10, adds clean key 20 — so the crash batch
+    // carries a main upsert, a new quarantine row, AND a resolution
+    val batch1 = (1L to 9L).map(id => Multimodal.MediaRow(id, "image",
+      if (id % 4 == 0) png.take(5) else png))
+    val batch2 = Seq(
+      Multimodal.MediaRow(4L, "image", png),          // repair
+      Multimodal.MediaRow(10L, "image", png.take(5)), // new corruption
+      Multimodal.MediaRow(20L, "image", png))         // new clean key
+    def tableState(t: String): Set[Seq[Any]] =
+      if (!new java.io.File(t).exists) Set.empty
+      else MergeTable.read(spark, t).collect()
+        .map(_.toSeq.toVector: Seq[Any]).toSet
+    def run(base: String, crashChain: Option[String]): Unit = {
+      val mainT = s"$base/main"; val quarT = s"$base/quar"
+      Multimodal.quarantineRoute(stage(batch1, s"$base/d1"),
+        mainT, quarT, 4, s"$base/s1", seq = 1L)
+      val otherDone = new java.util.concurrent.CountDownLatch(1)
+      val terminalOf =
+        Map("main_merge" -> "quar_merge", "quar_chain" -> "main_merge")
+      crashChain match {
+        case Some(doomed) =>
+          val ex = intercept[RuntimeException] {
+            Multimodal.quarantineRoute(stage(batch2, s"$base/d2"),
+              mainT, quarT, 4, s"$base/s2", seq = 2L,
+              probe = (ph, _) =>
+                if (ph == terminalOf(doomed)) otherDone.countDown(),
+              crashSeam = ch => if (ch == doomed) {
+                assert(otherDone.await(
+                  120, java.util.concurrent.TimeUnit.SECONDS),
+                  s"other chain never finished while $doomed waited")
+                throw new RuntimeException(s"planted crash in $doomed")
+              })
+          }
+          assert(ex.getMessage.contains(s"planted crash in $doomed"))
+          // assert the half-committed state IS the new interleaving
+          if (doomed == "main_merge") {
+            assert(!tableState(mainT).exists(_.head == 20L),
+              "main merge must NOT have run")
+            assert(tableState(quarT).exists(r =>
+              r.head == 4L && r.contains("resolved")),
+              "quarantine chain must have committed the resolution")
+          } else {
+            assert(tableState(mainT).exists(_.head == 20L),
+              "main merge must have committed")
+            assert(tableState(quarT).exists(r =>
+              r.head == 4L && r.contains("quarantined")) &&
+              !tableState(quarT).exists(_.head == 10L),
+              "quarantine chain must NOT have run")
+          }
+          // replay the crashed batch (checkpoint recovery reuses seq)
+          Multimodal.quarantineRoute(stage(batch2, s"$base/d2r"),
+            mainT, quarT, 4, s"$base/s2", seq = 2L)
+        case None =>
+          Multimodal.quarantineRoute(stage(batch2, s"$base/d2"),
+            mainT, quarT, 4, s"$base/s2", seq = 2L)
+      }
+    }
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-qoverlap-").toString
+    try {
+      run(s"$base/ref", None) // the never-crashed reference
+      Seq("main_merge", "quar_chain").foreach { doomed =>
+        run(s"$base/$doomed", Some(doomed))
+        assert(tableState(s"$base/$doomed/main") ==
+          tableState(s"$base/ref/main"),
+          s"$doomed crash: replayed main table diverged from clean run")
+        assert(tableState(s"$base/$doomed/quar") ==
+          tableState(s"$base/ref/quar"),
+          s"$doomed crash: replayed quarantine diverged from clean run")
+      }
+    } finally scala.util.Try(org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(base)))
+  }
 }
