@@ -34,6 +34,57 @@ import org.apache.spark.sql.functions._
 object MergeTable {
   val BucketCol = "__bucket"
 
+  /** Sentinel for "pick nBuckets from the table or the size estimate"
+    * ([[suggestBuckets]]) — accepted by callers that own table CREATION
+    * (e.g. `Streaming.upsertSink`); [[merge]] itself always receives a
+    * concrete count.
+    */
+  val AutoBuckets: Int = -1
+
+  /** The measured bucket-count sizing rule as code (r17
+    * `BENCH_100X_r17.json` matrix; BUILD_NOTES "MergeTable at production
+    * bucket counts"): `nBuckets = tableBytes / 128 MiB`, rounded up to a
+    * power of two, clamped to [16, 4096].
+    *
+    * Why those constants — each endpoint is a measured behavior, not a
+    * guess:
+    *  - **floor 16**: per-merge constants are ~1.7 ms/dir listing +
+    *    ~5-20 ms/dir staged commit + ~0.5-2.5 ms/dir rename, so
+    *    OVERsizing a small table drowns it in constants (the q93-shaped
+    *    sweep: a tens-of-MB quarantine table at 1024 buckets inflated
+    *    the warm repair drain 7.2 → 29.5 s — pure per-dir overhead over
+    *    ~50 KB buckets). 16 is the confirmed-correct count for MB-GB
+    *    meta/quarantine tables.
+    *  - **~128 MiB+ per bucket**: below that, constants start to rival
+    *    rewrite bytes; above it, one touched dir = one rewrite task
+    *    keeps skewed deltas parallel (the lineitem matrix: a
+    *    5%-of-buckets delta rewrote identical BYTES at every count but
+    *    fell 8-14 s → 4-6 s with more dirs, because LOW counts cost
+    *    parallelism, not bytes).
+    *  - **cap 4096**: touched dirs per merge stay ≲ 1k in the common
+    *    skewed case and the all-dirs constants stay ~10-20 s/merge —
+    *    noise against a data-scale rewrite. At 100 TB that is 25 GiB
+    *    per bucket; a 5% delta rewrites ~5 TB across ~205 parallel
+    *    tasks.
+    *
+    * Power-of-two rounding keeps the grid coarse so two nearby estimates
+    * of the same table agree, and the result is stable for a table that
+    * grows within one octave. The count is a CREATION-time decision:
+    * once written, `_meta` pins the layout and merges must match it —
+    * callers resuming an existing table adopt `_meta`, never re-derive.
+    */
+  def suggestBuckets(estimatedTableBytes: Long): Int = {
+    require(estimatedTableBytes >= 0,
+      s"suggestBuckets: negative size estimate $estimatedTableBytes")
+    val target = 128L * 1024 * 1024
+    val raw = (estimatedTableBytes + target - 1) / target // ceil
+    val clamped = math.min(4096L, math.max(16L, raw))
+    Integer.highestOneBit(clamped.toInt) match {
+      case p if p == clamped => p
+      case p => p << 1 // round UP to the next power of two
+    }
+  }
+
   /** Bucketing metadata persisted with the table. A merge invoked with a
     * different nBuckets (or key set) than the write-time values would
     * compute different bucket assignments and silently land keys in wrong

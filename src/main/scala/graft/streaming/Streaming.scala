@@ -109,8 +109,12 @@ object Streaming {
     * (Spark skips `_`/`.`-prefixed files, like `_SUCCESS`).
     */
   private def stagedMarkerContent(src: java.nio.file.Path): String =
+    // full-precision FileTime (nanos where the fs has them, via
+    // toString's ISO instant) — millis truncation let a same-size
+    // regeneration within one millisecond serve the stale staged copy
+    // (r17 ADVICE low)
     java.nio.file.Files.size(src) + ":" +
-      java.nio.file.Files.getLastModifiedTime(src).toMillis
+      java.nio.file.Files.getLastModifiedTime(src).toString
 
   private def stagedCurrent(src: java.nio.file.Path,
       staged: java.nio.file.Path,
@@ -123,9 +127,18 @@ object Streaming {
   }
 
   private def writeStagedMarker(content: String,
-      staged: java.nio.file.Path): Unit =
-    java.nio.file.Files.write(staged.resolve("_staged_marker"),
-      content.getBytes("UTF-8"))
+      staged: java.nio.file.Path): Unit = {
+    // temp + ATOMIC_MOVE: concurrent JVMs share the tmp staging dir, and
+    // a direct write interleaving another JVM's copy could expose a
+    // marker describing bytes that were never fully staged (r17 ADVICE
+    // low). Unique temp name per JVM/thread so two writers never clobber
+    // each other's temp either.
+    val tmp = staged.resolve(s"_staged_marker.${java.util.UUID.randomUUID()}.tmp")
+    java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, staged.resolve("_staged_marker"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** Write the sentinel row next to the staged fixture, in the fixture's
     * OWN raw ts shape (TIMESTAMP or legacy nanos-long — the sentinel must
@@ -423,16 +436,34 @@ object Streaming {
     *    Delta/Iceberg MERGE INTO (no such jars exist in this
     *    environment); swapping in a transactional format later changes
     *    only the storage call, not this sink.
+    *  - `nBuckets = MergeTable.AutoBuckets` (-1): bucketed as above,
+    *    with the count picked by the MEASURED sizing rule
+    *    ([[graft.merge.MergeTable.suggestBuckets]]) from
+    *    `estimatedSeasonBytes` — a creation-time decision: once the
+    *    season exists its persisted `_meta` layout wins, even if the
+    *    caller's estimate later disagrees (bucket counts are immutable
+    *    per table; re-deriving one would scatter keys across layouts).
     */
   def upsertSink(delta: DataFrame, seasonPath: String, checkpoint: String,
       keys: Seq[String] = graft.merge.Merge.dedupKeys,
-      nBuckets: Int = 0): Unit = {
+      nBuckets: Int = 0,
+      estimatedSeasonBytes: Long = 0L): Unit = {
+    import graft.merge.MergeTable
+    require(nBuckets != MergeTable.AutoBuckets || estimatedSeasonBytes > 0,
+      "upsertSink: AutoBuckets needs estimatedSeasonBytes > 0 — the " +
+        "bucket count is a creation-time decision and the rule's input " +
+        "is the season's EVENTUAL size, which only the caller can know")
     val q = delta.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (nBuckets > 0)
-          graft.merge.MergeTable.merge(batch.toDF(), seasonPath, keys, nBuckets)
+        val n =
+          if (nBuckets == MergeTable.AutoBuckets)
+            MergeTable.meta(batch.sparkSession, seasonPath).map(_._1)
+              .getOrElse(MergeTable.suggestBuckets(estimatedSeasonBytes))
+          else nBuckets
+        if (n > 0)
+          MergeTable.merge(batch.toDF(), seasonPath, keys, n)
         else legacyWholeSeasonMerge(batch.toDF(), seasonPath, keys)
         ()
       }

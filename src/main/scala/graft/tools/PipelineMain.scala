@@ -61,7 +61,9 @@ object PipelineMain {
       |          [--typed true]
       |  merge:  --season --delta [--publish] [--csv-name] [--tmp]
       |  quarantine: --blobs --main --quar --checkpoint
-      |          [--buckets N] [--retire-horizon N] [--tmp dir]
+      |          [--buckets N (default: existing table's _meta, else
+      |           MergeTable.suggestBuckets(--table-bytes, default 0))]
+      |          [--table-bytes N] [--retire-horizon N] [--tmp dir]
       |          [--crash-after-batch N (fault-injection seam)]""".stripMargin
 
   private[graft] def parseOpts(args: Array[String]): Map[String, String] = {
@@ -157,7 +159,20 @@ object PipelineMain {
     val mainT = req(opts, "main")
     val quarT = req(opts, "quar")
     val cp = req(opts, "checkpoint")
-    val nBuckets = opts.getOrElse("buckets", "16").toInt
+    // --buckets: explicit N wins; otherwise an EXISTING main table's
+    // persisted `_meta` layout wins (bucket counts are immutable per
+    // table — a different count would scatter keys across layouts and
+    // fail checkMeta loudly); otherwise the measured sizing rule
+    // ([[graft.merge.MergeTable.suggestBuckets]]) over --table-bytes
+    // (the caller's estimate of the EVENTUAL meta-table size, not the
+    // blob bytes — meta rows are ~100 B/blob). With no estimate either,
+    // the rule's floor (16) applies: media-meta/quarantine tables are
+    // MB-GB scale, the regime the 100× matrix confirmed 16 for.
+    val nBuckets = opts.get("buckets").map(_.toInt).getOrElse {
+      graft.merge.MergeTable.meta(spark, mainT).map(_._1).getOrElse(
+        graft.merge.MergeTable.suggestBuckets(
+          opts.get("table-bytes").map(_.toLong).getOrElse(0L)))
+    }
     val tmp = opts.getOrElse("tmp", mainT + ".quarantine-tmp")
     val crashAfter = opts.get("crash-after-batch").map(_.toLong)
     val schema = org.apache.spark.sql.Encoders

@@ -894,4 +894,31 @@ class MergeSpec extends SparkTestBase {
     val names = new java.io.File(path).listFiles().map(_.getName)
     assert(!names.exists(_.endsWith(".old")), "no crash debris")
   }
+
+  test("MergeTable.suggestBuckets pins the measured 100x matrix " +
+      "endpoints (16 / 256 / 1024 / 4096)") {
+    // r17 BENCH_100X matrix as code (r17 verdict item 3): nBuckets =
+    // tableBytes / 128 MiB, next power of two, clamped [16, 4096].
+    import graft.merge.MergeTable.suggestBuckets
+    val GiB = 1024L * 1024 * 1024
+    // floor: MB-GB meta/quarantine tables get the confirmed 16 —
+    // oversizing a small table drowns it in per-dir constants
+    assert(suggestBuckets(0L) == 16)
+    assert(suggestBuckets(50L * 1024 * 1024) == 16)
+    assert(suggestBuckets(2 * GiB) == 16) // exactly 16 × 128 MiB
+    // mid octaves: one touched dir = one rewrite task, keep ~128 MiB+
+    assert(suggestBuckets(3 * GiB) == 32) // ceil, then next power of two
+    assert(suggestBuckets(32 * GiB) == 256)
+    assert(suggestBuckets(128 * GiB) == 1024)
+    // cap: touched dirs/merge stay ≲ 1k, constants stay noise
+    assert(suggestBuckets(512 * GiB) == 4096)
+    assert(suggestBuckets(100L * 1000 * 1000 * 1000 * 1000) == 4096) // 100 TB
+    // shape invariants over 60 octaves: monotone, power of two, clamped
+    val sweep = (0 to 60).map(i => suggestBuckets(1L << i))
+    assert(sweep == sweep.sorted, "rule must be monotone in table size")
+    sweep.foreach(n =>
+      assert(n >= 16 && n <= 4096 && Integer.bitCount(n) == 1,
+        s"every suggestion a clamped power of two, got $n"))
+    intercept[IllegalArgumentException](suggestBuckets(-1L))
+  }
 }

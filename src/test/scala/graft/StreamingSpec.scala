@@ -194,6 +194,41 @@ class StreamingSpec extends SparkTestBase {
       .filter($"src_tag" === "delta2").count() == 0)
   }
 
+  test("upsert sink AutoBuckets: creation applies the sizing rule, " +
+      "resume adopts the persisted _meta over a disagreeing estimate") {
+    import graft.merge.MergeTable
+    val dir = java.nio.file.Files.createTempDirectory("graft-upauto").toString
+    val season = s"$dir/season"
+    // creation: a 2 GiB season estimate → suggestBuckets says 16
+    Streaming.upsertSink(
+      streamEvents.withColumn("src_tag", lit("delta")),
+      season, s"$dir/ckpt", keys = Seq("event_id"),
+      nBuckets = MergeTable.AutoBuckets,
+      estimatedSeasonBytes = 2L * 1024 * 1024 * 1024)
+    assert(MergeTable.meta(spark, season).map(_._1).contains(16),
+      "auto creation must stamp the rule's count into _meta")
+    assert(MergeTable.read(spark, season).count() == batchEvents.count())
+    // resume with a WILDLY different estimate (100 TB → rule says 4096):
+    // the persisted layout must win — re-deriving would scatter keys
+    // across layouts (and checkMeta would fail loudly if it didn't)
+    Streaming.upsertSink(
+      Streaming.fileEventSource(spark, sf).withColumn("src_tag", lit("d2")),
+      season, s"$dir/ckpt2", keys = Seq("event_id"),
+      nBuckets = MergeTable.AutoBuckets,
+      estimatedSeasonBytes = 100L * 1000 * 1000 * 1000 * 1000)
+    assert(MergeTable.meta(spark, season).map(_._1).contains(16),
+      "resume must adopt _meta, not the fresh estimate")
+    val merged = MergeTable.read(spark, season)
+    assert(merged.count() == batchEvents.count())
+    assert(merged.groupBy("event_id").count()
+      .filter(col("count") > 1).count() == 0)
+    // estimate-less auto is a loud creation-time error, not a guess
+    intercept[IllegalArgumentException] {
+      Streaming.upsertSink(streamEvents, s"$dir/other", s"$dir/ckpt3",
+        keys = Seq("event_id"), nBuckets = MergeTable.AutoBuckets)
+    }
+  }
+
   test("upsert sink recovers a season stranded in .old by a crash") {
     val dir = java.nio.file.Files.createTempDirectory("graft-crash").toString
     val season = s"$dir/season"
