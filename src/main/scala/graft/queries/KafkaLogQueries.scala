@@ -37,35 +37,59 @@ object KafkaLogQueries {
   /** Build (once per session/dir) the orders log: partition by
     * `o_orderkey % 4`, offset order = orderkey order within a partition,
     * several segments per partition so scans cross segment boundaries.
-    * Driver-side collect is the PRODUCER side of the fixture (a real
-    * deployment's producer is the upstream service; the engine under
-    * test is the reader) — bounded at the bench SFs (sf0.1 ≈ 150k rows,
-    * ~12 MB of JSON). */
+    *
+    * The PRODUCER side of the fixture (a real deployment's producer is
+    * the upstream service; the engine under test is the reader) writes
+    * from EXECUTORS (r18, the repo's last full-table driver collect):
+    * each topic partition is wholly owned by one task — hash
+    * repartition on `o_orderkey % 4` — with rows offset-ordered by
+    * `sortWithinPartitions`, so `produce` calls per partition stay
+    * sequential and the emitted segments are byte-identical to the old
+    * driver-side build (same sort, same ~4-segment roll). The only
+    * driver collect left is the per-partition COUNT (≤ `Partitions`
+    * rows, metadata-scale) that sizes the segment rolls. Executors
+    * write the local tmp root directly — valid in the `local[*]`
+    * harness this fixture exists for; a cluster deployment's producer
+    * is not Spark at all. */
   private[graft] def ordersLog(spark: SparkSession, dir: String): String = {
     val fp = graft.ops.SessionLru.pathFingerprint(spark, s"$dir/orders.parquet")
     logCache.getOrBuild(spark, "kafkalog:" + dir, fp) {
       val root = java.nio.file.Files.createTempDirectory("graft-kafkalog").toString
-      val rows = Tables.orders(spark, dir)
+      val nParts = Partitions
+      val recs = Tables.orders(spark, dir)
         .select(col("o_orderkey"),
           to_json(struct(
             col("o_orderkey").cast("string").as("orderkey"),
             col("o_custkey").cast("string").as("custkey"),
             col("o_orderstatus").as("status"),
             col("o_totalprice").cast("string").as("totalprice"))).as("v"))
-        .collect()
-      KafkaLog.createTopic(root, "orders", Partitions)
-      (0 until Partitions).foreach { p =>
-        val recs = rows.iterator
-          .filter(r => (r.getLong(0) % Partitions).toInt == p)
-          .map(r => (r.getLong(0), r.getString(1))).toSeq
-          .sortBy(_._1)
-          .map { case (k, v) => KafkaLog.Record(k.toString, v, 1700000000000L + k) }
-        // roll ~4 segments per partition so offset ranges span segment
-        // boundaries (the reader's segment-walk path, not just one file)
-        recs.grouped(math.max(1, recs.size / 4 + 1)).foreach { seg =>
-          KafkaLog.produce(root, "orders", p, seg)
+        .withColumn("__p", (col("o_orderkey") % nParts).cast("int"))
+      val segSize = recs.groupBy(col("__p")).count().collect()
+        .map(r => r.getInt(0) -> math.max(1L, r.getLong(1) / 4 + 1).toInt)
+        .toMap
+      KafkaLog.createTopic(root, "orders", nParts)
+      recs.repartition(nParts, col("__p"))
+        .sortWithinPartitions(col("__p"), col("o_orderkey"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          // contiguous runs of one topic partition per task: roll ~4
+          // segments per partition so offset ranges span segment
+          // boundaries (the reader's segment-walk path, not one file)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[KafkaLog.Record]
+          var cur = -1
+          def flush(): Unit = if (buf.nonEmpty) {
+            KafkaLog.produce(root, "orders", cur, buf.toSeq)
+            buf.clear()
+          }
+          it.foreach { r =>
+            val p = r.getAs[Int]("__p")
+            if (p != cur) { flush(); cur = p }
+            val k = r.getAs[Long]("o_orderkey")
+            buf += KafkaLog.Record(k.toString, r.getAs[String]("v"),
+              1700000000000L + k)
+            if (buf.size >= segSize(p)) flush()
+          }
+          flush()
         }
-      }
       root
     }
   }
