@@ -193,7 +193,24 @@ object Bench {
       .mkString("{", ",", "}")
     val cpuTotal = perCpu.values.filter(_ >= 0).sum
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // Calib-normalized total (r17 verdict item 2): wall scaled by the
+    // pinned reference calib over THIS run's calib, so artifacts from
+    // different host windows compare directly instead of re-litigating
+    // ±40% VM drift by hand each round. CALIB_REF pins the r16-era
+    // host speed (r16 frozen runs and r17's fast windows both read
+    // ~0.34 s for the fixed xorshift loop); the run's calib is the
+    // min of before/after — the same least-contaminated-sample rule as
+    // the kept wall. A normalized total says "what this run's wall
+    // WOULD read on the reference-era host", valid because the drift is
+    // a clock-speed effect that scales wall and calib together
+    // (BUILD_NOTES r17 "wall-vs-cpu attribution").
+    val calibRef = 0.340
+    val calibRun = math.min(calibBefore, calibAfter)
+    val totalCalibNorm =
+      if (calibRun > 0) total * calibRef / calibRun else total
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""value_calib_normalized":${fmt2(totalCalibNorm)},""" +
+      s""""calib_ref_s":${fmt3(calibRef)},""" +
       s""""cpu_seconds":$cpuJson,"cpu_total":${fmt2(cpuTotal)},""" +
       s""""n_errors":${errors.size},"errors":$errJson,""" +
       s""""loadavg":${js(loadavg)},"load_before":$loadBefore,""" +
@@ -209,6 +226,7 @@ object Bench {
     // log tail (BENCH_r04 lost its total that way). Repeat the headline
     // numbers compactly LAST so any tail window catches them.
     println(s"""{"metric":"total_compact","value":$total,"unit":"sec",""" +
+      s""""value_calib_normalized":${fmt2(totalCalibNorm)},""" +
       s""""cpu_total":${fmt2(cpuTotal)},""" +
       s""""n_queries":${names.size},"n_errors":${errors.size},""" +
       s""""loadavg":${js(loadavg)},"load_max":${fmtLoad(loadMax)},""" +
