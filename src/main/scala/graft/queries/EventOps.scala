@@ -234,10 +234,12 @@ object EventOps {
     * per user, one row per hour from first to last event; each hour
     * carries its event count and the latest observed value at or before
     * it (LOCF). The per-hour representative is deterministic (latest
-    * (ts, event_id)); the hour grid is a generator off the per-user span
-    * (rows ∝ span, not events²); the fill is one user-partitioned window
-    * — everything shuffles on user_id only, so the plan is D-way parallel
-    * at any scale with no global sort before the presentation ORDER BY.
+    * (ts, event_id)); the hour grid is generated by exploding each
+    * OBSERVATION across the hours it covers (rows ∝ span, not events²,
+    * and the fill window runs on per-hour rows, never grid rows); the
+    * fill is one user-partitioned window — everything shuffles on
+    * user_id only, so the plan is D-way parallel at any scale with no
+    * global sort before the presentation ORDER BY.
     */
   def hourlyResample(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -255,20 +257,41 @@ object EventOps {
     val perHour = ev.groupBy(col("user_id"), col("hr"))
       .agg(count(lit(1)).as("n_events"),
         max_by(col("value"), struct(col("us"), col("event_id"))).as("hr_value"))
-    // span agg reuses perHour's exchange (identical subtree) and runs on
-    // per-hour rows, not events
-    val grid = perHour.groupBy(col("user_id"))
-      .agg(min(col("hr")).as("hr0"), max(col("hr")).as("hr1"))
-      .select(col("user_id"),
-        explode(sequence(col("hr0"), col("hr1"), expr("interval 1 hour"))).as("hr"))
-    val wFill = Window.partitionBy(col("user_id")).orderBy(col("hr"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid
-      .join(perHour, Seq("user_id", "hr"), "left")
-      .withColumn("value_ffill",
-        last(col("hr_value"), ignoreNulls = true).over(wFill))
+    // LOCF computed on PER-HOUR rows, then each row exploded across the
+    // hours it covers ([hr, next_hr)) — the filled hours between two
+    // observations inherit the covering row's forward-filled value by
+    // construction, so this is row-identical to the earlier
+    // grid-generate → left-join → grid-scale-window shape while touching
+    // an order of magnitude fewer rows: the 10x probe (BUILD_NOTES r18)
+    // measured the grid at 10.5M rows vs 955k per-hour rows, and the
+    // grid JOIN exchange + grid WINDOW exchange were ~9.4 s of q68's
+    // 16.6 s there. Both are gone: the two window frames below share
+    // one (user_id)-exchange + sort of per-hour rows, the explode is
+    // map-side, and the only remaining grid-scale work is the
+    // presentation ORDER BY — inherent to the query's output contract.
+    // At 100 TB the removed exchanges are grid-scale (span-hours x
+    // users), strictly larger than the corpus's per-hour rows.
+    val wHr = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+    perHour
+      // last non-null value at or before this observation — original
+      // hours and every hour they cover show exactly this (a null
+      // hr_value row carries the previous non-null forward, matching
+      // the grid-join form's ignoreNulls LOCF)
+      .withColumn("ffv", last(col("hr_value"), ignoreNulls = true)
+        .over(wHr.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("next_hr", lead(col("hr"), 1).over(wHr))
+      // the user's grid ends at their LAST active hour (the old
+      // sequence(min hr, max hr) span): the final observation covers
+      // only itself
+      .select(col("user_id"), col("hr").as("obs_hr"), col("n_events"),
+        col("ffv"),
+        explode(sequence(col("hr"),
+          coalesce(col("next_hr") - expr("interval 1 hour"), col("hr")),
+          expr("interval 1 hour"))).as("hr"))
       .select(col("user_id"), col("hr"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"), col("value_ffill"))
+        when(col("hr") === col("obs_hr"), col("n_events"))
+          .otherwise(lit(0L)).as("n_events"),
+        col("ffv").as("value_ffill"))
       .orderBy(col("user_id"), col("hr"))
   }
 
