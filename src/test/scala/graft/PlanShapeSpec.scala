@@ -630,6 +630,41 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q68: forward fill plans with NO join, one window on per-hour " +
+      "rows, and grid-scale rows crossing only the presentation sort") {
+    // r18 rewrite: LOCF on per-hour rows + map-side explode replaced the
+    // generated-grid left-join + grid-scale window (10x probe: the grid
+    // is 11x the per-hour rows; the two removed exchanges were ~9.4 s of
+    // the query's 16.6 s there). Gate the properties that made it fast.
+    val name = "q68_hourly_resample"
+    assert(!plan(name).contains("Join"),
+      "the grid join must stay gone — explode generates covered hours")
+    val all = collectAll(
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
+    val wins = all.collect { case w: WindowExec => w }
+    assert(wins.size == 1,
+      s"both fill frames must share ONE window exec, got ${wins.size}")
+    val gens = all.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.size == 1, s"one explode, got ${gens.size}")
+    assert(gens.head.exists { case _: WindowExec => true; case _ => false },
+      "the explode must sit ABOVE the window: the fill runs on per-hour " +
+        "rows, never on exploded grid rows")
+    val ex = shuffles(name)
+    // grid-scale rows cross the wire exactly once — the presentation
+    // range sort; every hash exchange below carries per-hour/event rows
+    val (range, hash) = ex.partition(_.outputPartitioning
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning])
+    assert(range.size == 1, s"one presentation range exchange, got ${range.size}")
+    assert(hash.size <= 2,
+      s"agg + window exchanges only, got ${hash.size}")
+    hash.foreach(h => assert(!h.exists {
+      case _: org.apache.spark.sql.execution.GenerateExec => true
+      case _ => false
+    }, "no hash exchange may carry exploded grid rows"))
+    assert(badSingleReducers(ex).isEmpty)
+  }
+
   test("q88: might_contain prescreen sits map-side, before the join") {
     val p = plan("q88_bloom_decontaminate")
     assert(p.contains("might_contain"),
