@@ -17,7 +17,8 @@ val picks = Seq(
   ("q32_sketch_profile", "Sketch profile (r13 shape): each exact countDistinct runs as its OWN single-distinct aggregate - a plain two-phase dedup (partial group by (flag, col), then count) over a scan pruned to that one column, with NO Expand anywhere (two in one Aggregate would trigger the multi-distinct rewrite: an Expand x3 into a ~|rows|-group partial whose spill is nondeterministic at scale - 20-108 s spread at 100x on the fused form vs 24.9-43.2 s best-of-3 split). The typed-imperative sketches (HLL, percentile_approx) stay in their own aggregate (sketch buffers per partial group spill through the ObjectHashAggregate fallback when fused: 57 s fused vs ~2 s split at sf0.1). Exact percentile twins come from the per-value-count + two-level prefix-sum helper (cumulative within 1024-wide blocks, then ONE linear window over the per-block totals partitioned by (group, kind) - r12 replaced the earlier O(blocks^2) theta-join); every per-group result is a 3-row broadcast join back onto the main aggregate."),
   ("q88_bloom_decontaminate", "Bloom-prescreened decontamination: the benchmark shingle set aggregates into a fixed-size bloom filter (Spark's own BloomFilterAggregate, distributed build), the corpus stream is filtered MAP-SIDE by might_contain BEFORE the exact join - the filter sits inside the scan-side WholeStageCodegen span, so only true matches plus the ~1% FP residue ever shuffle; the exact shingle join then removes FPs, making the result identical to q41's exact-broadcast plan at any scale the broadcast can no longer reach."),
   ("q36_winnowing_fp", "Fused winnowing (r17): ONE codegen expression (winnow_fingerprints) does rolling hash + monotonic-deque window-min + distinct per document inside the scan-side WholeStageCodegen span - no shuffle before the presentation sort, no rebalance (the repartition's round-robin shuffle of text cost 3.6x the fused compute's cpu), no boxed per-window slices. 30.6 -> ~1.4 cpu-seconds at sf0.1."),
-  ("q07_play_parse", "Fused play parse (r17): the whole ten-field parse is ONE play_parsed struct evaluation per row - the composed per-column form re-split the play per derived column because the F9 score branches sit inside CaseWhen arms codegen's subexpression elimination does not share. The struct subtree is unconditional, so after project collapse the nine GetStructField consumers share a single evaluation (56 -> 14 cpu-seconds at 10x). Parse runs ABOVE the sort so the range-exchange sampling pass pays only the cheap synthesis projection."))
+  ("q07_play_parse", "Fused play parse (r17): the whole ten-field parse is ONE play_parsed struct evaluation per row - the composed per-column form re-split the play per derived column because the F9 score branches sit inside CaseWhen arms codegen's subexpression elimination does not share. The struct subtree is unconditional, so after project collapse the nine GetStructField consumers share a single evaluation (56 -> 14 cpu-seconds at 10x). Parse runs ABOVE the sort so the range-exchange sampling pass pays only the cheap synthesis projection."),
+  ("q68_hourly_resample", "Forward fill without the grid join (r18): LOCF computes on PER-HOUR rows - two window frames (running last-non-null + lead) sharing one user-partitioned exchange - then each observation explodes MAP-SIDE across the hours it covers ([hr, next_hr)), which is row-identical to generating the span grid and left-joining it. The grid (span-hours x users - 11x the per-hour rows at 10x) crosses the wire exactly once, in the presentation range sort; the removed grid-join and grid-window exchanges were ~9.4 s of the query's 16.6 s at 10x (now 4.5 s). Plan-gated: no Join, one WindowExec, explode above the window."))
 val out = new PrintWriter("/tmp/PLANS.md")
 out.println("# PLANS - formatted physical plans for flagship queries")
 out.println()
