@@ -271,10 +271,25 @@ def phase_c(sf_dir, out_dir):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    sub_out_dir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/v10sub"
+    # args: <sfBigDir> <verifyOutDir> [subOutDir] [--only q01_x,q02_y,...]
+    # --only restricts the gate to a query subset (the 100x gate runs the
+    # batch families only; streaming drains at 100x are hours of fixture
+    # replay that add no magnitude-sensitive arithmetic coverage).
+    argv = list(sys.argv[1:])
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
+    sf_dir, out_dir = argv[0], argv[1]
+    sub_out_dir = argv[2] if len(argv) > 2 else "/tmp/v10sub"
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    if only is not None:
+        missing = only - set(oracle) - ROWS_ONLY
+        assert not missing, f"--only names not in oracle_sql: {missing}"
+        oracle = {k: v for k, v in oracle.items() if k in only}
+        ROWS_ONLY.intersection_update(only)
     results = phase_a(sf_dir, out_dir, oracle)
     timed_out = {n for n, r in results.items() if r == "timeout"}
     fallback = timed_out & BOUNDED_FALLBACK
