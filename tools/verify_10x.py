@@ -40,8 +40,9 @@ import duckdb
 # timed-out phase-A queries that can fall back to the bounded sub-corpus
 # (their oracles read only the documents table)
 BOUNDED_FALLBACK = {"q12_minhash_pairs", "q45_minhash_est",
-                    "q58_dup_clusters", "q71_incremental_clusters"}
-ROWS_ONLY = {"q16_ann_ivf", "q32_sketch_profile", "q48_minhash_fast"}
+                    "q58_dup_clusters", "q71_incremental_clusters",
+                    "q36_winnowing_fp", "q38_edit_distance"}
+ROWS_ONLY = {"q16_ann_ivf", "q48_minhash_fast"}
 ORACLE_TIMEOUT_S = 420
 MINHASH_N, MINHASH_BANDS = 16, 8
 
@@ -124,6 +125,13 @@ def phase_a(sf_dir, out_dir, oracle):
     for name, sql in sorted(oracle.items()):
         results[name] = compare(con, name, sql, out_dir)
     for name in sorted(ROWS_ONLY):
+        # A rows-only entry must never OVERWRITE a phase-A verdict: if a
+        # name has oracle SQL, the full compare above is the check, and
+        # converting its fail into a rows-only pass would silently mask
+        # it (exactly what happened to q32's 100x HLL-tolerance miss
+        # before the rsd fix — the flag rode a rows-only entry to green).
+        if name in results:
+            continue
         try:
             df = con.execute(f"SELECT * FROM "
                              f"read_parquet('{out_dir}/{name}/*.parquet')").df()
@@ -213,7 +221,17 @@ WHERE len(list_intersect(a.bands, b.bands)) = 0
 """
 
 
-def phase_c(sf_dir, out_dir):
+def phase_c(sf_dir, out_dir, only=None):
+    # Scope the invariants to the queries the caller actually ran: a
+    # --only subset that excludes a family member means its dump is
+    # absent (crash) or a stale leftover from an earlier full run
+    # (silently gating on artifacts the caller excluded) — both wrong.
+    fam = {"q12_minhash_pairs", "q45_minhash_est",
+           "q48_minhash_fast", "q58_dup_clusters"}
+    inc = fam if only is None else fam & only
+    if not inc:
+        print("== phase C: minhash family excluded by --only; skipped ==")
+        return True
     print("== phase C: full-scale invariants on the minhash family ==")
     con = duckdb.connect()
     docs = f"{sf_dir}/documents.parquet"
@@ -228,6 +246,8 @@ def phase_c(sf_dir, out_dir):
 
     for name, col in [("q12_minhash_pairs", "jaccard"),
                       ("q45_minhash_est", "est_jaccard")]:
+        if name not in inc:
+            continue
         glob = f"{out_dir}/{name}/*.parquet"
         check(f"{name} pair count > 0",
               f"SELECT count(*) FROM read_parquet('{glob}')", expect_zero=False)
@@ -238,34 +258,38 @@ def phase_c(sf_dir, out_dir):
               f"WHERE {col} <= 0 OR {col} > 1 OR {col} IS NULL")
         check(f"{name} pairs not sharing any LSH band",
               band_containment_sql(glob, docs))
-    q48 = f"{out_dir}/q48_minhash_fast/*.parquet"
-    check("q48 pair count > 0",
-          f"SELECT count(*) FROM read_parquet('{q48}')", expect_zero=False)
-    check("q48 pairs not sharing any LSH band",
-          band_containment_sql(q48, docs))
+    if "q48_minhash_fast" in inc:
+        q48 = f"{out_dir}/q48_minhash_fast/*.parquet"
+        check("q48 pair count > 0",
+              f"SELECT count(*) FROM read_parquet('{q48}')",
+              expect_zero=False)
+        check("q48 pairs not sharing any LSH band",
+              band_containment_sql(q48, docs))
     # q58: every verified >= 0.5 pair is co-clustered; labels are minima;
     # sizes and canonical flags are internally consistent
-    q58 = f"{out_dir}/q58_dup_clusters/*.parquet"
-    q12 = f"{out_dir}/q12_minhash_pairs/*.parquet"
-    check("q58 rows = corpus size",
-          f"SELECT (SELECT count(*) FROM read_parquet('{q58}')) - "
-          f"(SELECT count(*) FROM read_parquet('{docs}'))")
-    check("q58 edges split across clusters",
-          f"SELECT count(*) FROM read_parquet('{q12}') p "
-          f"JOIN read_parquet('{q58}') a ON a.doc_id = p.doc_a "
-          f"JOIN read_parquet('{q58}') b ON b.doc_id = p.doc_b "
-          f"WHERE p.jaccard >= 0.5 AND a.cluster_id <> b.cluster_id")
-    check("q58 cluster_id is not the member minimum somewhere",
-          f"SELECT count(*) FROM (SELECT cluster_id, min(doc_id) m "
-          f"FROM read_parquet('{q58}') GROUP BY 1) WHERE cluster_id <> m")
-    check("q58 cluster_size inconsistent somewhere",
-          f"SELECT count(*) FROM (SELECT cluster_id, count(*) n, "
-          f"any_value(cluster_size) s FROM read_parquet('{q58}') "
-          f"GROUP BY 1) WHERE n <> s")
-    check("q58 clusters without exactly one canonical member",
-          f"SELECT count(*) FROM (SELECT cluster_id, "
-          f"sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) c "
-          f"FROM read_parquet('{q58}') GROUP BY 1) WHERE c <> 1")
+    if "q58_dup_clusters" in inc:
+        q58 = f"{out_dir}/q58_dup_clusters/*.parquet"
+        q12 = f"{out_dir}/q12_minhash_pairs/*.parquet"
+        check("q58 rows = corpus size",
+              f"SELECT (SELECT count(*) FROM read_parquet('{q58}')) - "
+              f"(SELECT count(*) FROM read_parquet('{docs}'))")
+        if "q12_minhash_pairs" in inc:
+            check("q58 edges split across clusters",
+                  f"SELECT count(*) FROM read_parquet('{q12}') p "
+                  f"JOIN read_parquet('{q58}') a ON a.doc_id = p.doc_a "
+                  f"JOIN read_parquet('{q58}') b ON b.doc_id = p.doc_b "
+                  f"WHERE p.jaccard >= 0.5 AND a.cluster_id <> b.cluster_id")
+        check("q58 cluster_id is not the member minimum somewhere",
+              f"SELECT count(*) FROM (SELECT cluster_id, min(doc_id) m "
+              f"FROM read_parquet('{q58}') GROUP BY 1) WHERE cluster_id <> m")
+        check("q58 cluster_size inconsistent somewhere",
+              f"SELECT count(*) FROM (SELECT cluster_id, count(*) n, "
+              f"any_value(cluster_size) s FROM read_parquet('{q58}') "
+              f"GROUP BY 1) WHERE n <> s")
+        check("q58 clusters without exactly one canonical member",
+              f"SELECT count(*) FROM (SELECT cluster_id, "
+              f"sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) c "
+              f"FROM read_parquet('{q58}') GROUP BY 1) WHERE c <> 1")
     con.close()
     return ok
 
@@ -279,6 +303,7 @@ def main():
     only = None
     if "--only" in argv:
         i = argv.index("--only")
+        assert i + 1 < len(argv), "--only needs a comma-separated query list"
         only = set(argv[i + 1].split(","))
         del argv[i:i + 2]
     sf_dir, out_dir = argv[0], argv[1]
@@ -302,7 +327,7 @@ def main():
     for name in sorted(uncovered):
         print(f"FAIL {name}: oracle timed out and has no bounded fallback")
         results[name] = "fail"
-    inv_ok = phase_c(sf_dir, out_dir)
+    inv_ok = phase_c(sf_dir, out_dir, only)
     n = {"pass": 0, "bounded-pass": 0, "fail": 0}
     for name, r in sorted(results.items()):
         if r in n:
