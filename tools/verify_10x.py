@@ -41,7 +41,8 @@ import duckdb
 # (their oracles read only the documents table)
 BOUNDED_FALLBACK = {"q12_minhash_pairs", "q45_minhash_est",
                     "q58_dup_clusters", "q71_incremental_clusters",
-                    "q36_winnowing_fp", "q38_edit_distance"}
+                    "q36_winnowing_fp", "q38_edit_distance",
+                    "q77_minhash_family_gate"}
 ROWS_ONLY = {"q16_ann_ivf", "q48_minhash_fast"}
 ORACLE_TIMEOUT_S = 420
 MINHASH_N, MINHASH_BANDS = 16, 8
@@ -85,11 +86,86 @@ def run_with_watchdog(con, sql, seconds):
         timer.cancel()
 
 
+# Above this many dump rows, the pandas/tuple canon path is the gate's
+# own bottleneck (100x: q68's 105M-row dump alone would cost ~an hour of
+# single-threaded itertuples+sort). Large dumps compare IN DuckDB via
+# EXCEPT ALL in both directions — the same multiset-equality predicate
+# canon() implements, at vectorized speed. NULL/NaN/-0.0 semantics agree
+# with canon: DuckDB set ops treat NULLs as equal, define NaN = NaN, and
+# compare -0.0 = 0.0; the pandas path stays for small results so the
+# historically recorded gates keep their exact code path.
+BIG_DUMP_ROWS = 500_000
+
+
+def _duck_kind(t):
+    """DuckDB type → pandas-dtype-kind analog for the int-vs-float check.
+
+    DECIMAL maps to 'f' because duckdb's .df() hands pandas a float64 for
+    it — the in-db path must flag the same divergences the pandas path
+    would have.
+    """
+    t = t.upper()
+    if t.startswith("DECIMAL") or t in ("FLOAT", "DOUBLE", "REAL"):
+        return "f"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "i"
+    return "o"
+
+
+def compare_indb(con, name, sql, dump_glob, n_mine, timeout_s):
+    """Multiset-equality compare fully inside DuckDB for large dumps."""
+    con.execute(f"CREATE OR REPLACE TEMP VIEW mine_v AS "
+                f"SELECT * FROM read_parquet('{dump_glob}')")
+    _, timed_out = run_with_watchdog(
+        con, f"CREATE OR REPLACE TEMP TABLE want_t AS {sql}", timeout_s)
+    if timed_out:
+        print(f"TIMEOUT {name}: oracle exceeded {timeout_s}s")
+        return "timeout"
+    mcols = {r[0]: r[1] for r in con.execute("DESCRIBE mine_v").fetchall()}
+    wcols = {r[0]: r[1] for r in con.execute("DESCRIBE want_t").fetchall()}
+    if sorted(mcols) != sorted(wcols):
+        print(f"FAIL {name}: columns {sorted(mcols)} vs {sorted(wcols)}")
+        return "fail"
+    dtype_bad = [c for c in mcols
+                 if {_duck_kind(mcols[c]), _duck_kind(wcols[c])} == {"i", "f"}]
+    if dtype_bad:
+        print(f"FAIL {name}: int-vs-float dtype divergence on {dtype_bad}")
+        return "fail"
+    sel = ", ".join(f'"{c}"' for c in sorted(mcols))
+    n_want = con.execute("SELECT count(*) FROM want_t").fetchone()[0]
+    # EXCEPT ALL both ways == multiset equality (what sorted-rows canon
+    # states); each direction under its own watchdog so a pathological
+    # compare can't hang the gate.
+    diffs = []
+    for a, b in (("mine_v", "want_t"), ("want_t", "mine_v")):
+        df, timed_out = run_with_watchdog(
+            con, f"SELECT count(*) FROM (SELECT {sel} FROM {a} "
+                 f"EXCEPT ALL SELECT {sel} FROM {b})", max(timeout_s, 600))
+        if timed_out:
+            print(f"TIMEOUT {name}: in-db compare exceeded "
+                  f"{max(timeout_s, 600)}s")
+            return "timeout"
+        diffs.append(int(df.iloc[0, 0]))
+    con.execute("DROP TABLE IF EXISTS want_t")
+    if diffs == [0, 0] and n_mine == n_want:
+        print(f"PASS {name} ({n_mine} rows, in-db)")
+        return "pass"
+    print(f"FAIL {name}: rows {n_mine} vs {n_want}, multiset diff "
+          f"mine-want={diffs[0]}, want-mine={diffs[1]}")
+    return "fail"
+
+
 def compare(con, name, sql, out_dir, timeout_s=ORACLE_TIMEOUT_S):
     """Returns 'pass' | 'fail' | 'timeout'."""
+    dump_glob = f"{out_dir}/{name}/*.parquet"
     try:
+        n_mine = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dump_glob}')").fetchone()[0]
+        if n_mine > BIG_DUMP_ROWS:
+            return compare_indb(con, name, sql, dump_glob, n_mine, timeout_s)
         mine = con.execute(
-            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+            f"SELECT * FROM read_parquet('{dump_glob}')").df()
     except Exception as e:
         print(f"FAIL {name}: spark dump unreadable: {e}")
         return "fail"
