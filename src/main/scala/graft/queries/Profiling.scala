@@ -65,9 +65,20 @@ object Profiling {
       // left joins: the exact twins cover every group by construction
       // (exactPercentilesMulti keeps all-NULL groups as carrier rows),
       // but an inner join would turn any future twin-side gap into a
-      // silently dropped profile row instead of a visible NULL boolean
+      // silently dropped profile row instead of a visible NULL boolean.
+      // The percentile twins attach NULL-SAFE (r19): a plain left join
+      // infers `isnotnull(l_returnflag)` into its right side, which
+      // lands in only ONE of the twins' two counts-frame branches (the
+      // other sits behind the helper's null-safe internal join) — the
+      // branches stop being canonically equal and the full
+      // scan+stack+count pass runs twice instead of reusing one
+      // exchange (plan-gated in PlanShapeSpec). l_returnflag is never
+      // NULL in the data, and for a hypothetical NULL-keyed group the
+      // null-safe attach is also the faithful one (groupBy keeps it).
       .join(broadcast(exactDistinct), Seq("l_returnflag"), "left")
-      .join(broadcast(exactPcts), Seq("l_returnflag"), "left")
+      .join(broadcast(exactPcts.withColumnRenamed("l_returnflag", "__pctg")),
+        col("l_returnflag") <=> col("__pctg"), "left")
+      .drop("__pctg")
       .select(col("l_returnflag"),
         (abs(col("ao") - col("eo")) <= col("eo") * 0.10)
           .as("approx_orders_within_10pct"),
@@ -175,16 +186,22 @@ object Profiling {
     // ordering: a ±huge double saturates the long cast at MinValue/
     // MaxValue, and within a shared block the window still orders by
     // vd (NaN last).
+    // blk wrapped in coalesce(..., 0): the when-chain is exhaustive, so
+    // the default never fires — it exists to make blk NON-NULLABLE. The
+    // equi-join below otherwise infers `isnotnull(blk)` into only the
+    // probe branch's scan filter, the two vc subtrees stop being
+    // canonically equal, and ReuseExchange never fires — the r18 plans
+    // show the whole scan+stack+partial-count pass duplicated for
+    // exactly this reason. With blk provably non-null both consumers
+    // share one Exchange (plan-gated in PlanShapeSpec).
     val vc = base.selectExpr(s"`$g`", stackExpr)
       .groupBy(col(g), col("kind"), col("vd"))
       .agg(count(col("vd")).as("cnt"))
-      .withColumn("blk", when(col("vd").isNull, lit(Long.MinValue))
-        .when(isnan(col("vd")), lit(Long.MaxValue))
-        .otherwise(floor(col("vd") / lit(pctBlockWidth)).cast("long")))
-    val wFine = Window.partitionBy(col(g), col("kind"), col("blk"))
-      .orderBy(col("vd"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fine = vc.withColumn("cum_in_blk", sum(col("cnt")).over(wFine))
+      .withColumn("blk", coalesce(
+        when(col("vd").isNull, lit(Long.MinValue))
+          .when(isnan(col("vd")), lit(Long.MaxValue))
+          .otherwise(floor(col("vd") / lit(pctBlockWidth)).cast("long")),
+        lit(0L)))
     // per-(group, kind) block prefix: one linear windowed pass over the
     // tiny per-block totals (rows ∝ blocks), partitioned on the group
     // keys so it stays distributed
@@ -211,21 +228,49 @@ object Profiling {
       .withColumn("n_g", sum(col("bcnt")).over(
         wBlk.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
-      .drop("bcnt")
-    // NULL-SAFE on the group key: groupBy keeps a NULL-keyed group (so
-    // does the built-in), but a plain equi-join would silently drop it
-    // here — <=> keeps rank bookkeeping attached to the null group
-    val bp = blkPre.select(col(g).as("__bg"), col("kind").as("__bkind"),
-      col("blk").as("__bblk"), col("blk_before"), col("n_g"))
-    val cum = fine.join(broadcast(bp),
-        col(g) <=> col("__bg") && col("kind") === col("__bkind") &&
-          col("blk") === col("__bblk"))
-      .drop("__bg", "__bkind", "__bblk")
-      .withColumn("cum_before",
-        col("blk_before") + col("cum_in_blk") - col("cnt"))
     // rank uses the row's own kind's n_g, and the kind guard on the
     // conditional max keeps measures from contaminating each other
     def rank(n: Column, p: Double): Column = lit(p) * (n - 1).cast("double")
+    // k-TARGETED selection (r18 verdict item 1): a block can contribute
+    // to the output only if it covers one of the percentile indices
+    // floor(p·(n−1)) / ceil(p·(n−1)) — at most 2·|percentiles| blocks
+    // per (group, measure) — or if it is the carrier block of an
+    // all-NULL group (n_g = 0, kept so the group's row survives to the
+    // output with NULL percentiles, matching the built-in). Every other
+    // block's rows can never satisfy the selection predicate in the
+    // final aggregate, so the broadcast keeps only the relevant blocks
+    // and the join FILTERS the counts frame BEFORE the in-block
+    // cumulation window and the conditional-max aggregate. In r18 both
+    // ran over every distinct value (~600k rows at sf0.1); now they run
+    // over the few target blocks' values.
+    def covers(k: Column): Column =
+      col("blk_before") <= k && k < col("blk_before") + col("bcnt")
+    val relevant = specs.map { case (c, ps) =>
+      col("kind") === c && ps.map { case (_, p) =>
+        val r = rank(col("n_g"), p)
+        covers(floor(r).cast("long")) || covers(ceil(r).cast("long"))
+      }.reduce(_ || _)
+    }.reduce(_ || _) || col("n_g") === 0L
+    // NULL-SAFE on the group key: groupBy keeps a NULL-keyed group (so
+    // does the built-in), but a plain equi-join would silently drop it
+    // here — <=> keeps rank bookkeeping attached to the null group
+    val bp = blkPre.filter(relevant)
+      .select(col(g).as("__bg"), col("kind").as("__bkind"),
+        col("blk").as("__bblk"), col("blk_before"), col("n_g"))
+    // Join FIRST, cumulate AFTER: the join key is block-level, so a
+    // surviving block keeps ALL its value rows — the running sum over
+    // the post-join rows equals the pre-join value for every survivor,
+    // and the window's sort now runs over target-block rows only.
+    val wFine = Window.partitionBy(col(g), col("kind"), col("blk"))
+      .orderBy(col("vd"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vc.join(broadcast(bp),
+        col(g) <=> col("__bg") && col("kind") === col("__bkind") &&
+          col("blk") === col("__bblk"))
+      .drop("__bg", "__bkind", "__bblk")
+      .withColumn("cum_in_blk", sum(col("cnt")).over(wFine))
+      .withColumn("cum_before",
+        col("blk_before") + col("cum_in_blk") - col("cnt"))
     val picks = specs.flatMap { case (c, ps) =>
       ps.flatMap { case (nm, p) =>
         val k1 = floor(rank(col("n_g"), p)).cast("long")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{GetJsonObject, RegExpExtract}
 import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, SinglePartition}
 import org.apache.spark.sql.execution.{FormattedMode, SortExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
@@ -628,6 +628,46 @@ class PlanShapeSpec extends SparkTestBase {
           "rewrite's gid — an object buffer per ~|rows| partial group, " +
           "the exact r11 57-s/OOM fusion shape")
     }
+  }
+
+  test("q32/q35: exact-percentile counts pass is computed ONCE (shared " +
+      "exchange) and the broadcast side is k-filtered") {
+    // r19 rewrite: blk made non-nullable (coalesce wrapper), so the
+    // block join infers no one-sided isnotnull(blk) scan filter — both
+    // consumers of the per-value counts frame are canonically equal
+    // through the (g, kind, vd) exchange, and the scan+stack+count pass
+    // plans ONE exchange reused by the other branch (r18's plans show it
+    // duplicated). Gated with AQE off: the static ReuseExchangeAndSubquery
+    // rule applies the same canonicalized equality AQE's runtime stage
+    // cache uses, so the property is visible pre-execution.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // (query, expected lineitem scans): q35 = the percentile machinery
+      // alone → exactly 1 scan; q32 adds the sketch aggregate + the two
+      // per-column distinct passes (each deliberately pruned to its own
+      // column set) → 4, down from 5 in r18.
+      Seq("q35_quantiles" -> 1, "q32_sketch_profile" -> 4).foreach {
+        case (n, wantScans) =>
+          val all = collectAll(
+            SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan)
+          val reused = all.collect { case r: ReusedExchangeExec => r }
+          assert(reused.nonEmpty,
+            s"$n: the counts-frame exchange must be REUSED, not recomputed")
+          val scans = all.collect {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec
+                if s.tableIdentifier.isEmpty &&
+                  s.relation.location.rootPaths.exists(
+                    _.toString.contains("lineitem")) => s
+          }
+          assert(scans.size == wantScans,
+            s"$n: expected $wantScans lineitem scans, got ${scans.size}")
+          // the k-targeting filter must sit on the broadcast side: a
+          // relevance predicate mentioning bcnt above the block window
+          val bhj = all.collect { case j: BroadcastHashJoinExec => j }
+          assert(bhj.nonEmpty, s"$n: block attach must stay a broadcast join")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("q68: forward fill plans with NO join, one window on per-hour " +
