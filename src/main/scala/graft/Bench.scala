@@ -221,25 +221,59 @@ object Bench {
       s""""calib_after_s":${fmt3(calibAfter)},""" +
       s""""load_contaminated":$loadContaminated,"iterations":2,""" +
       s""""action":"noop_write","sf":"$sfDir"}"""
-    println(line)
-    // Durability line: the full per-query JSON above can exceed a bounded
-    // log tail (BENCH_r04 lost its total that way). Repeat the headline
-    // numbers compactly LAST so any tail window catches them.
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec",""" +
+    val compactLine = s"""{"metric":"total_compact","value":$total,"unit":"sec",""" +
       s""""value_calib_normalized":${fmt2(totalCalibNorm)},""" +
       s""""cpu_total":${fmt2(cpuTotal)},""" +
       s""""n_queries":${names.size},"n_errors":${errors.size},""" +
       s""""loadavg":${js(loadavg)},"load_max":${fmtLoad(loadMax)},""" +
       s""""n_retimed":${retimed.size},""" +
       s""""load_contaminated":$loadContaminated,""" +
-      s""""action":"noop_write","sf":"$sfDir"}""")
+      s""""action":"noop_write","sf":"$sfDir"}"""
+    // Parse-proof the artifact lines IN-PROCESS before anything reads
+    // them (r18 verdict item 2: the r17 round-over-round comparison was
+    // erased because a captured bench tail cut mid-JSON and the driver's
+    // parser got nothing). Jackson rides Spark's own classpath; a line
+    // that does not round-trip is a bench BUG and must fail the run
+    // loudly, never ship a silently unparseable artifact.
+    val parseErr: Option[String] = {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      Seq("full" -> line, "compact" -> compactLine).flatMap {
+        case (tag, l) =>
+          try { om.readTree(l); None }
+          catch { case e: Exception =>
+            Some(s"$tag line unparseable: ${e.getMessage}") }
+      }.headOption
+    }
+    println(line)
+    // Durability line: the full per-query JSON above can exceed a bounded
+    // log tail (BENCH_r04 lost its total that way). Repeat the headline
+    // numbers compactly LAST so any tail window catches them, and FLUSH
+    // so a buffered tail capture cannot cut it mid-line.
+    println(compactLine)
+    System.out.flush()
     // Machine-readable artifact: stdout tails get truncated and parsers
     // drift (BENCH_r05 `parsed: null`); the full JSON line also lands in
-    // a file so the round's numbers never depend on tail regexes.
+    // a file so the round's numbers never depend on tail regexes. A
+    // second, RUN-STAMPED copy under bench_runs/ keeps every run's
+    // artifact addressable: re-running Bench (e.g. the driver's own
+    // sweep) overwrites BENCH_SUMMARY.json in cwd, which kept clobbering
+    // the round's frozen numbers (r18 verdict item "working-tree drift").
     scala.util.Try(java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SUMMARY.json"),
       (line + "\n").getBytes("UTF-8")))
+    scala.util.Try {
+      val d = java.nio.file.Paths.get("bench_runs")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(
+        d.resolve(s"bench-${System.currentTimeMillis()}-pid${
+          ProcessHandle.current().pid()}.json"),
+        (line + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
+    parseErr.foreach { msg =>
+      System.err.println(s"BENCH FAILED: artifact JSON $msg")
+      sys.exit(3)
+    }
     if (errors.nonEmpty) sys.exit(1)
     // cache_build promoted from attribution to ASSERTION (r12 verdict
     // item 5): the warm run exists to absorb shared-cache first-touch,
