@@ -512,9 +512,14 @@ object StreamingQueries {
     * q87 copy-under-lock rule). Builds are rare — one Spark job per
     * (fixture fingerprint, variant) — and queries are sequential per the
     * driver contract, so the coarse lock costs nothing.
+    *
+    * Returns the TEMPLATE path: its name embeds the fixture fingerprint
+    * and the JVM pid, so it uniquely identifies the staged bytes —
+    * callers key per-template metadata (the read-schema cache below) on
+    * it instead of re-deriving it from the copied files each call.
     */
   private def stageBlobSrc(spark: SparkSession, dir: String, variant: String,
-      dst: String)(build: String => Unit): Unit = {
+      dst: String)(build: String => Unit): String = {
     val fp = graft.ops.SessionLru.pathFingerprint(
       spark, s"$dir/documents.parquet")
     val mapKey = dir + "|" + variant
@@ -535,6 +540,32 @@ object StreamingQueries {
           t
         }
       copyTree(tpl, dst)
+      tpl
+    }
+  }
+
+  /** Read-schema per template, inferred ONCE per (JVM, template): the
+    * copied source dir holds byte-identical files, so re-running
+    * `spark.read.parquet(src).schema` on every call re-listed and
+    * re-footer-read the same bytes — a per-drain driver constant the
+    * r18 verdict told this round to shave (item 5). Keyed on the
+    * template path (pid + fixture fingerprint in the name ⇒ a fixture
+    * rewrite lands a NEW key); the schema describes the stream's INPUT,
+    * nothing any query computes.
+    */
+  private val blobSrcSchemas = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def blobSrcSchema(spark: SparkSession, tpl: String)
+      : org.apache.spark.sql.types.StructType = {
+    val hit = blobSrcSchemas.get(tpl)
+    if (hit != null) hit
+    else {
+      // read OUTSIDE the map (q87SeedLock rule: no Spark work inside a
+      // CHM remapping function); a racing duplicate read is harmless
+      val s = spark.read.parquet(tpl).schema
+      blobSrcSchemas.putIfAbsent(tpl, s)
+      s
     }
   }
 
@@ -611,7 +642,7 @@ object StreamingQueries {
     val mainT = s"$base/media_meta"
     val quarT = s"$base/quarantine"
     val src = s"$base/src"
-    stageBlobSrc(spark, dir, "corrupt4", src) { tpl =>
+    val tpl = stageBlobSrc(spark, dir, "corrupt4", src) { tpl =>
       graft.multimodal.Multimodal.documentBlobs(spark, dir)
         .map { r =>
           if (r.media_id % 7 == 0) r.copy(content = r.content.take(5)) else r
@@ -620,7 +651,7 @@ object StreamingQueries {
         .repartitionByRange(4, col("media_id"))
         .write.parquet(tpl)
     }
-    val schema = spark.read.parquet(src).schema
+    val schema = blobSrcSchema(spark, tpl)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     withDrainPartitions(spark) {
@@ -711,7 +742,7 @@ object StreamingQueries {
     val mainT = s"$base/media_meta"
     val quarT = s"$base/quarantine"
     val src = s"$base/src"
-    stageBlobSrc(spark, dir, "corrupt3", src) { tpl =>
+    val tpl = stageBlobSrc(spark, dir, "corrupt3", src) { tpl =>
       graft.multimodal.Multimodal.documentBlobs(spark, dir)
         .map { r =>
           if (r.media_id % 7 == 0) r.copy(content = r.content.take(5)) else r
@@ -720,7 +751,7 @@ object StreamingQueries {
         .repartitionByRange(3, col("media_id"))
         .write.parquet(tpl)
     }
-    val schema = spark.read.parquet(src).schema
+    val schema = blobSrcSchema(spark, tpl)
     def drain(): Unit = withDrainPartitions(spark) {
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src)

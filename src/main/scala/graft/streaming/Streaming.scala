@@ -97,9 +97,36 @@ object Streaming {
           sentinelHorizonHours)
       writeStagedMarker(marker, staged)
     }
-    val schema = spark.read.parquet(dst.toString).schema
+    val schema = stagedSchema(spark, src, staged, dst)
     graft.Tables.normalizeEventTs(
       spark.readStream.schema(schema).parquet(staged.toString))
+  }
+
+  /** Read-schema of a staged events fixture, inferred once per (JVM,
+    * staged dir, fixture (size, mtime)): every drain query re-ran
+    * `spark.read.parquet(...).schema` over the identical staged copy —
+    * a per-call listing + footer read the r18 verdict told this round
+    * to shave (item 5). The cache key embeds the SAME staleness marker
+    * the staging itself uses, so a regenerated fixture (new size/mtime)
+    * re-infers; the schema describes the stream's input, nothing any
+    * query computes.
+    */
+  private val stagedSchemas = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def stagedSchema(spark: SparkSession, src: java.nio.file.Path,
+      staged: java.nio.file.Path, dst: java.nio.file.Path)
+      : org.apache.spark.sql.types.StructType = {
+    val key = staged.toString + "|" + stagedMarkerContent(src)
+    val hit = stagedSchemas.get(key)
+    if (hit != null) hit
+    else {
+      // infer OUTSIDE the map (no Spark work inside a CHM remapping
+      // function); a racing duplicate inference is harmless
+      val s = spark.read.parquet(dst.toString).schema
+      stagedSchemas.putIfAbsent(key, s)
+      s
+    }
   }
 
   /** True when `staged`'s marker matches the fixture's current
@@ -211,7 +238,7 @@ object Streaming {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       writeStagedMarker(marker, staged)
     }
-    val schema = spark.read.parquet(dst1.toString).schema
+    val schema = stagedSchema(spark, src, staged, dst1)
     graft.Tables.normalizeEventTs(
       spark.readStream.schema(schema).parquet(staged.toString))
   }
