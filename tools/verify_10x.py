@@ -122,38 +122,50 @@ def compare_indb(con, name, sql, dump_glob, n_mine, timeout_s):
     if timed_out:
         print(f"TIMEOUT {name}: oracle exceeded {timeout_s}s")
         return "timeout"
-    mcols = {r[0]: r[1] for r in con.execute("DESCRIBE mine_v").fetchall()}
-    wcols = {r[0]: r[1] for r in con.execute("DESCRIBE want_t").fetchall()}
-    if sorted(mcols) != sorted(wcols):
-        print(f"FAIL {name}: columns {sorted(mcols)} vs {sorted(wcols)}")
+    # want_t dropped on EVERY exit (r18 ADVICE): the FAIL/timeout paths
+    # used to leave a ~100M-row temp table resident for the rest of
+    # phase A, piling memory pressure onto every later oracle.
+    try:
+        mcols = {r[0]: r[1] for r in con.execute("DESCRIBE mine_v").fetchall()}
+        wcols = {r[0]: r[1] for r in con.execute("DESCRIBE want_t").fetchall()}
+        if sorted(mcols) != sorted(wcols):
+            print(f"FAIL {name}: columns {sorted(mcols)} vs {sorted(wcols)}")
+            return "fail"
+        # Kind mismatch fails when the pair is {i,f} OR when exactly one
+        # side is non-numeric ('o'): EXCEPT ALL coerces VARCHAR vs numeric
+        # to a common type and would erase a string-vs-number divergence
+        # the pandas canon path catches via tuple inequality (r18 ADVICE).
+        dtype_bad = [
+            c for c in mcols
+            if {_duck_kind(mcols[c]), _duck_kind(wcols[c])} == {"i", "f"}
+            or (_duck_kind(mcols[c]) == "o") != (_duck_kind(wcols[c]) == "o")]
+        if dtype_bad:
+            print(f"FAIL {name}: dtype-kind divergence on {dtype_bad} "
+                  f"({ {c: (mcols[c], wcols[c]) for c in dtype_bad} })")
+            return "fail"
+        sel = ", ".join(f'"{c}"' for c in sorted(mcols))
+        n_want = con.execute("SELECT count(*) FROM want_t").fetchone()[0]
+        # EXCEPT ALL both ways == multiset equality (what sorted-rows canon
+        # states); each direction under its own watchdog so a pathological
+        # compare can't hang the gate.
+        diffs = []
+        for a, b in (("mine_v", "want_t"), ("want_t", "mine_v")):
+            df, timed_out = run_with_watchdog(
+                con, f"SELECT count(*) FROM (SELECT {sel} FROM {a} "
+                     f"EXCEPT ALL SELECT {sel} FROM {b})", max(timeout_s, 600))
+            if timed_out:
+                print(f"TIMEOUT {name}: in-db compare exceeded "
+                      f"{max(timeout_s, 600)}s")
+                return "timeout"
+            diffs.append(int(df.iloc[0, 0]))
+        if diffs == [0, 0] and n_mine == n_want:
+            print(f"PASS {name} ({n_mine} rows, in-db)")
+            return "pass"
+        print(f"FAIL {name}: rows {n_mine} vs {n_want}, multiset diff "
+              f"mine-want={diffs[0]}, want-mine={diffs[1]}")
         return "fail"
-    dtype_bad = [c for c in mcols
-                 if {_duck_kind(mcols[c]), _duck_kind(wcols[c])} == {"i", "f"}]
-    if dtype_bad:
-        print(f"FAIL {name}: int-vs-float dtype divergence on {dtype_bad}")
-        return "fail"
-    sel = ", ".join(f'"{c}"' for c in sorted(mcols))
-    n_want = con.execute("SELECT count(*) FROM want_t").fetchone()[0]
-    # EXCEPT ALL both ways == multiset equality (what sorted-rows canon
-    # states); each direction under its own watchdog so a pathological
-    # compare can't hang the gate.
-    diffs = []
-    for a, b in (("mine_v", "want_t"), ("want_t", "mine_v")):
-        df, timed_out = run_with_watchdog(
-            con, f"SELECT count(*) FROM (SELECT {sel} FROM {a} "
-                 f"EXCEPT ALL SELECT {sel} FROM {b})", max(timeout_s, 600))
-        if timed_out:
-            print(f"TIMEOUT {name}: in-db compare exceeded "
-                  f"{max(timeout_s, 600)}s")
-            return "timeout"
-        diffs.append(int(df.iloc[0, 0]))
-    con.execute("DROP TABLE IF EXISTS want_t")
-    if diffs == [0, 0] and n_mine == n_want:
-        print(f"PASS {name} ({n_mine} rows, in-db)")
-        return "pass"
-    print(f"FAIL {name}: rows {n_mine} vs {n_want}, multiset diff "
-          f"mine-want={diffs[0]}, want-mine={diffs[1]}")
-    return "fail"
+    finally:
+        con.execute("DROP TABLE IF EXISTS want_t")
 
 
 def compare(con, name, sql, out_dir, timeout_s=ORACLE_TIMEOUT_S):
